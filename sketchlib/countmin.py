@@ -1,0 +1,225 @@
+"""Count-Min sketch (Cormode & Muthukrishnan 2005) — dense NumPy core.
+
+Semantics re-expressed from the reference CountMinDB (/root/reference/cm.h),
+not ported:
+
+- shape: ``w = ceil(e/eps)``, ``d = ceil(ln(1/delta))`` — cm.h:397-398.
+- row seeds: d uint32 draws from mt19937_64(master_seed) via libstdc++
+  uniform_int_distribution — cm.h:400-407 (reproduced in hashing.seed_schedule).
+- counter index for row j: ``murmur3_x64_128(key, 8, seed_j).h2 % w``
+  — cm.h:387-391, 486.
+- update(i, c): add c to one counter per row — cm.h:482-488.
+- pointQuery(i): min over the d probed counters — cm.h:541-548.
+- innerProductQuery(a, b): min over rows of the per-row dot product
+  — cm.h:810-815 (the dense×dense path cm.h:626-633; we do NOT reproduce the
+  chunked-path bugs at cm.h:653-674 / cm.h:767).
+- mergeCMs: elementwise add — cm.h:849-857. Integer addition is associative
+  and commutative, so merges are byte-identical for any partition order.
+
+Deliberate, documented deviations:
+- counters are int64, not the reference's int32 (cm.h:138) — at 10^12 updates
+  int32 overflows; the reference never runs at that scale.
+- a single dense layout. The reference's 9 storage backends (sparse, chunked-
+  compressed, buffered, mmap) are storage strategies that Spark supplies for
+  free at our layer (Parquet compression, shuffle aggregation, checkpoints)
+  — SURVEY.md §4.
+- a conservative-update variant (Estan & Varghese 2002), absent from the
+  reference but required by the north rule.
+
+Everything is vectorized NumPy; no per-row Python in any batch path.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import hash_u64, seed_schedule, tokens_to_u64
+
+_MAGIC = b"CMSK"
+_VERSION = 1
+
+
+@dataclass(frozen=True)
+class CMConfig:
+    """Sketch family parameters. Two sketches are mergeable iff their configs
+    are equal (cf. the reference's weaker chunk-count assert, cm.h:788)."""
+
+    eps: float
+    delta: float
+    seed: int = 1337
+    width: int = field(init=False)
+    depth: int = field(init=False)
+    row_seeds: tuple[int, ...] = field(init=False)
+
+    def __post_init__(self) -> None:
+        w = int(math.ceil(math.e / self.eps))  # cm.h:397
+        d = int(math.ceil(math.log(1.0 / self.delta)))  # cm.h:398
+        object.__setattr__(self, "width", w)
+        object.__setattr__(self, "depth", d)
+        object.__setattr__(self, "row_seeds", seed_schedule(self.seed, d))
+
+    @staticmethod
+    def for_shape(width: int, depth: int, seed: int = 1337) -> "CMConfig":
+        """Config from an explicit (w, d) — eps/delta back-derived."""
+        eps = math.e / width
+        delta = math.exp(-depth)
+        cfg = CMConfig(eps=eps, delta=delta, seed=seed)
+        assert cfg.width == width and cfg.depth == depth
+        return cfg
+
+
+class CountMinSketch:
+    """Dense d×w int64 Count-Min sketch with batch (vectorized) updates."""
+
+    __slots__ = ("cfg", "table", "n_items", "total_count")
+
+    def __init__(self, cfg: CMConfig, table: np.ndarray | None = None,
+                 n_items: int = 0, total_count: int = 0) -> None:
+        self.cfg = cfg
+        if table is None:
+            table = np.zeros((cfg.depth, cfg.width), dtype=np.int64)
+        assert table.shape == (cfg.depth, cfg.width)
+        self.table = table
+        self.n_items = n_items          # number of update() calls absorbed
+        self.total_count = total_count  # Σ counts = ||f||₁ for non-negative streams
+
+    # -- column placement ---------------------------------------------------
+    def _columns(self, keys_u64: np.ndarray) -> np.ndarray:
+        """(d, n) int64 matrix of probed column indices, reference placement
+        (cm.h:486): murmur h2 % w per row seed."""
+        w = np.uint64(self.cfg.width)
+        cols = np.empty((self.cfg.depth, keys_u64.shape[0]), dtype=np.int64)
+        for j, s in enumerate(self.cfg.row_seeds):
+            cols[j] = (hash_u64(keys_u64, s) % w).astype(np.int64)
+        return cols
+
+    # -- update paths (cm.h:482-488 semantics, batched) ----------------------
+    def update_batch(self, keys, counts=None) -> None:
+        """Standard CM batch update: one bincount-scatter per depth row."""
+        keys_u64 = tokens_to_u64(np.asarray(keys))
+        n = keys_u64.shape[0]
+        if n == 0:
+            return
+        w = self.cfg.width
+        if counts is None:
+            for j, s in enumerate(self.cfg.row_seeds):
+                cols = (hash_u64(keys_u64, s) % np.uint64(w)).astype(np.int64)
+                self.table[j] += np.bincount(cols, minlength=w)
+            self.total_count += n
+        else:
+            c = np.asarray(counts, dtype=np.int64)
+            for j, s in enumerate(self.cfg.row_seeds):
+                cols = (hash_u64(keys_u64, s) % np.uint64(w)).astype(np.int64)
+                # bincount weights are float64: exact for |c| sums < 2^53
+                self.table[j] += np.bincount(cols, weights=c, minlength=w).astype(np.int64)
+            self.total_count += int(c.sum())
+        self.n_items += n
+
+    def update_batch_cu(self, keys, counts=None) -> None:
+        """Conservative update (Estan & Varghese 2002): counter_j(i) :=
+        max(counter_j(i), pointQuery(i) + c). Not in the reference; north-rule
+        addition. Duplicates within the batch are pre-aggregated, then unique
+        keys are applied sequentially (CU is order-sensitive across colliding
+        keys, so this path trades speed for accuracy — standard `update_batch`
+        is the default hot path). Requires non-negative counts.
+        """
+        keys_u64 = tokens_to_u64(np.asarray(keys))
+        if keys_u64.shape[0] == 0:
+            return
+        if counts is None:
+            c = np.ones(keys_u64.shape[0], dtype=np.int64)
+        else:
+            c = np.asarray(counts, dtype=np.int64)
+        if np.any(c < 0):
+            raise ValueError("conservative update requires non-negative counts")
+        uniq, inv = np.unique(keys_u64, return_inverse=True)
+        agg = np.bincount(inv, weights=c).astype(np.int64)
+        cols = self._columns(uniq)  # (d, m)
+        t = self.table
+        rows = np.arange(self.cfg.depth)
+        for i in range(uniq.shape[0]):
+            ci = cols[:, i]
+            cur = t[rows, ci]
+            new = cur.min() + agg[i]
+            np.maximum(cur, new, out=cur)
+            t[rows, ci] = cur
+        self.n_items += int(keys_u64.shape[0])
+        self.total_count += int(c.sum())
+
+    # -- queries -------------------------------------------------------------
+    def point_query(self, key: int) -> int:
+        """min over d probed counters (cm.h:541-548)."""
+        return int(self.point_query_batch(np.array([key], dtype=np.uint64))[0])
+
+    def point_query_batch(self, keys) -> np.ndarray:
+        keys_u64 = tokens_to_u64(np.asarray(keys))
+        if keys_u64.shape[0] == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._columns(keys_u64)
+        est = self.table[0, cols[0]]
+        for j in range(1, self.cfg.depth):
+            est = np.minimum(est, self.table[j, cols[j]])
+        return est.astype(np.int64)
+
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """min over rows of per-row dot products (cm.h:810-815) — estimates
+        the equi-join size |R ⋈ S| of the two underlying streams."""
+        self._check_mergeable(other)
+        dots = np.einsum("dw,dw->d", self.table, other.table)
+        return int(dots.min())
+
+    # -- algebra ------------------------------------------------------------
+    def _check_mergeable(self, other: "CountMinSketch") -> None:
+        if self.cfg != other.cfg:
+            raise ValueError(
+                f"sketch configs differ: {self.cfg} vs {other.cfg}")
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        """In-place elementwise add (cm.h:849-857). Associative+commutative →
+        byte-identical result for any merge order."""
+        self._check_mergeable(other)
+        self.table += other.table
+        self.n_items += other.n_items
+        self.total_count += other.total_count
+        return self
+
+    def clear(self) -> None:  # cm.h:818-822
+        self.table[:] = 0
+        self.n_items = 0
+        self.total_count = 0
+
+    def nbytes(self) -> int:  # getMem analogue, cm.h:319-322
+        return self.table.nbytes + 4 * self.cfg.depth
+
+    # -- serialization (deterministic; little-endian, C-order) ---------------
+    def to_bytes(self) -> bytes:
+        cfg = self.cfg
+        head = struct.pack(
+            "<4sHHqqddqqq",
+            _MAGIC, _VERSION, 0,
+            cfg.width, cfg.depth,
+            cfg.eps, cfg.delta,
+            cfg.seed, self.n_items, self.total_count,
+        )
+        seeds = np.asarray(cfg.row_seeds, dtype="<u4").tobytes()
+        payload = np.ascontiguousarray(self.table, dtype="<i8").tobytes()
+        return head + seeds + payload
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "CountMinSketch":
+        head_size = struct.calcsize("<4sHHqqddqqq")
+        magic, ver, _, w, d, eps, delta, seed, n_items, total = struct.unpack(
+            "<4sHHqqddqqq", buf[:head_size])
+        if magic != _MAGIC or ver != _VERSION:
+            raise ValueError("bad CountMinSketch serialization")
+        off = head_size
+        seeds = tuple(np.frombuffer(buf[off:off + 4 * d], dtype="<u4").tolist())
+        off += 4 * d
+        table = np.frombuffer(buf[off:off + 8 * d * w], dtype="<i8").reshape(d, w).astype(np.int64)
+        cfg = CMConfig(eps=eps, delta=delta, seed=seed)
+        assert cfg.width == w and cfg.depth == d and cfg.row_seeds == seeds
+        return CountMinSketch(cfg, table, n_items=n_items, total_count=total)

@@ -1,0 +1,176 @@
+"""Vectorized MurmurHash3_x64_128 specialized to 8-byte keys, plus the
+reference's deterministic row-seed schedule.
+
+Semantics reproduced (bit-for-bit) from the reference CountMinDB:
+
+- The reference hashes a single ``uint64_t`` key with
+  ``MurmurHash3_x64_128(&key, 8, seed, out)`` and keeps ``out[1]`` (the h2
+  word) — /root/reference/cm.h:387-391.  For an 8-byte input the generic
+  algorithm collapses to a short chain of ~15 wrapping uint64 ops (the body
+  loop is empty, the tail consumes all 8 bytes into ``k1``), which we express
+  as NumPy uint64 ufunc chains so a whole token array is hashed at once with
+  no per-row Python.
+- Row seeds are drawn from ``std::mt19937_64(master_seed)`` through libstdc++
+  ``std::uniform_int_distribution<uint32_t>(0, 2^32-1)``
+  — /root/reference/cm.h:400-407.  We re-derive that schedule exactly
+  (mt19937_64 + the libstdc++ downscaling algorithm) so sketches built here
+  place counters in the same columns as the reference for a given
+  ``(eps, delta, seed)``.
+
+This module is pure NumPy — it is the single hot-path hash used by every
+sketch in the library (Count-Min, HLL, Bloom, MinHash, SimHash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+# MurmurHash3 x64_128 constants (public domain algorithm, Austin Appleby).
+_C1 = _U64(0x87C37B91114253D5)
+_C2 = _U64(0x4CF5AD432745937F)
+_F1 = _U64(0xFF51AFD7ED558CCD)
+_F2 = _U64(0xC4CEB9FE1A85EC53)
+_LEN8 = _U64(8)
+_R31 = _U64(31)
+_R33 = _U64(33)
+_R64_31 = _U64(64 - 31)
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> _R33)
+    k = k * _F1
+    k = k ^ (k >> _R33)
+    k = k * _F2
+    k = k ^ (k >> _R33)
+    return k
+
+
+def murmur3_x64_128_u64(keys: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash an array of uint64 keys; returns ``(h1, h2)`` uint64 arrays.
+
+    Bit-identical to ``MurmurHash3_x64_128(&key, 8, seed, out)`` of the
+    reference for every key/seed (verified against compiled golden vectors in
+    tests/test_hashing.py).
+    """
+    k1 = np.asarray(keys, dtype=_U64).copy()
+    k1 *= _C1
+    k1 = (k1 << _R31) | (k1 >> _R64_31)
+    k1 *= _C2
+
+    s = _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    h1 = s ^ k1
+    h2 = np.full(k1.shape, s, dtype=_U64)
+
+    h1 ^= _LEN8
+    h2 ^= _LEN8
+    h1 += h2
+    h2 += h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 += h2
+    h2 += h1
+    return h1, h2
+
+
+def hash_u64(keys: np.ndarray, seed: int) -> np.ndarray:
+    """The reference's hash: h2 word of murmur3_x64_128 (cm.h:390)."""
+    return murmur3_x64_128_u64(keys, seed)[1]
+
+
+def tokens_to_u64(tokens: np.ndarray) -> np.ndarray:
+    """Widen int32 tokens to the uint64 key domain the reference hashes.
+
+    The reference draws uint32 keys and widens to uint64 (totaltest.cpp:19,
+    39); int32 tokens are reinterpreted as their unsigned value first so
+    negative int32 stays in [0, 2^32).
+    """
+    a = np.asarray(tokens)
+    if a.dtype == np.uint64:
+        return a
+    if a.dtype.kind == "i":
+        return a.astype(np.int64).astype(np.uint64) & _U64(0xFFFFFFFF) if a.dtype.itemsize <= 4 else a.astype(np.uint64)
+    return a.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# mt19937_64 + libstdc++ uniform_int_distribution<uint32_t> seed schedule
+# ---------------------------------------------------------------------------
+
+_MASK64 = (1 << 64) - 1
+
+
+class MT19937_64:
+    """Pure-Python mt19937_64 (matches std::mt19937_64). Cold path only —
+    used once per sketch config to derive d row seeds (d <= ~30)."""
+
+    _N = 312
+    _M = 156
+    _MATRIX_A = 0xB5026F5AA96619E9
+    _UPPER = 0xFFFFFFFF80000000
+    _LOWER = 0x7FFFFFFF
+
+    def __init__(self, seed: int) -> None:
+        mt = [0] * self._N
+        mt[0] = seed & _MASK64
+        for i in range(1, self._N):
+            mt[i] = (6364136223846793005 * (mt[i - 1] ^ (mt[i - 1] >> 62)) + i) & _MASK64
+        self._mt = mt
+        self._idx = self._N
+
+    def next_u64(self) -> int:
+        if self._idx >= self._N:
+            mt = self._mt
+            for i in range(self._N):
+                x = (mt[i] & self._UPPER) | (mt[(i + 1) % self._N] & self._LOWER)
+                xa = x >> 1
+                if x & 1:
+                    xa ^= self._MATRIX_A
+                mt[i] = mt[(i + self._M) % self._N] ^ xa
+            self._idx = 0
+        y = self._mt[self._idx]
+        self._idx += 1
+        y ^= (y >> 29) & 0x5555555555555555
+        y ^= (y << 17) & 0x71D67FFFEDA60000 & _MASK64
+        y ^= (y << 37) & 0xFFF7EEE000000000 & _MASK64
+        y ^= y >> 43
+        return y & _MASK64
+
+
+def seed_schedule(master_seed: int, n: int) -> tuple[int, ...]:
+    """First ``n`` draws of libstdc++
+    ``uniform_int_distribution<uint32_t>(0, 2^32-1)`` over
+    ``mt19937_64(master_seed)`` — the reference's row-seed derivation
+    (cm.h:400-407).
+
+    Modern libstdc++ (GCC >= 9) downscales a full-width 64-bit generator with
+    Lemire's multiply-shift (Fast Random Integer Generation in an Interval,
+    TOMACS 2019): ``product = u128(draw) * 2^32``; reject while
+    ``u64(product) < (2^64 % 2^32)`` (never, for this range); return
+    ``product >> 64``.
+    """
+    mt = MT19937_64(master_seed)
+    rng = 1 << 32
+    threshold = ((1 << 64) - rng) % rng
+    out = []
+    for _ in range(n):
+        product = mt.next_u64() * rng
+        while (product & _MASK64) < threshold:
+            product = mt.next_u64() * rng
+        out.append(product >> 64)
+    return tuple(out)
+
+
+def bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 arrays (0 -> 0). Exact for all 64-bit
+    values (no float round-trip)."""
+    v = v.copy()
+    r = np.zeros(v.shape, dtype=np.int64)
+    nz = v != 0
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (_U64(1) << _U64(s))
+        r[big] += s
+        v[big] >>= _U64(s)
+    r[nz] += 1
+    return r
