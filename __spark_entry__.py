@@ -1,38 +1,277 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Implements the sketchlib engine surface (SURVEY.md §2): the sketch queries
+(Count-Min build / point query / grouped build / inner product — the
+reference's four methods, cm.h:260-266) run as rows-only checks because a
+sketch estimate is not SQL-expressible; the exact-count / dedup / text-
+analysis queries carry DuckDB oracles.
+
+Tokenization convention used throughout: ``documents.text`` split on single
+spaces, empty tokens dropped; a word maps to an int32 token as
+``pmod(xxhash64(word), 2^31)`` (both engines only need this on the Spark
+side — oracle queries stay on the word domain).
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sketchlib.countmin import CMConfig
+from sketchlib.spark_build import (
+    build_grouped,
+    build_sketch,
+    collect_grouped,
+    point_query_col,
+)
+
+CM_CFG = CMConfig(eps=1e-4, delta=math.exp(-3), seed=1337)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per word occurrence: (doc_id, source, word)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source",
+                    F.explode(F.split(F.col("text"), " ")).alias("word"))
+            .filter(F.col("word") != ""))
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents mapped to the input-hint shape: (doc_id, tokens array<int>, source)."""
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tokens = F.transform(words, lambda x: F.pmod(F.xxhash64(x), F.lit(2**31)).cast("int"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source", tokens.alias("tokens")))
+
+
+def _word_token(word_col):
+    return F.pmod(F.xxhash64(word_col), F.lit(2**31)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed Count-Min build over tokenized documents at
+    sf0.001, then broadcast point queries vs exact counts — returns
+    (word, exact_cnt, cm_est) for the 50 hottest words; cm_est >= exact_cnt
+    always (one-sided CM guarantee)."""
+    sf_dir = "/root/testdata/sf0.001"
+    toks = _tokenized_docs(spark, sf_dir)
+    res = build_sketch(toks, "tokens", CM_CFG)
+    exact = (_words(spark, sf_dir)
+             .groupBy("word").agg(F.count("*").alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), "word").limit(50))
+    return exact.withColumn(
+        "cm_est", point_query_col(spark, res.sketch, _word_token(F.col("word"))))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_word_freq_exact(spark, sf_dir):
+    return (_words(spark, sf_dir)
+            .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+def _q_source_doc_stats(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    """Exact dedup groups by content fingerprint (md5 of text)."""
+    return (_docs(spark, sf_dir)
+            .groupBy(F.md5(F.col("text")).alias("fp"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keeper_doc_id")))
+
+
+def _q_token_count(spark, sf_dir):
+    """Whitespace token counting per document."""
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    return _docs(spark, sf_dir).select("doc_id", n_words.alias("n_words"))
+
+
+def _q_doc_quality(spark, sf_dir):
+    """Quality heuristics: word count, distinct-word ratio denominator parts,
+    stopword hits — integer-valued so the oracle hash is stable."""
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stop = F.size(F.filter(words, lambda x: x.isin("the", "a", "of", "and", "to")))
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.col("n_chars").alias("n_chars"),
+                    F.size(words).alias("n_words"),
+                    F.size(F.array_distinct(words)).alias("n_distinct_words"),
+                    stop.alias("n_stopwords")))
+
+
+def _q_topk_users(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+            .orderBy(F.desc("n_events"), "user_id").limit(20))
+
+
+def _q_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def _q_order_priority_join(spark, sf_dir):
+    """Broadcast-joinable dim join: orders x customer, counts by (mktsegment,
+    orderpriority)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+def _q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1 shape with integer-stable measures (counts + quantity cast)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("count_order"),
+                 F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+# -- sketch queries (rows-only: estimates are not SQL-expressible) ----------
+
+def _q_cm_topk_words(spark, sf_dir):
+    toks = _tokenized_docs(spark, sf_dir)
+    res = build_sketch(toks, "tokens", CM_CFG)
+    top = (_words(spark, sf_dir).groupBy("word")
+           .agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), "word").limit(20))
+    return top.withColumn(
+        "cm_est", point_query_col(spark, res.sketch, _word_token(F.col("word"))))
+
+
+def _q_cm_grouped_by_source(spark, sf_dir):
+    """Per-source Count-Min sketches (grouped build, map-side combined);
+    returns per-source metadata + the estimate for the word 'data'."""
+    toks = _tokenized_docs(spark, sf_dir)
+    grouped = collect_grouped(build_grouped(toks, "source", "tokens", CM_CFG))
+    probe = None
+    import numpy as np
+    rows = []
+    for src in sorted(grouped):
+        cm = grouped[src]
+        if probe is None:
+            # token id for 'data' under the engine convention
+            probe_df = spark.range(1).select(_word_token(F.lit("data")).alias("t"))
+            probe = probe_df.collect()[0]["t"]
+        rows.append((src, cm.n_items, cm.total_count,
+                     int(cm.point_query_batch(np.array([probe]))[0])))
+    return spark.createDataFrame(
+        rows, "source string, n_items bigint, total_count bigint, est_data bigint")
+
+
+def _q_cm_inner_product(spark, sf_dir):
+    """Join-size estimate between the src0 and src1 word streams
+    (innerProductQuery semantics, cm.h:810-815)."""
+    toks = _tokenized_docs(spark, sf_dir)
+    a = build_sketch(toks.filter(F.col("source") == "src0"), "tokens", CM_CFG)
+    b = build_sketch(toks.filter(F.col("source") == "src1"), "tokens", CM_CFG)
+    est = a.sketch.inner_product(b.sketch)
+    return spark.createDataFrame(
+        [(est, a.sketch.total_count, b.sketch.total_count)],
+        "est_inner_product bigint, total_a bigint, total_b bigint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "word_freq_exact": _q_word_freq_exact,
+        "source_doc_stats": _q_source_doc_stats,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "doc_quality": _q_doc_quality,
+        "topk_users": _q_topk_users,
+        "events_by_type": _q_events_by_type,
+        "order_priority_join": _q_order_priority_join,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "cm_topk_words": _q_cm_topk_words,
+        "cm_grouped_by_source": _q_cm_grouped_by_source,
+        "cm_inner_product": _q_cm_inner_product,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "word_freq_exact": """
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        """,
+        "source_doc_stats": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS fp, COUNT(*) AS n_copies,
+                   MIN(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id, n_chars,
+                   CAST(len(ws) AS INT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS INT) AS n_distinct_words,
+                   CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS INT) AS n_stopwords
+            FROM (SELECT doc_id, n_chars,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                  FROM documents)
+        """,
+        "topk_users": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 20
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "order_priority_join": """
+            SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # cm_* queries: sketch estimates, not SQL-expressible -> rows-only
+    }

@@ -1,0 +1,332 @@
+"""Distributed sketch builds on Spark DataFrames.
+
+This is the Spark-native restatement of the reference's buffer-then-merge
+architecture (SURVEY.md §3.1): the reference absorbs updates into an in-RAM
+buffer sketch and batch-merges it into the disk-resident sketch
+(/root/reference/cm.h:523-530, experiments.txt:8-23). Here every *partition*
+plays the buffer role:
+
+  stage 1  mapInArrow: one partial sketch per input partition, built from the
+           Arrow list column's flat value buffer (zero per-row Python);
+           emits one row ``(pid, sketch: binary, lineage metrics)``.
+  stage 2  groupBy(pid % k) + applyInPandas: tree merge of partials.
+  stage 3  driver merges the <= k survivors.
+
+Because sketch merge is elementwise integer addition (cm.h:849-857) the
+result is byte-identical for any partitioning and any merge order.
+
+Partial sketches are tiny (d*w*8 bytes, ~1 MB at eps=1e-4) compared to input
+partitions (~128 MB of parquet), so stage 1 is effectively a map-side
+combine: the shuffle moves only sketch blobs, never raw tokens. At 10^12
+sequences / ~10^6 partitions the two-level tree keeps per-task merge fan-in
+at sqrt(n) and the driver fan-in at k; no single point ever sees all blobs.
+
+Checkpointed builds write stage-1 partials to a parquet directory keyed by
+partition id (the analogue of the reference's mmap'd SSD residency,
+cm.h:141-148); ``checkpoint_dir`` builds resume by skipping partitions whose
+partials already exist.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .countmin import CMConfig, CountMinSketch
+
+_PARTIAL_SCHEMA = (
+    "pid int, sketch binary, n_rows bigint, n_items bigint, "
+    "total_count bigint, build_ms double"
+)
+_PARTIAL_PA_SCHEMA = pa.schema([
+    ("pid", pa.int32()),
+    ("sketch", pa.binary()),
+    ("n_rows", pa.int64()),
+    ("n_items", pa.int64()),
+    ("total_count", pa.int64()),
+    ("build_ms", pa.float64()),
+])
+_MERGED_SCHEMA = "sketch binary, n_rows bigint, n_items bigint, total_count bigint"
+
+
+@dataclass
+class BuildResult:
+    sketch: CountMinSketch
+    lineage: pd.DataFrame          # per-partition (pid, n_rows, n_items, total_count, build_ms)
+    n_rows: int
+    wall_s: float
+
+    @property
+    def tokens_per_sec(self) -> float:
+        return self.sketch.n_items / self.wall_s if self.wall_s else float("nan")
+
+
+def _flat_tokens(batch: pa.RecordBatch, col_idx: int) -> np.ndarray:
+    """Flatten an Arrow list<int32> column to its value buffer (offset- and
+    null-aware); stays in C the whole way."""
+    col = batch.column(col_idx)
+    if isinstance(col, pa.ChunkedArray):  # defensive; RecordBatch gives Array
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False)
+
+
+def _partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
+                     skip_pids: frozenset[int] | None = None):
+    def fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if skip_pids and pid in skip_pids:
+            return
+        t0 = time.perf_counter()
+        cm = CountMinSketch(cfg)
+        n_rows = 0
+        col_idx = None
+        for batch in batches:
+            if col_idx is None:
+                col_idx = batch.schema.get_field_index(tokens_col)
+            toks = _flat_tokens(batch, col_idx)
+            if cu:
+                cm.update_batch_cu(toks)
+            else:
+                cm.update_batch(toks)
+            n_rows += batch.num_rows
+        ms = (time.perf_counter() - t0) * 1e3
+        yield pa.RecordBatch.from_pydict({
+            "pid": [pid],
+            "sketch": [cm.to_bytes()],
+            "n_rows": [n_rows],
+            "n_items": [cm.n_items],
+            "total_count": [cm.total_count],
+            "build_ms": [ms],
+        }, schema=_PARTIAL_PA_SCHEMA)
+    return fn
+
+
+def _merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    acc: CountMinSketch | None = None
+    for blob in pdf["sketch"]:
+        cm = CountMinSketch.from_bytes(bytes(blob))
+        acc = cm if acc is None else acc.merge(cm)
+    return pd.DataFrame({
+        "sketch": [acc.to_bytes()],
+        "n_rows": [int(pdf["n_rows"].sum())],
+        "n_items": [acc.n_items],
+        "total_count": [acc.total_count],
+    })
+
+
+def _tree_merge(partials: DataFrame, fanout: int | None,
+                n_partials: int) -> CountMinSketch | None:
+    if fanout is None:
+        fanout = max(1, math.isqrt(max(1, n_partials)))
+    merged = (
+        partials
+        .groupBy(F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
+        .applyInPandas(lambda pdf: _merge_pdf(pdf), schema=_MERGED_SCHEMA)
+    )
+    rows = merged.collect()
+    acc: CountMinSketch | None = None
+    for r in rows:
+        cm = CountMinSketch.from_bytes(bytes(r["sketch"]))
+        acc = cm if acc is None else acc.merge(cm)
+    return acc
+
+
+def build_sketch(df: DataFrame, tokens_col: str, cfg: CMConfig, *,
+                 cu: bool = False, fanout: int | None = None,
+                 checkpoint_dir: str | None = None) -> BuildResult:
+    """Build one Count-Min sketch over every token in ``df[tokens_col]``.
+
+    ``cu`` selects the conservative-update variant per partition (partials
+    are then merged by addition: estimates land between pure-CU and standard
+    CM, still one-sided upper bounds — SURVEY.md §7 hard-part 2).
+
+    ``checkpoint_dir`` makes the build resumable: stage-1 partials are
+    appended to ``{checkpoint_dir}/partials`` keyed by partition id; a rerun
+    skips partitions already present and merges old + new.
+    """
+    t0 = time.perf_counter()
+    src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
+    spark = df.sparkSession
+    lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
+
+    if checkpoint_dir is None:
+        partials = src.mapInArrow(
+            _partial_builder(cfg, tokens_col, cu),
+            schema=_PARTIAL_SCHEMA).persist()
+        try:
+            lineage = partials.select(*lineage_cols).toPandas()
+            sketch = _tree_merge(partials, fanout, len(lineage))
+        finally:
+            partials.unpersist()
+    else:
+        path = checkpoint_dir.rstrip("/") + "/partials"
+        try:
+            done = frozenset(
+                r["pid"] for r in spark.read.parquet(path).select("pid").collect())
+        except Exception:
+            done = frozenset()
+        n_parts = src.rdd.getNumPartitions()
+        if any(p not in done for p in range(n_parts)):
+            fresh = src.mapInArrow(
+                _partial_builder(cfg, tokens_col, cu, skip_pids=done),
+                schema=_PARTIAL_SCHEMA)
+            fresh.write.mode("append").parquet(path)
+        partials = spark.read.parquet(path)
+        lineage = partials.select(*lineage_cols).toPandas()
+        sketch = _tree_merge(partials, fanout, len(lineage))
+
+    if sketch is None:
+        sketch = CountMinSketch(cfg)
+    wall = time.perf_counter() - t0
+    lineage = lineage.sort_values("pid").reset_index(drop=True)
+    return BuildResult(sketch=sketch, lineage=lineage,
+                       n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
+
+
+# ---------------------------------------------------------------------------
+# grouped build: one sketch per key (e.g. per source), map-side combined
+# ---------------------------------------------------------------------------
+
+_GROUPED_PARTIAL_SCHEMA = (
+    "key string, pid int, sketch binary, n_rows bigint, n_items bigint, "
+    "total_count bigint"
+)
+_GROUPED_PARTIAL_PA_SCHEMA = pa.schema([
+    ("key", pa.string()),
+    ("pid", pa.int32()),
+    ("sketch", pa.binary()),
+    ("n_rows", pa.int64()),
+    ("n_items", pa.int64()),
+    ("total_count", pa.int64()),
+])
+_GROUPED_MERGED_SCHEMA = (
+    "key string, sketch binary, n_rows bigint, n_items bigint, total_count bigint"
+)
+
+
+def _grouped_partial_builder(cfg: CMConfig, key_col: str, tokens_col: str, cu: bool):
+    def fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketches: dict[str, CountMinSketch] = {}
+        rows: dict[str, int] = {}
+        ki = ti = None
+        for batch in batches:
+            if ki is None:
+                ki = batch.schema.get_field_index(key_col)
+                ti = batch.schema.get_field_index(tokens_col)
+            keys = batch.column(ki).to_numpy(zero_copy_only=False)
+            tok_col = batch.column(ti)
+            flat = tok_col.flatten().to_numpy(zero_copy_only=False)
+            lens = np.asarray(tok_col.value_lengths().to_numpy(zero_copy_only=False))
+            uniq, inv = np.unique(keys, return_inverse=True)
+            tok_group = np.repeat(inv, lens)  # group id of every flat token
+            order = np.argsort(tok_group, kind="stable")
+            sorted_toks = flat[order]
+            bounds = np.searchsorted(tok_group[order], np.arange(len(uniq) + 1))
+            for g, key in enumerate(uniq.tolist()):
+                cm = sketches.get(key)
+                if cm is None:
+                    cm = sketches[key] = CountMinSketch(cfg)
+                    rows[key] = 0
+                seg = sorted_toks[bounds[g]:bounds[g + 1]]
+                if cu:
+                    cm.update_batch_cu(seg)
+                else:
+                    cm.update_batch(seg)
+                rows[key] += int(np.sum(inv == g))
+        if sketches:
+            ordered = sorted(sketches)
+            yield pa.RecordBatch.from_pydict({
+                "key": ordered,
+                "pid": [pid] * len(ordered),
+                "sketch": [sketches[k].to_bytes() for k in ordered],
+                "n_rows": [rows[k] for k in ordered],
+                "n_items": [sketches[k].n_items for k in ordered],
+                "total_count": [sketches[k].total_count for k in ordered],
+            }, schema=_GROUPED_PARTIAL_PA_SCHEMA)
+    return fn
+
+
+def _merge_grouped_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    acc: CountMinSketch | None = None
+    for blob in pdf["sketch"]:
+        cm = CountMinSketch.from_bytes(bytes(blob))
+        acc = cm if acc is None else acc.merge(cm)
+    return pd.DataFrame({
+        "key": [pdf["key"].iloc[0]],
+        "sketch": [acc.to_bytes()],
+        "n_rows": [int(pdf["n_rows"].sum())],
+        "n_items": [acc.n_items],
+        "total_count": [acc.total_count],
+    })
+
+
+def build_grouped(df: DataFrame, key_col: str, tokens_col: str, cfg: CMConfig,
+                  *, cu: bool = False, fanout: int = 8) -> DataFrame:
+    """One sketch per distinct ``key_col`` value.
+
+    Raw rows are never shuffled: stage 1 builds per-(partition, key) partials
+    inside mapInArrow (map-side combine), so a skewed key distribution (the
+    reference's Zipf workload, and FIXTURES.md's 70%-"web" source column)
+    costs no hot shuffle partition. Stage 2 tree-merges per (key, pid%fanout),
+    stage 3 per key — the classic salted two-level aggregation, with the
+    sketch blob as the aggregation state.
+
+    Returns a DataFrame ``(key, sketch, n_rows, n_items, total_count)``.
+    """
+    src = (df.select(F.col(key_col).alias("key"), F.col(tokens_col))
+             .filter(F.col(tokens_col).isNotNull()))
+    partials = src.mapInArrow(
+        _grouped_partial_builder(cfg, "key", tokens_col, cu),
+        schema=_GROUPED_PARTIAL_SCHEMA)
+    level1 = (partials
+              .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
+              .applyInPandas(
+                  lambda pdf: _merge_grouped_pdf(pdf).assign(pid=0)[
+                      ["key", "pid", "sketch", "n_rows", "n_items", "total_count"]],
+                  schema=_GROUPED_PARTIAL_SCHEMA))
+    final = (level1.groupBy("key")
+             .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
+                            schema=_GROUPED_MERGED_SCHEMA))
+    return final
+
+
+def collect_grouped(grouped_df: DataFrame) -> dict[str, CountMinSketch]:
+    return {r["key"]: CountMinSketch.from_bytes(bytes(r["sketch"]))
+            for r in grouped_df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# batch point queries: broadcast sketch + scalar pandas UDF
+# ---------------------------------------------------------------------------
+
+_SKETCH_CACHE: dict[int, CountMinSketch] = {}
+
+
+def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
+    """Column expression estimating the frequency of every key in ``key_col``
+    against a broadcast ``sketch`` — vectorized, one deserialize per task."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @pandas_udf("long")
+    def est(keys: pd.Series) -> pd.Series:
+        blob = bc.value
+        cm = _SKETCH_CACHE.get(id(blob))
+        if cm is None:
+            cm = CountMinSketch.from_bytes(blob)
+            _SKETCH_CACHE[id(blob)] = cm
+        return pd.Series(cm.point_query_batch(keys.to_numpy()))
+
+    return est(key_col)

@@ -1,0 +1,128 @@
+"""Spark E2E: distributed sketch build vs exact counts (SURVEY.md §5 item 4).
+
+Covers: mapInArrow partial build, two-level merge byte-identity across
+partitionings, grouped (per-source) build, checkpoint/resume, and the
+broadcast point-query UDF.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.countmin import CMConfig, CountMinSketch
+from sketchlib.spark_build import (
+    build_grouped,
+    build_sketch,
+    collect_grouped,
+    point_query_col,
+    _partial_builder,
+    _PARTIAL_SCHEMA,
+)
+
+CFG = CMConfig(eps=1e-4, delta=math.exp(-3), seed=1337)
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark, token_table_path):
+    return spark.read.parquet(token_table_path)
+
+
+@pytest.fixture(scope="module")
+def exact_counts(tokens_df):
+    rows = (tokens_df.select(F.explode("tokens").alias("token"))
+            .groupBy("token").count().collect())
+    return {r["token"]: r["count"] for r in rows}
+
+
+def test_build_matches_exact_within_bound(tokens_df, exact_counts):
+    res = build_sketch(tokens_df, "tokens", CFG)
+    l1 = sum(exact_counts.values())
+    assert res.sketch.total_count == l1
+    assert res.n_rows == tokens_df.count()
+
+    keys = np.fromiter(exact_counts.keys(), dtype=np.int64)
+    true = np.fromiter((exact_counts[int(k)] for k in keys), dtype=np.int64)
+    est = res.sketch.point_query_batch(keys)
+    assert np.all(est >= true)
+    frac_ok = float(np.mean((est - true) <= CFG.eps * l1))
+    assert frac_ok >= 1 - CFG.delta
+
+    # lineage accounts for every partition and every token
+    assert res.lineage["n_items"].sum() == l1
+    assert (res.lineage["build_ms"] > 0).all()
+
+
+def test_partitioning_invariance_byte_identical(tokens_df):
+    a = build_sketch(tokens_df.repartition(3), "tokens", CFG)
+    b = build_sketch(tokens_df.repartition(7), "tokens", CFG, fanout=2)
+    assert a.sketch.to_bytes() == b.sketch.to_bytes()
+
+
+def test_grouped_build_per_source(spark, tokens_df):
+    grouped = collect_grouped(build_grouped(tokens_df, "source", "tokens", CFG))
+    sources = [r["source"] for r in tokens_df.select("source").distinct().collect()]
+    assert set(grouped) == set(sources)
+
+    # per-source sketch == sketch built on the filtered frame, byte-identical
+    for src in sources:
+        direct = build_sketch(tokens_df.filter(F.col("source") == src),
+                              "tokens", CFG)
+        assert grouped[src].to_bytes() == direct.sketch.to_bytes(), src
+
+    # and the union of groups == the global sketch
+    acc = CountMinSketch(CFG)
+    for cm in grouped.values():
+        acc.merge(cm)
+    global_ = build_sketch(tokens_df, "tokens", CFG)
+    assert acc.to_bytes() == global_.sketch.to_bytes()
+
+
+def test_checkpoint_resume(spark, tokens_df, tmp_path):
+    df4 = tokens_df.repartition(4)
+    full = build_sketch(df4, "tokens", CFG)
+
+    ckpt = str(tmp_path / "ckpt")
+    # simulate a crashed run: only partitions 2 and 3 got checkpointed
+    pre = df4.select("tokens").mapInArrow(
+        _partial_builder(CFG, "tokens", False, skip_pids=frozenset({0, 1})),
+        schema=_PARTIAL_SCHEMA)
+    pre.write.mode("append").parquet(ckpt + "/partials")
+    done_pids = {r["pid"] for r in spark.read.parquet(ckpt + "/partials").collect()}
+    assert done_pids == {2, 3}
+
+    # resume: builds only 0 and 1, merges all four
+    res = build_sketch(df4, "tokens", CFG, checkpoint_dir=ckpt)
+    assert res.sketch.to_bytes() == full.sketch.to_bytes()
+    assert sorted(res.lineage["pid"]) == [0, 1, 2, 3]
+
+    # idempotent re-run: nothing recomputed, same bytes
+    res2 = build_sketch(df4, "tokens", CFG, checkpoint_dir=ckpt)
+    assert res2.sketch.to_bytes() == full.sketch.to_bytes()
+
+
+def test_point_query_udf(spark, tokens_df, exact_counts):
+    res = build_sketch(tokens_df, "tokens", CFG)
+    some = list(exact_counts)[:500]
+    keys_df = spark.createDataFrame([(k,) for k in some], "token int")
+    out = keys_df.withColumn(
+        "est", point_query_col(spark, res.sketch, F.col("token"))).collect()
+    for r in out:
+        assert r["est"] >= exact_counts[r["token"]]
+
+
+def test_conservative_update_build(tokens_df, exact_counts):
+    tight = CMConfig(eps=2e-3, delta=0.05, seed=1337)
+    small = tokens_df.limit(200).repartition(2)
+    exact = {r["token"]: r["count"]
+             for r in small.select(F.explode("tokens").alias("token"))
+             .groupBy("token").count().collect()}
+    std = build_sketch(small, "tokens", tight)
+    cu = build_sketch(small, "tokens", tight, cu=True)
+    keys = np.fromiter(exact.keys(), dtype=np.int64)
+    true = np.fromiter((exact[int(k)] for k in keys), dtype=np.int64)
+    est_std = std.sketch.point_query_batch(keys)
+    est_cu = cu.sketch.point_query_batch(keys)
+    assert np.all(est_cu >= true)
+    assert est_cu.sum() <= est_std.sum()

@@ -1,0 +1,103 @@
+"""Local simulation of the driver's correctness gate: runs every
+``queries()`` entry on Spark and, where an ``oracle_sql()`` entry exists,
+the same query on DuckDB; compares row count, column names, and an
+order-insensitive value hash.
+
+Usage: python tools/check_entry.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def value_hash(rows, cols):
+    cols_sorted = sorted(cols)
+    lines = []
+    for row in rows:
+        d = dict(zip(cols, row))
+        lines.append("|".join(repr(d[c]) for c in cols_sorted))
+    lines.sort()
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def norm(v):
+    import datetime
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def main(sf_dir="/root/testdata/sf0.01"):
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entry_mod
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    print("== entry() smoke ==")
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    print(f"entry: {len(rows)} rows, schema: {df.columns}")
+    assert len(rows) >= 0
+    bad = [r for r in rows if r["cm_est"] < r["exact_cnt"]]
+    print(f"entry cm_est >= exact_cnt violations: {len(bad)}")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(srows)} rows  cols={scols}")
+            continue
+        ores = con.execute(oracles[name])
+        ocols = [d[0] for d in ores.description]
+        orows = [tuple(norm(v) for v in r) for r in ores.fetchall()]
+        ok_rows = len(srows) == len(orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
+        status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(f"{name:28s} {status} rows {len(srows)}/{len(orows)} "
+              f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} hash={'=' if ok_hash else 'MISMATCH'}")
+        if status == "FAIL":
+            failures.append(name)
+            if ok_cols and ok_rows and not ok_hash:
+                ss, oo = sorted(srows), sorted(orows)
+                for a, b in zip(ss, oo):
+                    if a != b:
+                        print(f"   first diff: spark={a} oracle={b}")
+                        break
+    if failures:
+        print(f"\nFAILURES: {failures}")
+        sys.exit(1)
+    print("\nall queries consistent with oracle")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
