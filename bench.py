@@ -1,0 +1,127 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
+JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+The headline suite covers both sides of the engine:
+- the DuckDB-checkable relational/pipeline queries from __spark_entry__
+- the sketch workload proper: a distributed Count-Min build over a
+  deterministic synthetic token table (FIXTURES.md §1 shape — the
+  BASELINE.json input hint), grouped per-source builds, and batch point
+  queries. The token table is generated once into data/ and reused.
+
+Throughput (tokens/sec of the CM build) is reported alongside wall time;
+scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sketchlib-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        # token row groups are ~6 MB zstd; small splits keep all cores busy
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # large-allocation reuse in Python workers (page-fault churn kills
+        # multi-worker scaling; see sketchlib/hashing.py)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "536870912")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "536870912")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def token_table_path() -> str:
+    from sketchlib.datagen import generate_token_table
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", f"token_sequences_{BENCH_ROWS}.parquet")
+    generate_token_table(path, rows=BENCH_ROWS, seed=1337, dist="zipf")
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entry_mod
+    from sketchlib.countmin import CMConfig
+    from sketchlib.spark_build import (build_grouped, build_sketch,
+                                       build_sketch_parquet, point_query_col)
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # -- relational / pipeline headline queries (driver-oracle suite) -------
+    qs = entry_mod.queries()
+    for name in ("word_freq_exact", "exact_dedup", "doc_quality",
+                 "topk_users", "order_priority_join", "lineitem_pricing"):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+
+    # -- sketch workload on the synthetic token table ------------------------
+    tok_path = token_table_path()
+    toks = spark.read.parquet(tok_path)
+    cfg = CMConfig(eps=1e-4, delta=math.exp(-3), seed=1337)
+    # warm page cache + spawn/reuse the Python worker pool so cm_build
+    # measures steady-state throughput, not one-time worker forks
+    timed("token_table_warmup",
+          lambda: (toks.count(),
+                   build_sketch_parquet(spark, tok_path, "tokens",
+                                        CMConfig(eps=1.0, delta=0.5))))
+    res = timed("cm_build",
+                lambda: build_sketch_parquet(spark, tok_path, "tokens", cfg,
+                                             n_slices=cpus * 2))
+    extra["cm_build_tokens_per_sec"] = round(res.sketch.n_items / timings["cm_build"], 1)
+    extra["cm_build_total_tokens"] = res.sketch.n_items
+
+    timed("cm_grouped_build",
+          lambda: build_grouped(toks, "source", "tokens", cfg).collect())
+
+    from pyspark.sql import functions as F
+    probe_keys = toks.select(F.explode("tokens").alias("t")).limit(100_000)
+    timed("cm_point_queries_100k",
+          lambda: probe_keys.withColumn(
+              "est", point_query_col(spark, res.sketch, F.col("t"))).collect())
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "sketchlib headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

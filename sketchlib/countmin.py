@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hashing import hash_u64, seed_schedule, tokens_to_u64
+from .hashing import columns_into, seed_schedule, tokens_to_u64
 
 _MAGIC = b"CMSK"
 _VERSION = 1
@@ -75,7 +75,7 @@ class CMConfig:
 class CountMinSketch:
     """Dense d×w int64 Count-Min sketch with batch (vectorized) updates."""
 
-    __slots__ = ("cfg", "table", "n_items", "total_count")
+    __slots__ = ("cfg", "table", "n_items", "total_count", "_colbuf")
 
     def __init__(self, cfg: CMConfig, table: np.ndarray | None = None,
                  n_items: int = 0, total_count: int = 0) -> None:
@@ -86,38 +86,72 @@ class CountMinSketch:
         self.table = table
         self.n_items = n_items          # number of update() calls absorbed
         self.total_count = total_count  # Σ counts = ||f||₁ for non-negative streams
+        self._colbuf: np.ndarray | None = None  # grow-only column scratch
 
     # -- column placement ---------------------------------------------------
+    def _col_scratch(self, n: int) -> np.ndarray:
+        if self._colbuf is None or self._colbuf.shape[0] < n:
+            self._colbuf = np.empty(n, dtype=np.int64)
+        return self._colbuf[:n]
+
     def _columns(self, keys_u64: np.ndarray) -> np.ndarray:
         """(d, n) int64 matrix of probed column indices, reference placement
         (cm.h:486): murmur h2 % w per row seed."""
-        w = np.uint64(self.cfg.width)
         cols = np.empty((self.cfg.depth, keys_u64.shape[0]), dtype=np.int64)
         for j, s in enumerate(self.cfg.row_seeds):
-            cols[j] = (hash_u64(keys_u64, s) % w).astype(np.int64)
+            columns_into(keys_u64, s, self.cfg.width, cols[j])
         return cols
 
     # -- update paths (cm.h:482-488 semantics, batched) ----------------------
-    def update_batch(self, keys, counts=None) -> None:
-        """Standard CM batch update: one bincount-scatter per depth row."""
-        keys_u64 = tokens_to_u64(np.asarray(keys))
-        n = keys_u64.shape[0]
+    # pre-aggregate duplicates before hashing once a batch is big enough that
+    # the O(n log n) sort is cheaper than hashing duplicates d times (skewed
+    # token streams — the reference's Zipf workload — are ~90% duplicates)
+    _AGG_THRESHOLD = 1 << 16
+
+    def update_batch(self, keys, counts=None, preaggregate: bool | None = None) -> None:
+        """Standard CM batch update: one bincount-scatter per depth row.
+
+        Keys stay in their native (narrow) dtype until the last moment: the
+        duplicate pre-aggregation sorts 4-byte tokens, and widening to the
+        uint64 hash domain happens chunk-locally inside ``columns_into`` —
+        both matter for memory-bandwidth-bound multi-worker builds.
+
+        ``preaggregate`` collapses duplicate keys (one sort) before hashing:
+        ~2x faster on skewed streams when a worker has cache/bandwidth
+        headroom, but the sort's working set thrashes shared caches when
+        every core runs one worker. None = heuristic (on for large batches);
+        pass False on densely-packed executors.
+        """
+        arr = np.asarray(keys)
+        n = arr.shape[0]
         if n == 0:
             return
-        w = self.cfg.width
+        self.n_items += n
+        do_agg = (n >= self._AGG_THRESHOLD) if preaggregate is None else (
+            preaggregate and n > 1)
         if counts is None:
-            for j, s in enumerate(self.cfg.row_seeds):
-                cols = (hash_u64(keys_u64, s) % np.uint64(w)).astype(np.int64)
-                self.table[j] += np.bincount(cols, minlength=w)
+            if do_agg:
+                arr, agg = np.unique(arr, return_counts=True)
+            else:
+                agg = None
             self.total_count += n
         else:
             c = np.asarray(counts, dtype=np.int64)
-            for j, s in enumerate(self.cfg.row_seeds):
-                cols = (hash_u64(keys_u64, s) % np.uint64(w)).astype(np.int64)
-                # bincount weights are float64: exact for |c| sums < 2^53
-                self.table[j] += np.bincount(cols, weights=c, minlength=w).astype(np.int64)
             self.total_count += int(c.sum())
-        self.n_items += n
+            if do_agg:
+                arr, inv = np.unique(arr, return_inverse=True)
+                agg = np.bincount(inv, weights=c).astype(np.int64)
+            else:
+                agg = c
+        w = self.cfg.width
+        cols = self._col_scratch(arr.shape[0])
+        for j, s in enumerate(self.cfg.row_seeds):
+            columns_into(arr, s, w, cols)
+            if agg is None:
+                self.table[j] += np.bincount(cols, minlength=w)
+            else:
+                # bincount weights are float64: exact for |c| sums < 2^53
+                self.table[j] += np.bincount(cols, weights=agg, minlength=w).astype(np.int64)
 
     def update_batch_cu(self, keys, counts=None) -> None:
         """Conservative update (Estan & Varghese 2002): counter_j(i) :=

@@ -83,12 +83,16 @@ def generate_token_table(path: str, rows: int, seed: int = 1337,
             pass
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
+    # small row groups (~12.5k rows ≈ 3.2M tokens ≈ 13 MB) so Spark's
+    # file-split planning yields real parallelism from a single file
     with pq.ParquetWriter(tmp, SCHEMA, compression="zstd") as writer:
         start = 0
         chunk_idx = 0
         while start < rows:
             n = min(CHUNK_ROWS, rows - start)
-            writer.write_batch(_chunk(seed, chunk_idx, n, start, dist))
+            batch = _chunk(seed, chunk_idx, n, start, dist)
+            for off in range(0, n, 12_500):
+                writer.write_batch(batch.slice(off, min(12_500, n - off)))
             start += n
             chunk_idx += 1
     os.replace(tmp, path)
