@@ -199,6 +199,71 @@ def _q_cm_inner_product(spark, sf_dir):
         "est_inner_product bigint, total_a bigint, total_b bigint")
 
 
+def _q_hll_distinct_words(spark, sf_dir):
+    """HLL distinct-word estimate vs exact, with the published-bound check
+    inlined (rows-only: sketch estimates are not SQL-expressible)."""
+    import functools
+    from sketchlib.hll import HllSketch
+    from sketchlib.spark_build import build_aggregator
+    toks = _tokenized_docs(spark, sf_dir)
+    res = build_aggregator(toks, "tokens", functools.partial(HllSketch, p=14))
+    exact = (_words(spark, sf_dir).agg(F.countDistinct("word")).collect()[0][0])
+    est = res.sketch.estimate()
+    rel_err = abs(est - exact) / max(exact, 1)
+    return spark.createDataFrame(
+        [(int(exact), float(est), float(rel_err),
+          bool(rel_err < 3 * 1.04 / (res.sketch.m ** 0.5)))],
+        "n_distinct_exact bigint, hll_est double, rel_err double, within_bound boolean")
+
+
+def _q_bloom_membership(spark, sf_dir):
+    """Bloom filter over src0's words; probe all words: no false negatives,
+    bounded false-positive rate (rows-only)."""
+    import functools
+    import numpy as np
+    from sketchlib.bloom import BloomFilter
+    from sketchlib.spark_build import build_aggregator
+    toks = _tokenized_docs(spark, sf_dir)
+    res = build_aggregator(toks.filter(F.col("source") == "src0"), "tokens",
+                           functools.partial(BloomFilter, capacity=200_000, fpr=0.01))
+    probe = (_words(spark, sf_dir)
+             .select("word", _word_token(F.col("word")).alias("t"),
+                     (F.col("source") == "src0").alias("in_src0"))
+             .groupBy("word", "t").agg(F.max("in_src0").alias("present")))
+    rows = probe.collect()
+    t = np.array([r["t"] for r in rows], dtype=np.int64)
+    present = np.array([bool(r["present"]) for r in rows])
+    claimed = res.sketch.contains_batch(t)
+    fn = int((present & ~claimed).sum())
+    fp = int((~present & claimed).sum())
+    return spark.createDataFrame(
+        [(len(rows), int(present.sum()), int(claimed.sum()), fn, fp)],
+        "n_probes bigint, n_true bigint, n_claimed bigint, false_negatives bigint, false_positives bigint")
+
+
+def _q_quantiles_sketch(spark, sf_dir):
+    """n_chars quantiles from all three quantile sketches vs exact sort
+    (rows-only; exact value included so the bound is visible)."""
+    import functools
+    import numpy as np
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.kll import KllSketch
+    from sketchlib.tdigest import TDigest
+    from sketchlib.spark_build import build_aggregator
+    docs = _docs(spark, sf_dir)
+    dd = build_aggregator(docs, "n_chars", functools.partial(DDSketch, alpha=0.01)).sketch
+    kll = build_aggregator(docs, "n_chars", functools.partial(KllSketch, k=200)).sketch
+    td = build_aggregator(docs, "n_chars", functools.partial(TDigest, delta=200)).sketch
+    exact = np.sort(np.array([r["n_chars"] for r in docs.select("n_chars").collect()]))
+    out = []
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        x = float(exact[int(q * (len(exact) - 1))])
+        out.append((q, x, float(dd.quantile(q)), float(kll.quantile(q)),
+                    float(td.quantile(q))))
+    return spark.createDataFrame(
+        out, "q double, exact double, dd_est double, kll_est double, td_est double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_freq_exact": _q_word_freq_exact,
@@ -213,6 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_topk_words": _q_cm_topk_words,
         "cm_grouped_by_source": _q_cm_grouped_by_source,
         "cm_inner_product": _q_cm_inner_product,
+        "hll_distinct_words": _q_hll_distinct_words,
+        "bloom_membership": _q_bloom_membership,
+        "quantiles_sketch": _q_quantiles_sketch,
     }
 
 

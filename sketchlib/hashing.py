@@ -173,6 +173,24 @@ def columns_into(keys: np.ndarray, seed: int, width: int,
     return out_cols
 
 
+def h1h2_chunks(keys: np.ndarray, seed: int):
+    """Generator over (start, end, h1_view, h2_view) for fixed-size chunks —
+    both 64-bit murmur words, workspace-backed (views are INVALIDATED by the
+    next iteration; consume within the loop). Used by Bloom (double hashing)
+    and any consumer that wants both words without large allocations."""
+    n = keys.shape[0]
+    a_full, b_full, t_full, wide = _workspace()
+    s8 = _U64((int(seed) & 0xFFFFFFFFFFFFFFFF) ^ 8)
+    for st in range(0, n, _CHUNK):
+        en = min(st + _CHUNK, n)
+        m = en - st
+        seg = _widen_chunk(keys[st:en], wide)
+        b = _h2_chunk(seg, s8, a_full[:m], b_full[:m], t_full[:m])
+        # after _h2_chunk: a holds the final h1 word, b the final h2 word
+        yield st, en, a_full[:m], b
+    return
+
+
 def tokens_to_u64(tokens: np.ndarray) -> np.ndarray:
     """Widen int32 tokens to the uint64 key domain the reference hashes.
 

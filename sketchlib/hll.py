@@ -1,0 +1,92 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007, 64-bit variant).
+
+North-rule companion sketch — the reference CountMinDB has no distinct
+counter; this follows the same mergeable-aggregator skeleton as
+sketchlib.countmin (build/merge/estimate, deterministic serialization).
+
+Register update is max(), which is associative, commutative and idempotent:
+merges are byte-identical for ANY partition order and even overlap-tolerant.
+With 64-bit hashes no large-range correction is needed (Heule et al. 2013
+observation); small-range uses linear counting. Standard error ~1.04/sqrt(m).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import bit_length_u64, murmur_h2_into
+
+_MAGIC = b"HLL1"
+_VERSION = 1
+
+
+class HllSketch:
+    """Dense 2^p uint8 registers; p in [4, 18]."""
+
+    __slots__ = ("p", "seed", "m", "registers", "n_items")
+
+    def __init__(self, p: int = 14, seed: int = 1337,
+                 registers: np.ndarray | None = None, n_items: int = 0) -> None:
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.seed = seed
+        self.m = 1 << p
+        self.registers = (np.zeros(self.m, dtype=np.uint8)
+                          if registers is None else registers)
+        self.n_items = n_items
+
+    def update_batch(self, keys) -> None:
+        arr = np.asarray(keys)
+        n = arr.shape[0]
+        if n == 0:
+            return
+        self.n_items += n
+        h = np.empty(n, dtype=np.uint64)
+        murmur_h2_into(arr, self.seed, h)
+        shift = np.uint64(64 - self.p)
+        idx = (h >> shift).astype(np.int64)
+        v = h & np.uint64((1 << (64 - self.p)) - 1)
+        rank = ((64 - self.p) - bit_length_u64(v) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        reg = self.registers
+        if self.m >= 128:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        elif self.m >= 64:
+            alpha = 0.709
+        elif self.m >= 32:
+            alpha = 0.697
+        else:
+            alpha = 0.673
+        est = alpha * m * m / float(np.sum(np.exp2(-reg.astype(np.float64))))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(reg == 0))
+            if zeros:
+                return m * float(np.log(m / zeros))  # linear counting
+        return est
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        if (self.p, self.seed) != (other.p, other.seed):
+            raise ValueError("HLL configs differ")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        self.n_items += other.n_items
+        return self
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<4sHHqq", _MAGIC, _VERSION, self.p, self.seed,
+                           self.n_items)
+        return head + self.registers.tobytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HllSketch":
+        hs = struct.calcsize("<4sHHqq")
+        magic, ver, p, seed, n_items = struct.unpack("<4sHHqq", buf[:hs])
+        if magic != _MAGIC or ver != _VERSION:
+            raise ValueError("bad HllSketch serialization")
+        regs = np.frombuffer(buf[hs:hs + (1 << p)], dtype=np.uint8).copy()
+        return HllSketch(p=p, seed=seed, registers=regs, n_items=n_items)

@@ -42,6 +42,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .countmin import CMConfig, CountMinSketch
+from . import serde
 
 _PARTIAL_SCHEMA = (
     "pid int, sketch binary, n_rows bigint, n_items bigint, "
@@ -71,12 +72,14 @@ class BuildResult:
 
 
 def _flat_tokens(batch: pa.RecordBatch, col_idx: int) -> np.ndarray:
-    """Flatten an Arrow list<int32> column to its value buffer (offset- and
-    null-aware); stays in C the whole way."""
+    """Column -> flat numpy values: list columns are flattened via their
+    offsets (null-aware), scalar columns pass through; stays in C."""
     col = batch.column(col_idx)
     if isinstance(col, pa.ChunkedArray):  # defensive; RecordBatch gives Array
         col = col.combine_chunks()
-    return col.flatten().to_numpy(zero_copy_only=False)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        col = col.flatten()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def _partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
@@ -113,15 +116,15 @@ def _partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
 
 
 def _merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    acc: CountMinSketch | None = None
+    acc = None
     for blob in pdf["sketch"]:
-        cm = CountMinSketch.from_bytes(bytes(blob))
+        cm = serde.loads(bytes(blob))
         acc = cm if acc is None else acc.merge(cm)
     return pd.DataFrame({
         "sketch": [acc.to_bytes()],
         "n_rows": [int(pdf["n_rows"].sum())],
         "n_items": [acc.n_items],
-        "total_count": [acc.total_count],
+        "total_count": [getattr(acc, "total_count", 0)],
     })
 
 
@@ -135,9 +138,9 @@ def _tree_merge(partials: DataFrame, fanout: int | None,
         .applyInPandas(lambda pdf: _merge_pdf(pdf), schema=_MERGED_SCHEMA)
     )
     rows = merged.collect()
-    acc: CountMinSketch | None = None
+    acc = None
     for r in rows:
-        cm = CountMinSketch.from_bytes(bytes(r["sketch"]))
+        cm = serde.loads(bytes(r["sketch"]))
         acc = cm if acc is None else acc.merge(cm)
     return acc
 
@@ -418,16 +421,16 @@ def _grouped_partial_builder(cfg: CMConfig, key_col: str, tokens_col: str, cu: b
 
 
 def _merge_grouped_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    acc: CountMinSketch | None = None
+    acc = None
     for blob in pdf["sketch"]:
-        cm = CountMinSketch.from_bytes(bytes(blob))
+        cm = serde.loads(bytes(blob))
         acc = cm if acc is None else acc.merge(cm)
     return pd.DataFrame({
         "key": [pdf["key"].iloc[0]],
         "sketch": [acc.to_bytes()],
         "n_rows": [int(pdf["n_rows"].sum())],
         "n_items": [acc.n_items],
-        "total_count": [acc.total_count],
+        "total_count": [getattr(acc, "total_count", 0)],
     })
 
 
@@ -490,3 +493,128 @@ def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
         return pd.Series(cm.point_query_batch(keys.to_numpy()))
 
     return est(key_col)
+
+
+# ---------------------------------------------------------------------------
+# generic mergeable-aggregator builds: same topology, any sketch
+# ---------------------------------------------------------------------------
+# Every sketch in the library (CountMinSketch, HllSketch, BloomFilter,
+# DDSketch, KllSketch, TDigest) is a mergeable aggregator: update_batch /
+# merge / to_bytes with a magic-dispatched serde. That makes the build
+# topology sketch-independent — one partial per partition, tree merge of
+# blobs — so HLL/Bloom/quantile builds reuse the exact machinery (and the
+# byte-level merge semantics) proven for Count-Min.
+
+
+def _agg_partial_builder(factory, values_col: str):
+    def fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        t0 = time.perf_counter()
+        sk = factory()
+        n_rows = 0
+        col_idx = None
+        for batch in batches:
+            if col_idx is None:
+                col_idx = batch.schema.get_field_index(values_col)
+            vals = _flat_tokens(batch, col_idx)
+            sk.update_batch(vals)
+            n_rows += batch.num_rows
+        ms = (time.perf_counter() - t0) * 1e3
+        yield pa.RecordBatch.from_pydict({
+            "pid": [pid],
+            "sketch": [sk.to_bytes()],
+            "n_rows": [n_rows],
+            "n_items": [sk.n_items],
+            "total_count": [getattr(sk, "total_count", 0)],
+            "build_ms": [ms],
+        }, schema=_PARTIAL_PA_SCHEMA)
+    return fn
+
+
+def build_aggregator(df: DataFrame, values_col: str, factory, *,
+                     fanout: int | None = None) -> BuildResult:
+    """Distributed build of ANY sketchlib mergeable sketch over a column.
+
+    ``values_col`` may be a scalar column (e.g. ``n_tok`` for quantile
+    sketches) or an array column (e.g. ``tokens`` for HLL/Bloom — flattened
+    to its Arrow value buffer). ``factory`` is a zero-arg callable producing
+    an empty sketch; it must be picklable (module-level or functools.partial).
+    """
+    t0 = time.perf_counter()
+    src = df.select(values_col).filter(F.col(values_col).isNotNull())
+    lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
+    partials = src.mapInArrow(
+        _agg_partial_builder(factory, values_col),
+        schema=_PARTIAL_SCHEMA).persist()
+    try:
+        lineage = partials.select(*lineage_cols).toPandas()
+        sketch = _tree_merge(partials, fanout, len(lineage))
+    finally:
+        partials.unpersist()
+    if sketch is None:
+        sketch = factory()
+    wall = time.perf_counter() - t0
+    lineage = lineage.sort_values("pid").reset_index(drop=True)
+    return BuildResult(sketch=sketch, lineage=lineage,
+                       n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
+
+
+def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
+                             factory, *, fanout: int = 8) -> DataFrame:
+    """Per-key build of any sketchlib sketch (map-side combined, like
+    build_grouped). Returns (key, sketch, n_rows, n_items, total_count)."""
+    def partial_fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketches = {}
+        rows = {}
+        ki = vi = None
+        for batch in batches:
+            if ki is None:
+                ki = batch.schema.get_field_index("key")
+                vi = batch.schema.get_field_index(values_col)
+            keys = batch.column(ki).to_numpy(zero_copy_only=False)
+            col = batch.column(vi)
+            is_list = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            if is_list:
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                lens = np.asarray(col.value_lengths().to_numpy(zero_copy_only=False))
+            else:
+                flat = col.to_numpy(zero_copy_only=False)
+                lens = np.ones(len(keys), dtype=np.int64)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            val_group = np.repeat(inv, lens)
+            order = np.argsort(val_group, kind="stable")
+            sorted_vals = flat[order]
+            bounds = np.searchsorted(val_group[order], np.arange(len(uniq) + 1))
+            for g, key in enumerate(uniq.tolist()):
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = factory()
+                    rows[key] = 0
+                sk.update_batch(sorted_vals[bounds[g]:bounds[g + 1]])
+                rows[key] += int(np.sum(inv == g))
+        if sketches:
+            ordered = sorted(sketches)
+            yield pa.RecordBatch.from_pydict({
+                "key": ordered,
+                "pid": [pid] * len(ordered),
+                "sketch": [sketches[k].to_bytes() for k in ordered],
+                "n_rows": [rows[k] for k in ordered],
+                "n_items": [sketches[k].n_items for k in ordered],
+                "total_count": [getattr(sketches[k], "total_count", 0) for k in ordered],
+            }, schema=_GROUPED_PARTIAL_PA_SCHEMA)
+
+    src = (df.select(F.col(key_col).alias("key"), F.col(values_col))
+             .filter(F.col(values_col).isNotNull()))
+    partials = src.mapInArrow(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
+    level1 = (partials
+              .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
+              .applyInPandas(
+                  lambda pdf: _merge_grouped_pdf(pdf).assign(pid=0)[
+                      ["key", "pid", "sketch", "n_rows", "n_items", "total_count"]],
+                  schema=_GROUPED_PARTIAL_SCHEMA))
+    return (level1.groupBy("key")
+            .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
+                           schema=_GROUPED_MERGED_SCHEMA))

