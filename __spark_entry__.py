@@ -264,6 +264,113 @@ def _q_quantiles_sketch(spark, sf_dir):
         out, "q double, exact double, dd_est double, kll_est double, td_est double")
 
 
+# -- training-data pipeline operators (sketchlib.pipeline / .similarity) ----
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.5 pairs, integer-stable output
+    (3*common >= na+nb <=> jaccard >= 0.5; same shingling as
+    sketchlib.pipeline.ngram_jaccard_pairs). Oracle-checkable."""
+    from sketchlib import pipeline as P
+    ws = P.words_col(F.col("text"))
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 3))))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (_docs(spark, sf_dir).select(F.col("doc_id"), grams.alias("grams"))
+          .filter(F.size("grams") > 0).withColumn("n_grams", F.size("grams")))
+    ex = sh.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, [F.col("a.gram") == F.col("b.gram"),
+                        F.col("a.doc_id") < F.col("b.doc_id")])
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      F.col("a.n_grams").alias("na"),
+                      F.col("b.n_grams").alias("nb"))
+             .agg(F.count("*").alias("common")))
+    return (inter.filter(3 * F.col("common") >= F.col("na") + F.col("nb"))
+            .select("id_a", "id_b", "common", "na", "nb"))
+
+
+def _q_language_id(spark, sf_dir):
+    from sketchlib.pipeline import language_id
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def _q_quality_score(spark, sf_dir):
+    from sketchlib.pipeline import quality_score
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    from sketchlib.pipeline import token_count
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 to vec_id=0's embedding; (vec_id, rank)
+    output keeps the oracle hash integer-stable."""
+    from sketchlib.similarity import ann_topk_bruteforce
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform("embedding",
+                                           lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = ann_topk_bruteforce(emb, "embedding", "vec_id", q, k=10).collect()
+    return spark.createDataFrame(
+        [(r["vec_id"], i + 1) for i, r in enumerate(top)],
+        "vec_id long, rank int")
+
+
+def _q_embedding_dup_pairs(spark, sf_dir):
+    """Exact cosine >= 0.85 near-duplicate embedding pairs (ints only)."""
+    from sketchlib.similarity import cosine_pairs_exact
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform("embedding",
+                                           lambda x: x.cast("double")).alias("embedding"))
+    return cosine_pairs_exact(emb, "embedding", "vec_id", threshold=0.85)
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (rows-only: hash-family specific)."""
+    from sketchlib.pipeline import minhash_lsh_pairs
+    return (minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+            .select("id_a", "id_b",
+                    F.round("est_jaccard", 4).alias("est_jaccard")))
+
+
+def _q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming <= 3 (rows-only)."""
+    from sketchlib.pipeline import simhash_near_pairs
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprints (rows-only: numpy-side hash)."""
+    from sketchlib.pipeline import doc_fingerprint
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_lsh_embedding_pairs(spark, sf_dir):
+    """Scale-path ANN dedup: hyperplane-LSH candidates + exact verify
+    (rows-only: buckets depend on the seeded hyperplanes)."""
+    from sketchlib.similarity import lsh_cosine_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (lsh_cosine_pairs(emb, "embedding", "vec_id",
+                             threshold=0.85, n_tables=8)
+            .select("id_a", "id_b"))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media table -> batch feature extraction
+    (rows-only; decode is a documented deterministic stub)."""
+    from sketchlib.multimodal import extract_features, synth_media_table
+    media = synth_media_table(spark, n=120)
+    feats = extract_features(media)
+    return (feats.select("media_id", "kind", F.size("feature").alias("dims"))
+            .orderBy("media_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_freq_exact": _q_word_freq_exact,
@@ -281,6 +388,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words": _q_hll_distinct_words,
         "bloom_membership": _q_bloom_membership,
         "quantiles_sketch": _q_quantiles_sketch,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "language_id": _q_language_id,
+        "quality_score": _q_quality_score,
+        "token_count_bpe": _q_token_count_bpe,
+        "ann_cosine_topk": _q_ann_topk,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "minhash_dedup_pairs": _q_minhash_dedup,
+        "simhash_dedup_pairs": _q_simhash_dedup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lsh_embedding_pairs": _q_lsh_embedding_pairs,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -341,5 +459,101 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_orderkey) AS n_orders
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
-        # cm_* queries: sketch estimates, not SQL-expressible -> rows-only
+        "ngram_jaccard_pairs": """
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM ws WHERE len(w) >= 3)
+            ),
+            n AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, common,
+                   CAST(na.n_grams AS INT) AS na, CAST(nb.n_grams AS INT) AS nb
+            FROM inter
+            JOIN n na ON na.doc_id = id_a
+            JOIN n nb ON nb.doc_id = id_b
+            WHERE 3 * common >= na.n_grams + nb.n_grams
+        """,
+        "language_id": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                       regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
+                       len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+                       len(list_filter(w, x -> x IN ('el','la','de','y','que','en','un','es'))) AS s_es,
+                       len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS s_de,
+                       len(list_filter(w, x -> x IN ('le','la','de','et','un','est','que','en'))) AS s_fr
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN s_fr > GREATEST(s_en, s_es, s_de) THEN 'fr'
+                        WHEN s_de > GREATEST(s_en, s_es) THEN 'de'
+                        WHEN s_es > s_en THEN 'es'
+                        ELSE 'en' END AS pred_lang
+            FROM sc
+        """,
+        "quality_score": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(w) AS INT) AS n_words,
+                   CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+                   CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS INT) AS n_stop,
+                   CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
+                     (CASE WHEN len(w) >= 20 THEN 40 ELSE 0 END)
+                   + (CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) * 100 >= len(w) * 2 THEN 30 ELSE 0 END)
+                   + (CASE WHEN len(list_distinct(w)) * 100 >= len(w) * 30 THEN 30 ELSE 0 END)
+                   END AS INT) AS quality_score
+            FROM s
+        """,
+        "token_count_bpe": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            )
+            SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(
+                        w, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+                       AS bpe_tokens_est
+            FROM s
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST((SELECT qv FROM q) AS DOUBLE[])) DESC,
+                       vec_id) AS INT) AS rank
+            FROM embeddings
+            ORDER BY rank LIMIT 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.85
+        """,
+        # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
+        # lsh / multimodal: engine-specific (sketch estimates, seeded hash
+        # families, stubbed decode) -> rows-only checks
     }

@@ -1,0 +1,401 @@
+"""Training-data pipeline operators over document tables.
+
+Beyond the reference's sketch surface (SURVEY.md §2.2), these are the
+operations a large-scale training-data pipeline needs: deduplication
+(exact, MinHash+LSH, SimHash, exact n-gram Jaccard), text analysis
+(language ID, quality scoring, token counting, fingerprinting).
+
+Design rules, Spark-first:
+- anything expressible with built-in pyspark.sql.functions stays JVM-side
+  (language ID, quality metrics, token counts, exact dedup, shingle joins);
+- the hash-heavy parts (MinHash signatures, SimHash, rolling-hash
+  fingerprints) run as Arrow-batched mapInPandas with NumPy kernels —
+  sliding-window byte shingles packed into uint64 so the library's murmur
+  core applies; per-document reductions use np.minimum.reduceat /
+  np.add.reduceat (no per-row Python);
+- candidate generation shuffles only (doc_id, band_hash) pairs — never raw
+  text — so LSH dedup scales to table sizes where a crossJoin is impossible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .hashing import murmur_h2_into
+
+# deterministic 64-bit odd multipliers / offsets for minhash permutations
+_PERM_SEED = 0x5EED5EED
+
+
+def _perm_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_PERM_SEED)
+    a = rng.integers(1, 2**63, size=n_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# word helpers (single-space tokenization convention, see __spark_entry__)
+# ---------------------------------------------------------------------------
+
+def words_col(text_col):
+    return F.filter(F.split(text_col, " "), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Content-hash dedup groups: (fp, n_copies, keeper)."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min(id_col).alias("keeper_doc_id")))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (the min id) — the output table."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte shingle murmur hashes of a batch, plus per-doc offsets.
+
+    Shingles are k consecutive UTF-8 bytes packed into a uint64 (k <= 8),
+    hashed with the library murmur. Fully vectorized: one flat byte buffer,
+    sliding windows validated against document boundaries.
+    """
+    assert 1 <= k <= 8
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    n = flat.shape[0]
+    if n < k:
+        return np.empty(0, np.uint64), np.zeros(len(bufs) + 1, np.int64)
+    # pack k bytes into uint64 via sliding windows
+    win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
+    powers = np.uint64(256) ** np.arange(k, dtype=np.uint64)
+    packed = win @ powers  # uint64 wraps; deterministic
+    # valid windows: fully inside one document
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    doc_of = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+    valid = doc_of[: n - k + 1] == doc_of[k - 1:]
+    # short docs (len < k) contribute nothing
+    packed = packed[valid]
+    doc_ids = doc_of[: n - k + 1][valid]
+    hashed = np.empty(packed.shape[0], dtype=np.uint64)
+    murmur_h2_into(packed, 0xC0FFEE, hashed)
+    # offsets per doc into the (already doc-ordered) hash array
+    counts = np.bincount(doc_ids, minlength=len(bufs))
+    offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return hashed, offsets
+
+
+def _signatures_batch(texts: pd.Series, n_hashes: int, k: int) -> np.ndarray:
+    """(n_docs, n_hashes) uint64 minhash signature matrix for a text batch."""
+    hashed, offsets = _shingle_hashes(texts, k)
+    n_docs = len(texts)
+    sig = np.full((n_docs, n_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if hashed.shape[0] == 0:
+        return sig
+    a, b = _perm_params(n_hashes)
+    nonempty = np.flatnonzero(np.diff(offsets) > 0)
+    starts = offsets[nonempty]
+    for i in range(n_hashes):
+        perm = a[i] * hashed + b[i]  # uint64 wrap = mod 2^64 permutation family
+        mins = np.minimum.reduceat(perm, starts)
+        sig[nonempty, i] = mins
+    return sig
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, n_hashes: int = 64,
+                       k: int = 5) -> DataFrame:
+    """(id, sig array<long>) — mergeable MinHash signatures (min over perms
+    is associative/commutative, so signatures of document shards combine by
+    elementwise min)."""
+    out_schema = f"{id_col} long, sig array<long>"
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            sig = _signatures_batch(pdf[text_col], n_hashes, k)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "sig": list(sig.astype(np.int64)),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *, n_hashes: int = 64,
+                      bands: int = 16, k: int = 5,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, refined by estimated
+    Jaccard (fraction of equal signature components) >= threshold.
+
+    Scale path: only (band_id, band_hash, doc_id) rows are shuffled; the
+    band-bucket self-join touches candidate buckets, never the full cross
+    product. Returns (id_a, id_b, est_jaccard).
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col,
+                              n_hashes=n_hashes, k=k).cache()
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                 .alias("bh")).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    buckets = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+               .select(id_col, F.col("bb.band").alias("band"),
+                       F.col("bb.bh").alias("bh")))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (left.join(right, [F.col(f"l.band") == F.col("r.band"),
+                              F.col("l.bh") == F.col("r.bh"),
+                              F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (cand.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("est_jaccard",
+                       F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                                  lambda x, y: x == y),
+                                       lambda z: z))
+                       / F.lit(float(n_hashes)))
+           .filter(F.col("est_jaccard") >= threshold)
+           .select("id_a", "id_b", "est_jaccard"))
+    return est
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (small-scale oracle-checkable dedup)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs >= threshold.
+
+    Pure Catalyst: per-doc distinct n-gram sets via sequence/transform,
+    shingle-equality self-join, group-count intersection. SQL-expressible
+    (DuckDB oracle in __spark_entry__). Quadratic in bucket sizes — the
+    exact companion to minhash_lsh_pairs, for modest tables / verification.
+    """
+    ws = words_col(F.col(text_col))
+    # sequence() descends when stop < start (docs shorter than n words) —
+    # guard so such docs yield an empty gram set
+    grams = F.when(
+        F.size(ws) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(ws) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = (df.select(F.col(id_col), grams.alias("grams"))
+                .filter(F.size("grams") > 0)
+                .withColumn("n_grams", F.size("grams")))
+    ex = shingled.select(id_col, "n_grams",
+                         F.explode("grams").alias("gram"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (a.join(b, [F.col("a.gram") == F.col("b.gram"),
+                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.n_grams").alias("na"),
+                      F.col("b.n_grams").alias("nb"))
+             .agg(F.count("*").alias("common")))
+    return (inter
+            .withColumn("jaccard", F.col("common")
+                        / (F.col("na") + F.col("nb") - F.col("common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002): bit-majority over word
+    hashes. Word hashes come from JVM-side xxhash64 (no Python string
+    hashing); the bit-majority is one unpackbits + add.reduceat per batch.
+    Returns (id, simhash long)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(words_col(F.col(text_col)),
+                    lambda x: F.xxhash64(x)).alias("whs"))
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            ids = pdf[id_col].to_numpy()
+            lens = np.array([len(x) for x in pdf["whs"]], dtype=np.int64)
+            if lens.sum() == 0:
+                yield pd.DataFrame({id_col: ids,
+                                    "simhash": np.zeros(len(ids), np.int64)})
+                continue
+            flat = np.concatenate([np.asarray(x, dtype=np.int64)
+                                   for x in pdf["whs"] if len(x)])
+            bits = np.unpackbits(flat.astype("<u8").view(np.uint8)
+                                 .reshape(-1, 8), axis=1, bitorder="little")
+            signed = bits.astype(np.int32) * 2 - 1  # (n_words, 64) of +-1
+            offsets = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            nonempty = lens > 0
+            sums = np.zeros((len(ids), 64), dtype=np.int64)
+            sums[nonempty] = np.add.reduceat(signed, offsets[nonempty], axis=0)
+            maj = (sums > 0).astype(np.uint8)
+            fp = np.packbits(maj, axis=1, bitorder="little").copy().view("<u8").ravel()
+            yield pd.DataFrame({id_col: ids,
+                                "simhash": fp.astype(np.int64)})
+
+    return hashed.mapInPandas(fn, schema=f"{id_col} long, simhash long")
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    4x16-bit block LSH (a pair within distance 3 must agree on >= 1 block)."""
+    fps = simhash64(df, text_col, id_col).cache()
+    blocks = fps.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("bv"))
+            for i in range(4)])).alias("b")
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (a.join(b, [F.col("a.blk") == F.col("b.blk"),
+                       F.col("a.bv") == F.col("b.bv"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("ha"),
+                    F.col("b.simhash").alias("hb"))
+            .distinct())
+    return (cand.withColumn(
+                "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK codepoints -> zh, else the stopword list
+    with the most hits (ties broken by fixed language order, 'en' default).
+    Deterministic and pure Catalyst — SQL-expressible for the oracle."""
+    ws = words_col(F.col(text_col))
+
+    def stop_hits(lang):
+        sw = _STOPWORDS[lang]
+        return F.size(F.filter(ws, lambda x: x.isin(*sw)))
+
+    scores = {lang: stop_hits(lang) for lang in _STOPWORDS}
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("es", "de", "fr"):
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    return df.select(F.col(id_col), pred.alias("pred_lang"),
+                     *[scores[l].alias(f"score_{l}") for l in _STOPWORDS])
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Integer-stable quality heuristics + a derived score in [0, 100]:
+    length band, stopword presence, distinct-word ratio. Deterministic,
+    SQL-expressible."""
+    ws = words_col(F.col(text_col))
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS["en"])))
+    # bands avoid float-division hash instability in the oracle compare;
+    # empty documents score 0 outright
+    score = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.when(n_words >= 20, F.lit(40)).otherwise(F.lit(0))
+        + F.when(n_stop * 100 >= n_words * 2, F.lit(30)).otherwise(F.lit(0))
+        + F.when(n_distinct * 100 >= n_words * 30, F.lit(30)).otherwise(F.lit(0))
+    )
+    return df.select(F.col(id_col), n_words.alias("n_words"),
+                     n_distinct.alias("n_distinct"), n_stop.alias("n_stop"),
+                     score.alias("quality_score"))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts: words, plus a sub-word estimate
+    (ceil(chars/4) per word, the common BPE rule of thumb)."""
+    ws = words_col(F.col(text_col))
+    n_words = F.size(ws)
+    bpe_est = F.aggregate(ws, F.lit(0),
+                          lambda acc, x: acc + F.ceil(F.length(x) / 4).cast("int"))
+    return df.select(F.col(id_col), n_words.alias("n_words"),
+                     bpe_est.alias("bpe_tokens_est"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """64-bit polynomial rolling hash of the UTF-8 bytes (base 257 mod 2^64)
+    — an order-sensitive content fingerprint (md5 dedup is order-sensitive
+    too but not incremental; a rolling hash supports streaming extension).
+    Vectorized per batch: one power table, one dot product per doc."""
+    B = np.uint64(257)
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            ids = pdf[id_col].to_numpy()
+            out = np.zeros(len(ids), dtype=np.uint64)
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            maxlen = max((len(t) for t in texts), default=1)
+            pows = np.ones(maxlen, dtype=np.uint64)  # pows[j] = B^j mod 2^64
+            if maxlen > 1:
+                np.multiply.accumulate(np.full(maxlen - 1, B, np.uint64),
+                                       out=pows[1:])
+            for i, tb in enumerate(texts):
+                if tb:
+                    arr = np.frombuffer(tb, dtype=np.uint8).astype(np.uint64)
+                    # h = sum(byte[i] * B^(n-1-i))
+                    out[i] = np.sum(arr * pows[len(tb) - 1::-1])
+            yield pd.DataFrame({id_col: ids,
+                                "fingerprint": out.astype(np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} long, fingerprint long")

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: pure Catalyst (zip_with + aggregate), the
+  correctness baseline — one scan, no shuffle of vectors, pushdown-friendly.
+- Random-hyperplane LSH buckets: the scale path — vectors are reduced to
+  nbit sign fingerprints (one matrix multiply per Arrow batch), candidates
+  meet in bucket joins instead of a cross join, then verify exact cosine on
+  candidates only.
+- IVF-style coarse quantization: seeded deterministic centroids (k-means++
+  init, few Lloyd iterations, driver-side on a sample), assignment via
+  Pandas UDF; queries probe nearest n_probe cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _lit_vec(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query_vec,
+                    out_col: str = "cosine") -> DataFrame:
+    """Append exact cosine similarity to a constant query vector — stays in
+    whole-stage codegen (zip_with/aggregate), no Python."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    dot = F.aggregate(F.zip_with(F.col(vec_col), _lit_vec(q),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    return df.withColumn(out_col, dot / (norm * F.lit(qn)))
+
+
+def ann_topk_bruteforce(df: DataFrame, vec_col: str, id_col: str,
+                        query_vec, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on id."""
+    scored = cosine_to_query(df, vec_col, query_vec)
+    return (scored.select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.col(id_col)).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits))
+
+
+def lsh_fingerprints(df: DataFrame, vec_col: str, id_col: str, *,
+                     nbits: int = 16, n_tables: int = 4,
+                     dim: int = 64, seed: int = 1337) -> DataFrame:
+    """(id, table, bucket) — sign-bit buckets under n_tables independent
+    hyperplane sets. One matrix multiply per Arrow batch."""
+    planes = [_hyperplanes(dim, nbits, seed + t) for t in range(n_tables)]
+    weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out_ids, out_tab, out_buck = [], [], []
+            for t, P in enumerate(planes):
+                signs = (mat @ P) > 0
+                bucket = (signs.astype(np.uint64) @ weights).astype(np.int64)
+                out_ids.append(ids)
+                out_tab.append(np.full(len(ids), t, dtype=np.int32))
+                out_buck.append(bucket)
+            yield pd.DataFrame({
+                id_col: np.concatenate(out_ids),
+                "table": np.concatenate(out_tab),
+                "bucket": np.concatenate(out_buck),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, table int, bucket long")
+
+
+def lsh_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, *,
+                     threshold: float = 0.85, nbits: int = 16,
+                     n_tables: int = 4, dim: int = 64,
+                     seed: int = 1337) -> DataFrame:
+    """Near-duplicate embedding pairs: LSH bucket candidates -> exact cosine
+    verify. Only (id, table, bucket) rows shuffle; exact cosine runs on the
+    candidate pairs' vectors via a bucket-scoped join."""
+    fp = lsh_fingerprints(df, vec_col, id_col, nbits=nbits,
+                          n_tables=n_tables, dim=dim, seed=seed)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    cand = (a.join(b, [F.col("a.table") == F.col("b.table"),
+                       F.col("a.bucket") == F.col("b.bucket"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", dot / (norm("va") * norm("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def cosine_pairs_exact(df: DataFrame, vec_col: str, id_col: str, *,
+                       threshold: float = 0.85) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (cross join — verification-scale
+    only; lsh_cosine_pairs is the scale path). Returns (id_a, id_b)."""
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    return (va.join(vb, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", dot / (norm("va") * norm("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(df: DataFrame, vec_col: str, *, n_cells: int = 16,
+                        sample: int = 4096, iters: int = 5,
+                        seed: int = 1337) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (k-means++ init,
+    few Lloyd iterations). Centroid training is cheap and bounded; the
+    expensive assignment stays distributed."""
+    rows = (df.select(vec_col).limit(sample).collect())
+    X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    # k-means++ init
+    cents = [X[int(rng.integers(len(X)))]]
+    for _ in range(n_cells - 1):
+        d2 = np.min([(np.square(X - c).sum(axis=1)) for c in cents], axis=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.ones(len(X)) / len(X)
+        cents.append(X[int(rng.choice(len(X), p=probs))])
+    C = np.vstack(cents)
+    for _ in range(iters):
+        d = np.square(X[:, None, :] - C[None, :, :]).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_cells):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               centroids: np.ndarray) -> DataFrame:
+    """(id, cell) — nearest-centroid assignment, one matmul per batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            ids = pdf[id_col].to_numpy()
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d = (np.square(X).sum(axis=1)[:, None]
+                 - 2 * X @ C.T + np.square(C).sum(axis=1)[None, :])
+            yield pd.DataFrame({id_col: ids,
+                                "cell": d.argmin(axis=1).astype(np.int32)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, cell int")
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
+             centroids: np.ndarray, *, k: int = 10,
+             n_probe: int = 4) -> DataFrame:
+    """ANN top-k probing the n_probe nearest IVF cells — partition pruning
+    for vector search (at scale the table is written partitioned by cell,
+    and this becomes a parquet partition filter)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d = np.square(C - q[None, :]).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d)[:n_probe]]
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    pruned = (df.join(assigned, id_col)
+              .filter(F.col("cell").isin(cells)))
+    return ann_topk_bruteforce(pruned, vec_col, id_col, query_vec, k=k)

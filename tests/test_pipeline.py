@@ -1,0 +1,164 @@
+"""Pipeline operators: dedup (exact/minhash/simhash/ngram), text analysis,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib import pipeline as P
+from sketchlib import similarity as S
+from sketchlib import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog", "src0"),
+        (1, "the quick brown fox jumps over the lazy cat", "src0"),  # near-dup of 0
+        (2, "completely different text about spark and sketches", "src1"),
+        (3, "the quick brown fox jumps over the lazy dog", "src1"),  # exact dup of 0
+        (4, "a b", "src1"),
+        (5, "", "src2"),
+        (6, "sketches about spark and different text completely", "src2"),  # perm of 2
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    groups = P.exact_dedup_groups(docs).collect()
+    sizes = sorted(g["n_copies"] for g in groups)
+    assert sizes == [1, 1, 1, 1, 1, 2]
+    kept = P.dedup_exact(docs)
+    assert kept.count() == 6
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 2, 4, 5, 6}
+
+
+def test_minhash_signatures_mergeable_and_similar(docs, spark):
+    sigs = {r["doc_id"]: np.array(r["sig"])
+            for r in P.minhash_signatures(docs, n_hashes=64, k=5).collect()}
+    assert len(sigs) == 7
+    # exact dup -> identical signature
+    assert np.array_equal(sigs[0], sigs[3])
+    # near dup -> mostly equal components
+    frac01 = float(np.mean(sigs[0] == sigs[1]))
+    frac02 = float(np.mean(sigs[0] == sigs[2]))
+    assert frac01 > 0.6 > frac02
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in P.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs or (1, 3) in pairs
+    assert all(not (a == 2 and b != 6) for a, b in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in P.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs  # 9-word docs differing in last word share 6/8 3-grams... >= 0.5
+    assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_simhash_near_pairs(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in P.simhash64(docs).collect()}
+    assert fps[0] == fps[3]  # exact dup
+    assert fps[2] == fps[6]  # simhash is order-insensitive (bag of words)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             P.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert (0, 3) in pairs and (2, 6) in pairs
+
+
+def test_language_id(docs, spark):
+    zh = spark.createDataFrame([(99, "中文文本", "x")],
+                               "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in P.language_id(docs.union(zh)).collect()}
+    assert out[0] == "en" and out[99] == "zh"
+    es = spark.createDataFrame(
+        [(98, "el perro y la casa de un gato que es grande en la calle", "x")],
+        "doc_id long, text string, source string")
+    assert P.language_id(es).collect()[0]["pred_lang"] == "es"
+
+
+def test_quality_and_token_count(docs):
+    q = {r["doc_id"]: r for r in P.quality_score(docs).collect()}
+    assert q[5]["n_words"] == 0 and q[5]["quality_score"] == 0  # empty doc scores 0
+    assert q[0]["n_stop"] == 2
+    t = {r["doc_id"]: r for r in P.token_count(docs).collect()}
+    assert t[0]["n_words"] == 9
+    assert t[4]["bpe_tokens_est"] == 2
+    assert t[5]["n_words"] == 0
+
+
+def test_doc_fingerprint(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in P.doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[3] != fp[1]
+    assert fp[5] == 0
+    # rolling hash is order-sensitive, unlike simhash
+    assert fp[2] != fp[6]
+
+
+# ---------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((40, 64))
+    base[7] = base[3] + rng.standard_normal(64) * 0.01          # near-dup pair
+    base[21] = base[10] * 1.7                                    # exact direction dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_ann_topk_bruteforce(vecs):
+    df, base = vecs
+    q = base[3]
+    got = [r["vec_id"] for r in
+           S.ann_topk_bruteforce(df, "embedding", "vec_id", q, k=3).collect()]
+    assert got[0] == 3 and got[1] == 7  # itself, then the planted near-dup
+
+
+def test_lsh_pairs_find_planted_dups(vecs):
+    df, base = vecs
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             S.lsh_cosine_pairs(df, "embedding", "vec_id",
+                                threshold=0.95, n_tables=8).collect()}
+    assert (3, 7) in pairs and (10, 21) in pairs
+    exact = {(r["id_a"], r["id_b"]) for r in
+             S.cosine_pairs_exact(df, "embedding", "vec_id",
+                                  threshold=0.95).collect()}
+    assert pairs <= exact  # LSH verified pairs are a subset of exact truth
+    assert exact == {(3, 7), (10, 21)}
+
+
+def test_ivf_topk(vecs):
+    df, base = vecs
+    cents = S.train_ivf_centroids(df, "embedding", n_cells=4, sample=40)
+    assert cents.shape == (4, 64)
+    got = [r["vec_id"] for r in
+           S.ivf_topk(df, "embedding", "vec_id", base[3], cents,
+                      k=2, n_probe=2).collect()]
+    assert got[0] == 3  # query's own cell is always probed
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    media = M.synth_media_table(spark, n=60)
+    assert media.count() == 60
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 60
+    v = np.array(feats[0]["feature"])
+    assert v.shape == (64,) and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # determinism across runs
+    feats2 = M.extract_features(media).collect()
+    assert np.array_equal(np.array(feats[5]["feature"]),
+                          np.array(feats2[5]["feature"]))
+
+    frames = M.sample_frames(media, every=4).collect()
+    assert len(frames) > 0
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len({r["media_id"] for r in frames}) == vids
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
