@@ -371,6 +371,38 @@ def _q_multimodal_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_streaming_incremental(spark, sf_dir):
+    """Structured Streaming incremental CM build over arriving files must be
+    byte-identical to the batch build (rows-only; exercises foreachBatch +
+    snapshot/restart)."""
+    import shutil
+    import tempfile
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.spark_build import build_sketch
+    from sketchlib.streaming import stream_build_from_files
+
+    root = tempfile.mkdtemp(prefix="sketchlib_stream_")
+    try:
+        inbox = f"{root}/inbox"
+        import os
+        os.makedirs(inbox)
+        for i in range(3):
+            generate_token_table(f"{inbox}/drop{i}.parquet", rows=300,
+                                 seed=200 + i, dist="zipf")
+        builder, query = stream_build_from_files(
+            spark, inbox, "tokens", lambda: CountMinSketch(CM_CFG),
+            work_dir=f"{root}/work")
+        query.awaitTermination(180)
+        batch = build_sketch(spark.read.parquet(inbox), "tokens", CM_CFG)
+        return spark.createDataFrame(
+            [(builder.sketch.n_items, batch.sketch.n_items,
+              builder.sketch.to_bytes() == batch.sketch.to_bytes())],
+            "streamed_items bigint, batch_items bigint, byte_identical boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_freq_exact": _q_word_freq_exact,
@@ -399,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "multimodal_features": _q_multimodal_features,
+        "streaming_incremental_cm": _q_streaming_incremental,
     }
 
 
