@@ -72,7 +72,7 @@ def _chunk(seed: int, chunk_idx: int, rows: int, start_row: int,
 
 
 def generate_token_table(path: str, rows: int, seed: int = 1337,
-                         dist: str = "zipf") -> str:
+                         dist: str = "zipf", compression: str = "zstd") -> str:
     """Write a deterministic token table to ``path`` (parquet). Idempotent:
     an existing file with matching row count is left in place."""
     if os.path.exists(path):
@@ -85,7 +85,7 @@ def generate_token_table(path: str, rows: int, seed: int = 1337,
     tmp = path + ".tmp"
     # small row groups (~12.5k rows ≈ 3.2M tokens ≈ 13 MB) so Spark's
     # file-split planning yields real parallelism from a single file
-    with pq.ParquetWriter(tmp, SCHEMA, compression="zstd") as writer:
+    with pq.ParquetWriter(tmp, SCHEMA, compression=compression) as writer:
         start = 0
         chunk_idx = 0
         while start < rows:

@@ -264,7 +264,11 @@ def _parquet_partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
                 col = pf.read_row_group(int(rg), columns=[tokens_col],
                                         use_threads=False).column(0)
                 for chunk in col.chunks:
-                    toks = chunk.flatten().to_numpy(zero_copy_only=False)
+                    flat = chunk.flatten()
+                    try:  # int32 values without nulls: zero-copy view
+                        toks = flat.to_numpy(zero_copy_only=True)
+                    except pa.ArrowInvalid:
+                        toks = flat.to_numpy(zero_copy_only=False)
                     if cu:
                         cm.update_batch_cu(toks)
                     else:
@@ -306,7 +310,10 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
     t0 = time.perf_counter()
     rgs = _list_row_groups(path)
     if n_slices is None:
-        n_slices = int(spark.sparkContext.defaultParallelism) * 2
+        # one task per row group: measured in-task throughput matches the
+        # raw kernel only at row-group granularity (bigger slices interfere
+        # under concurrency); ~3M-token tasks amortize the ~10ms task cost
+        n_slices = len(rgs)
     n_slices, rows = _slice_assignments(rgs, n_slices)
 
     done = frozenset()
