@@ -371,6 +371,33 @@ def _q_multimodal_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_cm_conservative_update(spark, sf_dir):
+    """Conservative-update CM vs standard CM vs exact, on a deliberately
+    tight sketch so collisions occur: CU estimates stay one-sided and never
+    exceed standard CM's (rows-only)."""
+    import numpy as np
+    from sketchlib.countmin import CMConfig
+    from sketchlib.spark_build import build_sketch
+    tight = CMConfig(eps=2e-3, delta=0.05, seed=1337)
+    toks = _tokenized_docs(spark, sf_dir)
+    std = build_sketch(toks, "tokens", tight)
+    cu = build_sketch(toks, "tokens", tight, cu=True)
+    top = (_words(spark, sf_dir).groupBy("word")
+           .agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), "word").limit(10).collect())
+    probe_df = spark.createDataFrame([(r["word"],) for r in top], "word string")
+    probes = {r2["word"]: r2["t"] for r2 in probe_df.select(
+        "word", _word_token(F.col("word")).alias("t")).collect()}
+    rows = []
+    for r in top:
+        t = np.array([probes[r["word"]]])
+        rows.append((r["word"], r["exact_cnt"],
+                     int(std.sketch.point_query_batch(t)[0]),
+                     int(cu.sketch.point_query_batch(t)[0])))
+    return spark.createDataFrame(
+        rows, "word string, exact_cnt bigint, est_std bigint, est_cu bigint")
+
+
 def _q_streaming_incremental(spark, sf_dir):
     """Structured Streaming incremental CM build over arriving files must be
     byte-identical to the batch build (rows-only; exercises foreachBatch +
@@ -431,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "multimodal_features": _q_multimodal_features,
+        "cm_conservative_update": _q_cm_conservative_update,
         "streaming_incremental_cm": _q_streaming_incremental,
     }
 

@@ -84,7 +84,9 @@ def main() -> None:
     # -- relational / pipeline headline queries (driver-oracle suite) -------
     qs = entry_mod.queries()
     for name in ("word_freq_exact", "exact_dedup", "doc_quality",
-                 "topk_users", "order_priority_join", "lineitem_pricing"):
+                 "topk_users", "order_priority_join", "lineitem_pricing",
+                 "minhash_dedup_pairs", "simhash_dedup_pairs",
+                 "language_id", "ann_cosine_topk"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
     # -- sketch workload on the synthetic token table ------------------------

@@ -77,6 +77,8 @@ class BloomFilter:
         return float(np.unpackbits(self.words.view(np.uint8)).mean())
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if not isinstance(other, BloomFilter):
+            raise ValueError(f"cannot merge BloomFilter with {type(other).__name__}")
         if (self.capacity, self.fpr, self.seed) != (other.capacity, other.fpr, other.seed):
             raise ValueError("Bloom configs differ")
         np.bitwise_or(self.words, other.words, out=self.words)

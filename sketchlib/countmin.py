@@ -208,6 +208,8 @@ class CountMinSketch:
 
     # -- algebra ------------------------------------------------------------
     def _check_mergeable(self, other: "CountMinSketch") -> None:
+        if not isinstance(other, CountMinSketch):
+            raise ValueError(f"cannot merge CountMinSketch with {type(other).__name__}")
         if self.cfg != other.cfg:
             raise ValueError(
                 f"sketch configs differ: {self.cfg} vs {other.cfg}")
@@ -246,6 +248,8 @@ class CountMinSketch:
     @staticmethod
     def from_bytes(buf: bytes) -> "CountMinSketch":
         head_size = struct.calcsize("<4sHHqqddqqq")
+        if len(buf) < head_size:
+            raise ValueError("bad CountMinSketch serialization (truncated)")
         magic, ver, _, w, d, eps, delta, seed, n_items, total = struct.unpack(
             "<4sHHqqddqqq", buf[:head_size])
         if magic != _MAGIC or ver != _VERSION:

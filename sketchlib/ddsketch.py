@@ -89,6 +89,8 @@ class DDSketch:
 
     # -- algebra ---------------------------------------------------------------
     def merge(self, other: "DDSketch") -> "DDSketch":
+        if not isinstance(other, DDSketch):
+            raise ValueError(f"cannot merge DDSketch with {type(other).__name__}")
         if abs(self.alpha - other.alpha) > 1e-12:
             raise ValueError("DDSketch alphas differ")
         for k, c in other.pos.items():

@@ -71,6 +71,8 @@ class HllSketch:
         return est
 
     def merge(self, other: "HllSketch") -> "HllSketch":
+        if not isinstance(other, HllSketch):
+            raise ValueError(f"cannot merge HllSketch with {type(other).__name__}")
         if (self.p, self.seed) != (other.p, other.seed):
             raise ValueError("HLL configs differ")
         np.maximum(self.registers, other.registers, out=self.registers)

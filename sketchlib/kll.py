@@ -102,6 +102,8 @@ class KllSketch:
         return float(np.sum(w[:idx]) / np.sum(w))
 
     def merge(self, other: "KllSketch") -> "KllSketch":
+        if not isinstance(other, KllSketch):
+            raise ValueError(f"cannot merge KllSketch with {type(other).__name__}")
         if self.k != other.k:
             raise ValueError("KLL k differs")
         while len(self.levels) < len(other.levels):

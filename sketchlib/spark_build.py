@@ -383,6 +383,37 @@ _GROUPED_MERGED_SCHEMA = (
 )
 
 
+def _ingest_grouped(sketches: dict, rows: dict, keys: np.ndarray,
+                    values_col, make_sketch, cu: bool) -> None:
+    """Fold one batch's (keys, values) into per-key sketches. ``values_col``
+    is an Arrow array (list or scalar); grouping is one argsort + reduceat-
+    style segmentation, no per-row Python."""
+    is_list = pa.types.is_list(values_col.type) or pa.types.is_large_list(values_col.type)
+    if is_list:
+        flat = values_col.flatten().to_numpy(zero_copy_only=False)
+        lens = np.asarray(values_col.value_lengths().to_numpy(zero_copy_only=False))
+    else:
+        flat = values_col.to_numpy(zero_copy_only=False)
+        lens = np.ones(len(keys), dtype=np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    val_group = np.repeat(inv, lens)
+    order = np.argsort(val_group, kind="stable")
+    sorted_vals = flat[order]
+    bounds = np.searchsorted(val_group[order], np.arange(len(uniq) + 1))
+    row_counts = np.bincount(inv, minlength=len(uniq))
+    for g, key in enumerate(uniq.tolist()):
+        sk = sketches.get(key)
+        if sk is None:
+            sk = sketches[key] = make_sketch()
+            rows[key] = 0
+        seg = sorted_vals[bounds[g]:bounds[g + 1]]
+        if cu:
+            sk.update_batch_cu(seg)
+        else:
+            sk.update_batch(seg)
+        rows[key] += int(row_counts[g])
+
+
 def _grouped_partial_builder(cfg: CMConfig, key_col: str, tokens_col: str, cu: bool):
     def fn(batches):
         ctx = TaskContext.get()
@@ -395,25 +426,8 @@ def _grouped_partial_builder(cfg: CMConfig, key_col: str, tokens_col: str, cu: b
                 ki = batch.schema.get_field_index(key_col)
                 ti = batch.schema.get_field_index(tokens_col)
             keys = batch.column(ki).to_numpy(zero_copy_only=False)
-            tok_col = batch.column(ti)
-            flat = tok_col.flatten().to_numpy(zero_copy_only=False)
-            lens = np.asarray(tok_col.value_lengths().to_numpy(zero_copy_only=False))
-            uniq, inv = np.unique(keys, return_inverse=True)
-            tok_group = np.repeat(inv, lens)  # group id of every flat token
-            order = np.argsort(tok_group, kind="stable")
-            sorted_toks = flat[order]
-            bounds = np.searchsorted(tok_group[order], np.arange(len(uniq) + 1))
-            for g, key in enumerate(uniq.tolist()):
-                cm = sketches.get(key)
-                if cm is None:
-                    cm = sketches[key] = CountMinSketch(cfg)
-                    rows[key] = 0
-                seg = sorted_toks[bounds[g]:bounds[g + 1]]
-                if cu:
-                    cm.update_batch_cu(seg)
-                else:
-                    cm.update_batch(seg)
-                rows[key] += int(np.sum(inv == g))
+            _ingest_grouped(sketches, rows, keys, batch.column(ti),
+                            lambda: CountMinSketch(cfg), cu)
         if sketches:
             ordered = sorted(sketches)
             yield pa.RecordBatch.from_pydict({
@@ -616,6 +630,74 @@ def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
     src = (df.select(F.col(key_col).alias("key"), F.col(values_col))
              .filter(F.col(values_col).isNotNull()))
     partials = src.mapInArrow(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
+    level1 = (partials
+              .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
+              .applyInPandas(
+                  lambda pdf: _merge_grouped_pdf(pdf).assign(pid=0)[
+                      ["key", "pid", "sketch", "n_rows", "n_items", "total_count"]],
+                  schema=_GROUPED_PARTIAL_SCHEMA))
+    return (level1.groupBy("key")
+            .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
+                           schema=_GROUPED_MERGED_SCHEMA))
+
+
+def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
+                          tokens_col: str, cfg_or_factory, *,
+                          cu: bool = False, fanout: int = 8,
+                          n_slices: int | None = None) -> DataFrame:
+    """Per-key sketches over a parquet table via Python-side columnar reads —
+    the grouped counterpart of build_sketch_parquet (same ColumnarToRow
+    bypass, same per-row-group slicing). ``cfg_or_factory`` is a CMConfig or
+    a zero-arg sketch factory. Returns (key, sketch, n_rows, n_items,
+    total_count)."""
+    import pyarrow.parquet as pq
+
+    if isinstance(cfg_or_factory, CMConfig):
+        cfg = cfg_or_factory
+        factory = lambda: CountMinSketch(cfg)  # noqa: E731
+    else:
+        factory = cfg_or_factory
+
+    rgs = _list_row_groups(path)
+    if n_slices is None:
+        n_slices = len(rgs)
+    n_slices, rows_assign = _slice_assignments(rgs, n_slices)
+
+    def partial_fn(pdf_iter):
+        by_slice: dict[int, list[tuple[str, list[int]]]] = {}
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                by_slice.setdefault(int(row["slice_id"]), []).append(
+                    (row["file"], [int(r) for r in row["rgs"]]))
+        for slice_id in sorted(by_slice):
+            sketches: dict[str, object] = {}
+            rows: dict[str, int] = {}
+            for file, rgl in by_slice[slice_id]:
+                pf = pq.ParquetFile(file)
+                for rg in rgl:
+                    tbl = pf.read_row_group(rg, columns=[key_col, tokens_col],
+                                            use_threads=False)
+                    keys = tbl.column(0).to_numpy(zero_copy_only=False)
+                    vcol = tbl.column(1)
+                    if isinstance(vcol, pa.ChunkedArray):
+                        vcol = vcol.combine_chunks()
+                    _ingest_grouped(sketches, rows, keys, vcol, factory, cu)
+            if sketches:
+                ordered = sorted(sketches)
+                yield pd.DataFrame({
+                    "key": ordered,
+                    "pid": [slice_id] * len(ordered),
+                    "sketch": [sketches[k].to_bytes() for k in ordered],
+                    "n_rows": [rows[k] for k in ordered],
+                    "n_items": [sketches[k].n_items for k in ordered],
+                    "total_count": [getattr(sketches[k], "total_count", 0)
+                                    for k in ordered],
+                })
+
+    assign = spark.createDataFrame(
+        rows_assign, "slice_id int, file string, rgs array<int>")
+    assign = assign.repartition(min(n_slices, len(rows_assign)))
+    partials = assign.mapInPandas(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
     level1 = (partials
               .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
               .applyInPandas(

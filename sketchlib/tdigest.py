@@ -105,6 +105,8 @@ class TDigest:
         return float(m[i] + (m[i + 1] - m[i]) * frac)
 
     def merge(self, other: "TDigest") -> "TDigest":
+        if not isinstance(other, TDigest):
+            raise ValueError(f"cannot merge TDigest with {type(other).__name__}")
         if abs(self.delta - other.delta) > 1e-9:
             raise ValueError("TDigest deltas differ")
         other._compress()

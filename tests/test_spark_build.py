@@ -126,3 +126,14 @@ def test_conservative_update_build(tokens_df, exact_counts):
     est_cu = cu.sketch.point_query_batch(keys)
     assert np.all(est_cu >= true)
     assert est_cu.sum() <= est_std.sum()
+
+
+def test_grouped_parquet_direct_equivalence(spark, token_table_path):
+    from sketchlib.spark_build import build_grouped_parquet
+    df = spark.read.parquet(token_table_path)
+    a = collect_grouped(build_grouped(df, "source", "tokens", CFG))
+    b = collect_grouped(build_grouped_parquet(spark, token_table_path,
+                                              "source", "tokens", CFG))
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].to_bytes() == b[k].to_bytes(), k
