@@ -371,6 +371,20 @@ def _q_multimodal_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """phi-heavy-hitter words (exact output via candidate+verify — the
+    full stream never shuffles). Oracle-checkable: HAVING cnt >= phi*total."""
+    from sketchlib.spark_build import heavy_hitters
+    phi = 0.035
+    toks = _tokenized_docs(spark, sf_dir)
+    hh = heavy_hitters(toks, "tokens", phi)
+    mapping = (_words(spark, sf_dir)
+               .select("word", _word_token(F.col("word")).alias("token"))
+               .distinct())
+    return (hh.join(mapping, "token")
+            .select("word", F.col("cnt").alias("cnt")))
+
+
 def _q_cm_conservative_update(spark, sf_dir):
     """Conservative-update CM vs standard CM vs exact, on a deliberately
     tight sketch so collisions occur: CU estimates stay one-sided and never
@@ -458,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "multimodal_features": _q_multimodal_features,
+        "heavy_hitters": _q_heavy_hitters,
         "cm_conservative_update": _q_cm_conservative_update,
         "streaming_incremental_cm": _q_streaming_incremental,
     }
@@ -613,6 +628,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.85
+        """,
+        "heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ), f AS (SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY word)
+            SELECT word, cnt FROM f
+            WHERE cnt >= 0.035 * (SELECT SUM(cnt) FROM f)
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

@@ -707,3 +707,45 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
     return (level1.groupBy("key")
             .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
                            schema=_GROUPED_MERGED_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: candidates per partition -> exact verify (classic CM
+# companion; absent from the reference, SURVEY.md §2.2 "sorts/limits/top-k")
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(df: DataFrame, tokens_col: str, phi: float) -> DataFrame:
+    """Exact phi-heavy-hitters (tokens with count >= phi * total), computed
+    scalably: stage 1 emits per-partition local candidates (pigeonhole: a
+    global heavy hitter must be a local one with threshold phi * local_total
+    in at least one partition — <= 1/phi rows per partition), stage 2 counts
+    ONLY candidate tokens exactly and filters by the global threshold. The
+    full token stream is never shuffled. Returns (token, cnt)."""
+    if not 0 < phi <= 1:
+        raise ValueError("phi in (0, 1]")
+
+    def candidates_fn(batches):
+        counts: dict[int, int] = {}
+        total = 0
+        for batch in batches:
+            toks = _flat_tokens(batch, 0)
+            total += toks.shape[0]
+            uniq, cnt = np.unique(toks, return_counts=True)
+            for t, c in zip(uniq.tolist(), cnt.tolist()):
+                counts[t] = counts.get(t, 0) + c
+        if not total:
+            return
+        thresh = phi * total
+        cand = [t for t, c in counts.items() if c >= thresh]
+        if cand:
+            yield pa.RecordBatch.from_pydict(
+                {"token": cand}, schema=pa.schema([("token", pa.int32())]))
+
+    src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
+    cand_df = (src.mapInArrow(candidates_fn, schema="token int").distinct())
+    exploded = src.select(F.explode(tokens_col).alias("token"))
+    total = exploded.count()
+    return (exploded.join(F.broadcast(cand_df), "token")
+            .groupBy("token").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= F.lit(float(phi * total)))
+            .select("token", "cnt"))

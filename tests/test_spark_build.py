@@ -137,3 +137,16 @@ def test_grouped_parquet_direct_equivalence(spark, token_table_path):
     assert set(a) == set(b)
     for k in a:
         assert a[k].to_bytes() == b[k].to_bytes(), k
+
+
+def test_heavy_hitters_exact(spark, tokens_df):
+    from sketchlib.spark_build import heavy_hitters
+    phi = 0.002
+    got = {r["token"]: r["cnt"]
+           for r in heavy_hitters(tokens_df, "tokens", phi).collect()}
+    exploded = tokens_df.select(F.explode("tokens").alias("token"))
+    total = exploded.count()
+    exact = {r["token"]: r["cnt"] for r in
+             exploded.groupBy("token").agg(F.count("*").alias("cnt"))
+             .filter(F.col("cnt") >= phi * total).collect()}
+    assert got == exact and len(exact) > 0
