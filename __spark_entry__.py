@@ -189,14 +189,24 @@ def _q_cm_grouped_by_source(spark, sf_dir):
 
 def _q_cm_inner_product(spark, sf_dir):
     """Join-size estimate between the src0 and src1 word streams
-    (innerProductQuery semantics, cm.h:810-815)."""
+    (innerProductQuery semantics, cm.h:810-815), with the exact
+    |R join S| = sum_t fa(t)*fb(t) alongside: est >= exact always."""
     toks = _tokenized_docs(spark, sf_dir)
     a = build_sketch(toks.filter(F.col("source") == "src0"), "tokens", CM_CFG)
     b = build_sketch(toks.filter(F.col("source") == "src1"), "tokens", CM_CFG)
     est = a.sketch.inner_product(b.sketch)
+    w = _words(spark, sf_dir)
+    fa = (w.filter(F.col("source") == "src0").groupBy("word")
+          .agg(F.count("*").alias("fa")))
+    fb = (w.filter(F.col("source") == "src1").groupBy("word")
+          .agg(F.count("*").alias("fb")))
+    exact = (fa.join(fb, "word")
+             .agg(F.sum(F.col("fa") * F.col("fb")).alias("x"))
+             .collect()[0]["x"]) or 0
     return spark.createDataFrame(
-        [(est, a.sketch.total_count, b.sketch.total_count)],
-        "est_inner_product bigint, total_a bigint, total_b bigint")
+        [(est, int(exact), a.sketch.total_count, b.sketch.total_count)],
+        "est_inner_product bigint, exact_inner_product bigint, "
+        "total_a bigint, total_b bigint")
 
 
 def _q_hll_distinct_words(spark, sf_dir):

@@ -749,3 +749,19 @@ def heavy_hitters(df: DataFrame, tokens_col: str, phi: float) -> DataFrame:
             .groupBy("token").agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= F.lit(float(phi * total)))
             .select("token", "cnt"))
+
+
+def with_salt(df: DataFrame, n_salts: int,
+              id_col: str = "doc_id") -> DataFrame:
+    """Explicit salting (north-rule requirement) for skewed EXACT shuffle
+    aggregations/joins: adds a deterministic ``_salt`` column so a hot group
+    key splits into (key, _salt) subgroups — aggregate per (key, _salt)
+    first, then per key. The sketch builds themselves never need this:
+    per-(partition, key) partials absorb skew map-side before any shuffle.
+
+        salted = with_salt(df, 16)
+        stage1 = salted.groupBy("source", "_salt").agg(...)
+        final  = stage1.groupBy("source").agg(...)
+    """
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int"))

@@ -173,3 +173,26 @@ def test_clear():
     cm.update_batch(np.arange(100))
     cm.clear()
     assert cm.table.sum() == 0 and cm.n_items == 0 and cm.total_count == 0
+
+
+def test_error_histogram_reproducible():
+    """error_bench.cpp:48-72 reproduction: 20-bucket histogram of
+    abs(est - true), deterministic run-to-run, mass concentrated at zero
+    error for the reference's eps = e/(10n) sizing."""
+    def run():
+        keys, counts = _error_bench_stream(n=10_000, u=10_000)
+        cfg = CMConfig(eps=math.e / (10 * 10_000), delta=math.exp(-3), seed=1337)
+        cm = CountMinSketch(cfg)
+        cm.update_batch(keys, counts)
+        exact = {}
+        for k, c in zip(keys.tolist(), counts.tolist()):
+            exact[k] = exact.get(k, 0) + c
+        ks = np.fromiter(exact.keys(), dtype=np.uint64)
+        true = np.fromiter((exact[int(k)] for k in ks), dtype=np.int64)
+        err = cm.point_query_batch(ks) - true
+        hist, _ = np.histogram(err, bins=20, range=(0, max(int(err.max()), 1) + 1))
+        return hist
+
+    h1, h2 = run(), run()
+    assert np.array_equal(h1, h2)          # deterministic, like seeded bench
+    assert h1[0] >= 0.95 * h1.sum()        # nearly all queries exact at this eps

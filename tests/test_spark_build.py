@@ -150,3 +150,22 @@ def test_heavy_hitters_exact(spark, tokens_df):
              exploded.groupBy("token").agg(F.count("*").alias("cnt"))
              .filter(F.col("cnt") >= phi * total).collect()}
     assert got == exact and len(exact) > 0
+
+
+def test_with_salt_splits_hot_key(spark, tokens_df):
+    from sketchlib.spark_build import with_salt
+    from pyspark.sql import functions as F2
+    salted = with_salt(tokens_df, 8)
+    # the 70%-hot "web" group splits into 8 balanced subgroups
+    sub = (salted.filter(F2.col("source") == "web")
+           .groupBy("_salt").count().collect())
+    counts = [r["count"] for r in sub]
+    assert len(counts) == 8
+    assert max(counts) < 1.5 * min(counts)
+    # two-phase aggregation over (key, salt) reproduces the direct result
+    stage1 = salted.groupBy("source", "_salt").agg(F2.count("*").alias("c"))
+    two_phase = {r["source"]: r["n"] for r in
+                 stage1.groupBy("source").agg(F2.sum("c").alias("n")).collect()}
+    direct = {r["source"]: r["n"] for r in
+              tokens_df.groupBy("source").agg(F2.count("*").alias("n")).collect()}
+    assert two_phase == direct
