@@ -19,6 +19,9 @@ import os
 import sys
 from collections.abc import Callable
 
+# before any numpy import — see sketchlib/__init__.py (THP-defrag stalls)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F

@@ -27,6 +27,9 @@ import os
 import sys
 import time
 
+# before any numpy import — see sketchlib/__init__.py (THP-defrag stalls)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
@@ -45,6 +48,7 @@ def get_spark(cpus: int):
         # multi-worker scaling; see sketchlib/hashing.py)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "536870912")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "536870912")
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

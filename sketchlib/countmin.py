@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hashing import columns_into, seed_schedule, tokens_to_u64
+from .hashing import accumulate_into, columns_into, seed_schedule, tokens_to_u64
 
 _MAGIC = b"CMSK"
 _VERSION = 1
@@ -75,7 +75,7 @@ class CMConfig:
 class CountMinSketch:
     """Dense d×w int64 Count-Min sketch with batch (vectorized) updates."""
 
-    __slots__ = ("cfg", "table", "n_items", "total_count", "_colbuf")
+    __slots__ = ("cfg", "table", "n_items", "total_count")
 
     def __init__(self, cfg: CMConfig, table: np.ndarray | None = None,
                  n_items: int = 0, total_count: int = 0) -> None:
@@ -86,14 +86,8 @@ class CountMinSketch:
         self.table = table
         self.n_items = n_items          # number of update() calls absorbed
         self.total_count = total_count  # Σ counts = ||f||₁ for non-negative streams
-        self._colbuf: np.ndarray | None = None  # grow-only column scratch
 
     # -- column placement ---------------------------------------------------
-    def _col_scratch(self, n: int) -> np.ndarray:
-        if self._colbuf is None or self._colbuf.shape[0] < n:
-            self._colbuf = np.empty(n, dtype=np.int64)
-        return self._colbuf[:n]
-
     def _columns(self, keys_u64: np.ndarray) -> np.ndarray:
         """(d, n) int64 matrix of probed column indices, reference placement
         (cm.h:486): murmur h2 % w per row seed."""
@@ -143,15 +137,10 @@ class CountMinSketch:
                 agg = np.bincount(inv, weights=c).astype(np.int64)
             else:
                 agg = c
-        w = self.cfg.width
-        cols = self._col_scratch(arr.shape[0])
-        for j, s in enumerate(self.cfg.row_seeds):
-            columns_into(arr, s, w, cols)
-            if agg is None:
-                self.table[j] += np.bincount(cols, minlength=w)
-            else:
-                # bincount weights are float64: exact for |c| sums < 2^53
-                self.table[j] += np.bincount(cols, weights=agg, minlength=w).astype(np.int64)
+        # fused chunked hash+histogram: column indices stay cache-resident
+        # instead of round-tripping n*8 bytes through DRAM per depth row
+        accumulate_into(arr, self.cfg.row_seeds, self.cfg.width, self.table,
+                        weights=agg)
 
     def update_batch_cu(self, keys, counts=None) -> None:
         """Conservative update (Estan & Varghese 2002): counter_j(i) :=

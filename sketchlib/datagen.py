@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .hashing import hash_u64
+from .hashing import murmur_h2_into
 
 CHUNK_ROWS = 100_000
 _TOKEN_MASK = np.uint64(0x7FFFFFFF)  # int31 domain, FIXTURES.md §1
@@ -56,8 +56,12 @@ def _chunk(seed: int, chunk_idx: int, rows: int, start_row: int,
     elif dist == "zipf":
         ranks = _zipf_ranks(rng, total)
         # scramble ranks through murmur so hot keys are spread over the
-        # token domain (totaltest.cpp:45-53 pattern)
-        tokens = (hash_u64(ranks, 9001) & _TOKEN_MASK).astype(np.int32)
+        # token domain (totaltest.cpp:45-53 pattern); workspace-chunked hash
+        # (bit-identical to hash_u64) to avoid ~2 GB of ufunc temporaries
+        h = np.empty(total, dtype=np.uint64)
+        murmur_h2_into(ranks, 9001, h)
+        h &= _TOKEN_MASK
+        tokens = h.astype(np.int32)
     else:
         raise ValueError(f"unknown dist {dist!r}")
     offsets = np.zeros(rows + 1, dtype=np.int32)

@@ -3,6 +3,9 @@ import sys
 
 import pytest
 
+# before any numpy import — see sketchlib/__init__.py
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -15,6 +18,7 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .getOrCreate()
