@@ -425,6 +425,22 @@ def _q_cm_conservative_update(spark, sf_dir):
         rows, "word string, exact_cnt bigint, est_std bigint, est_cu bigint")
 
 
+def _q_windowed_event_counts(spark, sf_dir):
+    """Event-time windowed counts (1h tumbling) per event_type — the
+    streaming operator's exact semantics, oracle-checkable because the
+    batch plan is identical (watermark is a no-op without late streams).
+    Window bounds cast to epoch seconds for a stable cross-engine hash."""
+    from sketchlib.streaming import windowed_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wc = windowed_counts(ev, "ts", "event_type",
+                         window="1 hour", watermark="1 hour")
+    # ts is TIMESTAMP_NTZ in the testdata; NTZ -> LTZ is a wall-clock
+    # reinterpretation in the session tz (UTC), matching DuckDB's epoch()
+    return wc.select(F.col("win_start").cast("timestamp").cast("long").alias("win_start_s"),
+                     F.col("win_end").cast("timestamp").cast("long").alias("win_end_s"),
+                     "event_type", "cnt")
+
+
 def _q_streaming_incremental(spark, sf_dir):
     """Structured Streaming incremental CM build over arriving files must be
     byte-identical to the batch build (rows-only; exercises foreachBatch +
@@ -488,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "cm_conservative_update": _q_cm_conservative_update,
         "streaming_incremental_cm": _q_streaming_incremental,
+        "windowed_event_counts": _q_windowed_event_counts,
     }
 
 
@@ -648,6 +665,12 @@ def oracle_sql() -> dict[str, str]:
             ), f AS (SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY word)
             SELECT word, cnt FROM f
             WHERE cnt >= 0.035 * (SELECT SUM(cnt) FROM f)
+        """,
+        "windowed_event_counts": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start_s,
+                   CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR) AS BIGINT) AS win_end_s,
+                   event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2, 3
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

@@ -22,10 +22,10 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import serde
-from .spark_build import build_aggregator
+from .spark_build import build_aggregator, build_grouped_aggregator
 
 
 class StreamingSketchBuilder:
@@ -77,6 +77,109 @@ class StreamingSketchBuilder:
     def attach(self, stream_df: DataFrame, *, checkpoint_dir: str,
                trigger_once: bool = True):
         """Wire this builder to a streaming DataFrame; returns the query."""
+        writer = (stream_df.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("update"))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_counts(stream_df: DataFrame, time_col: str, value_col: str, *,
+                    window: str = "10 minutes",
+                    watermark: str = "5 minutes") -> DataFrame:
+    """Event-time windowed counts with a watermark for late data — the
+    standard Structured Streaming shape (the reference has no time concept;
+    this is the Spark-native surface the north rule's pipeline needs for
+    time-bucketed token statistics). Append-mode compatible: a window only
+    emits once the watermark passes its end, late rows beyond the watermark
+    are dropped by the engine, state is bounded by (windows in flight x
+    distinct values).
+    """
+    return (stream_df
+            .withWatermark(time_col, watermark)
+            .groupBy(F.window(time_col, window).alias("win"),
+                     F.col(value_col))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    value_col, "cnt"))
+
+
+class WindowedSketchBuilder:
+    """Per-event-time-window sketches maintained incrementally: each
+    micro-batch builds grouped partials keyed by window start (distributed,
+    map-side combined) and merges them into ``self.sketches[window_start]``.
+    Same exactly-once snapshot contract as StreamingSketchBuilder. Windows
+    older than ``retention_windows`` behind the max seen are finalized and
+    evicted (the sketch analogue of watermark state cleanup)."""
+
+    def __init__(self, factory, time_col: str, values_col: str,
+                 snapshot_dir: str, *, window_seconds: int = 600,
+                 retention_windows: int = 64) -> None:
+        self.factory = factory
+        self.time_col = time_col
+        self.values_col = values_col
+        self.window_seconds = window_seconds
+        self.retention_windows = retention_windows
+        self.snapshot_dir = snapshot_dir
+        os.makedirs(snapshot_dir, exist_ok=True)
+        self.sketches: dict[int, object] = {}
+        self.finalized: dict[int, bytes] = {}
+        self.last_batch_id = -1
+        self._load()
+
+    def _manifest_path(self):
+        return os.path.join(self.snapshot_dir, "MANIFEST.json")
+
+    def _load(self) -> None:
+        man_path = self._manifest_path()
+        if not os.path.exists(man_path):
+            return
+        with open(man_path) as f:
+            man = json.load(f)
+        self.last_batch_id = man["last_batch_id"]
+        for ws in man["windows"]:
+            with open(os.path.join(self.snapshot_dir, f"w{ws}.bin"), "rb") as f:
+                self.sketches[int(ws)] = serde.loads(f.read())
+
+    def _save(self) -> None:
+        for ws, sk in self.sketches.items():
+            tmp = os.path.join(self.snapshot_dir, f"w{ws}.bin.tmp")
+            with open(tmp, "wb") as f:
+                f.write(sk.to_bytes())
+            os.replace(tmp, tmp[:-4])
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch_id": self.last_batch_id,
+                       "windows": sorted(self.sketches),
+                       "window_seconds": self.window_seconds}, f)
+        os.replace(tmp, self._manifest_path())
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return
+        win = ((F.unix_timestamp(F.col(self.time_col)) / self.window_seconds)
+               .cast("long") * self.window_seconds)
+        keyed = batch_df.withColumn("_win", win.cast("string"))
+        grouped = build_grouped_aggregator(keyed, "_win", self.values_col,
+                                           self.factory)
+        for r in grouped.collect():
+            ws = int(r["key"])
+            sk = serde.loads(bytes(r["sketch"]))
+            cur = self.sketches.get(ws)
+            self.sketches[ws] = sk if cur is None else cur.merge(sk)
+        if self.sketches:
+            horizon = max(self.sketches) - \
+                self.retention_windows * self.window_seconds
+            for ws in [w for w in self.sketches if w < horizon]:
+                self.finalized[ws] = self.sketches.pop(ws).to_bytes()
+        self.last_batch_id = batch_id
+        self._save()
+
+    def attach(self, stream_df: DataFrame, *, checkpoint_dir: str,
+               trigger_once: bool = True):
         writer = (stream_df.writeStream
                   .foreachBatch(self.process_batch)
                   .option("checkpointLocation", checkpoint_dir)

@@ -68,3 +68,84 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
     assert b.sketch.to_bytes() == once
     b.process_batch(df, 1)  # genuinely new batch
     assert b.sketch.to_bytes() != once
+
+
+def test_windowed_counts_event_time(spark, tmp_path):
+    """windowed_counts: event-time windows + watermark. Streamed append-mode
+    result over arriving files equals the batch groupBy(window) on the same
+    data (no late rows here, so the watermark drops nothing)."""
+    from pyspark.sql import functions as F
+    from sketchlib.streaming import windowed_counts
+
+    inbox = str(tmp_path / "ev_inbox")
+    os.makedirs(inbox)
+    rows = [(i, f"2024-01-01 {h:02d}:{m:02d}:00", ["a", "b"][i % 2])
+            for i, (h, m) in enumerate(
+                (h, m) for h in range(4) for m in (5, 25, 45))]
+    df = (spark.createDataFrame(rows, "id long, ts_s string, etype string")
+          .select("id", F.to_timestamp("ts_s").alias("ts"), "etype"))
+    df.write.mode("overwrite").parquet(inbox)
+
+    static = spark.read.parquet(inbox)
+    batch_expected = (
+        static.groupBy(F.window("ts", "1 hour").alias("win"), "etype")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "etype", "cnt"))
+
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inbox))
+    out_dir = str(tmp_path / "win_out")
+    q = (windowed_counts(stream, "ts", "etype",
+                         window="1 hour", watermark="30 minutes")
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).select("win_start", "etype", "cnt")
+    # append mode only emits windows the watermark has passed; every emitted
+    # window must match the batch answer exactly
+    exp = {(r["win_start"], r["etype"]): r["cnt"]
+           for r in batch_expected.collect()}
+    emitted = got.collect()
+    assert emitted, "no windows emitted"
+    for r in emitted:
+        assert exp[(r["win_start"], r["etype"])] == r["cnt"]
+
+
+def test_windowed_sketch_builder(spark, tmp_path):
+    """Per-window sketches folded incrementally == per-window batch builds,
+    and replay of a batch id folds once."""
+    from pyspark.sql import functions as F
+    from sketchlib.streaming import WindowedSketchBuilder
+    from sketchlib.spark_build import build_sketch
+
+    inbox = str(tmp_path / "ws_inbox")
+    os.makedirs(inbox)
+    generate_token_table(f"{inbox}/p0.parquet", rows=300, seed=11, dist="zipf")
+    df = (spark.read.parquet(inbox)
+          .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:10:00"))
+                      + F.make_interval(mins=F.pmod(F.xxhash64("doc_id"),
+                                                    F.lit(100)).cast("int"))))
+
+    b = WindowedSketchBuilder(_cm_factory, "ts", "tokens",
+                              str(tmp_path / "ws_snap"), window_seconds=3600)
+    b.process_batch(df, 0)
+    assert len(b.sketches) == 2  # two hours touched
+    snap0 = {w: s.to_bytes() for w, s in b.sketches.items()}
+    b.process_batch(df, 0)  # replay folds once
+    assert {w: s.to_bytes() for w, s in b.sketches.items()} == snap0
+
+    # window contents match a batch build filtered to that hour
+    for ws, sk in b.sketches.items():
+        hour = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+        part = df.filter(hour == ws)
+        ref = build_sketch(part, "tokens", CFG)
+        assert sk.to_bytes() == ref.sketch.to_bytes()
+
+    # restart from snapshot: identical state
+    b2 = WindowedSketchBuilder(_cm_factory, "ts", "tokens",
+                               str(tmp_path / "ws_snap"), window_seconds=3600)
+    assert {w: s.to_bytes() for w, s in b2.sketches.items()} == snap0
+    assert b2.last_batch_id == 0
