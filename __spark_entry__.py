@@ -425,6 +425,35 @@ def _q_cm_conservative_update(spark, sf_dir):
         rows, "word string, exact_cnt bigint, est_std bigint, est_cu bigint")
 
 
+def _q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min) over events: per-user session
+    stats. Window functions (lag + conditional cumsum) — oracle-checkable."""
+    from sketchlib.pipeline import session_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, "user_id", "ts", gap_minutes=30)
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means-lite coarse cells + nprobe search for vec_id=0's
+    embedding; returns (vec_id, rank) plus whether the result agrees with
+    exact brute force at each rank (rows-only: centroids are seeded)."""
+    from sketchlib.similarity import (ann_topk_bruteforce, ivf_topk,
+                                      train_ivf_centroids)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cents = train_ivf_centroids(emb, "embedding", n_cells=16, seed=7)
+    approx = ivf_topk(emb, "embedding", "vec_id", q, cents,
+                      k=10, n_probe=8).collect()
+    exact = {r["vec_id"] for r in
+             ann_topk_bruteforce(emb, "embedding", "vec_id", q, k=10).collect()}
+    return spark.createDataFrame(
+        [(r["vec_id"], i + 1, r["vec_id"] in exact)
+         for i, r in enumerate(approx)],
+        "vec_id long, rank int, in_exact_topk boolean")
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Event-time windowed counts (1h tumbling) per event_type — the
     streaming operator's exact semantics, oracle-checkable because the
@@ -505,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_conservative_update": _q_cm_conservative_update,
         "streaming_incremental_cm": _q_streaming_incremental,
         "windowed_event_counts": _q_windowed_event_counts,
+        "user_sessions": _q_user_sessions,
+        "ann_ivf_topk": _q_ann_ivf_topk,
     }
 
 
@@ -665,6 +696,32 @@ def oracle_sql() -> dict[str, str]:
             ), f AS (SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY word)
             SELECT word, cnt FROM f
             WHERE cnt >= 0.035 * (SELECT SUM(cnt) FROM f)
+        """,
+        "user_sessions": """
+            WITH lagged AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM lagged
+            ), sessions AS (
+                SELECT user_id,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM flagged
+            ), per_session AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events
+                FROM sessions GROUP BY user_id, session_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+                   CAST(SUM(n_events) AS BIGINT) AS total_events
+            FROM per_session GROUP BY user_id
         """,
         "windowed_event_counts": """
             SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start_s,

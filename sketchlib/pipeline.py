@@ -399,3 +399,41 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
 
     return df.select(id_col, text_col).mapInPandas(
         fn, schema=f"{id_col} long, fingerprint long")
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str, *,
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: events of one user belong to the same
+    session while consecutive events are <= gap apart. Pure window
+    functions (lag + conditional cumsum), fully Catalyst-planned: one
+    shuffle on user_col, sort within partitions — the standard scalable
+    shape (no per-row Python, no driver state). Returns one row per event
+    with its session_id (0-based per user) — aggregate downstream as
+    needed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    # microsecond precision (unix_timestamp truncates to seconds and
+    # misclassifies gaps within 1s of the threshold)
+    us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    new_session = (prev_ts.isNull() |
+                   (us(F.col(ts_col)) - us(prev_ts)
+                    > gap_minutes * 60 * 1_000_000)).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+
+
+def session_stats(df: DataFrame, user_col: str, ts_col: str, *,
+                  gap_minutes: int = 30) -> DataFrame:
+    """Per-user session statistics over sessionize(): session count, max
+    events in one session, total events. Integer-valued, oracle-checkable."""
+    s = sessionize(df, user_col, ts_col, gap_minutes=gap_minutes)
+    per_session = (s.groupBy(user_col, "session_id")
+                   .agg(F.count("*").alias("n_events")))
+    return (per_session.groupBy(user_col)
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events"),
+                 F.sum("n_events").alias("total_events")))

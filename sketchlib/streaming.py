@@ -212,3 +212,62 @@ def stream_build_from_files(spark: SparkSession, input_dir: str,
                            checkpoint_dir=os.path.join(work_dir, "spark_ckpt"),
                            trigger_once=trigger_once)
     return builder, query
+
+
+def stateful_running_counts(stream_df: DataFrame, key_col: str):
+    """Arbitrary stateful streaming op via applyInPandasWithState: running
+    per-key event counts maintained as engine-managed state (update mode,
+    no timeout). Emits (key, n_events) with the running total every time a
+    key appears in a micro-batch. State is one long per key — bounded by
+    key cardinality, partitioned by the groupBy hash, recoverable from the
+    checkpoint like any Structured Streaming state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        n = sum(len(pdf) for pdf in pdf_iter)
+        cur = (state.get[0] if state.exists else 0) + n
+        state.update((cur,))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [cur]})
+
+    return (stream_df
+            .withColumn("key", F.col(key_col).cast("string"))
+            .groupBy("key")
+            .applyInPandasWithState(
+                fn, "key string, n_events long", "n_events long",
+                "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_sketch_state(stream_df: DataFrame, key_col: str,
+                          values_col: str, factory):
+    """Per-key sketches as MANAGED STREAMING STATE: the serialized sketch
+    blob lives in the state store (binary column), each micro-batch's
+    values fold in via the vectorized batch update, and the running
+    estimate surface (n_items, total) emits per key. Unlike the
+    foreachBatch builders (driver-held state), state here is partitioned
+    across executors and recovers from the checkpoint — the idiomatic
+    scale path when key cardinality exceeds driver memory."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        sk = serde.loads(bytes(state.get[0])) if state.exists else factory()
+        for pdf in pdf_iter:
+            col = pdf[values_col]
+            if len(col) and isinstance(col.iloc[0], (list, np.ndarray)):
+                vals = np.concatenate([np.asarray(v) for v in col])
+            else:
+                vals = col.to_numpy()
+            sk.update_batch(vals)
+        state.update((sk.to_bytes(),))
+        yield pd.DataFrame({"key": [key[0]],
+                            "n_items": [sk.n_items],
+                            "sketch": [sk.to_bytes()]})
+
+    return (stream_df
+            .withColumn("key", F.col(key_col).cast("string"))
+            .groupBy("key")
+            .applyInPandasWithState(
+                fn, "key string, n_items long, sketch binary",
+                "sketch binary", "update", GroupStateTimeout.NoTimeout))
