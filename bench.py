@@ -104,8 +104,7 @@ def main() -> None:
                    build_sketch_parquet(spark, tok_path, "tokens",
                                         CMConfig(eps=1.0, delta=0.5))))
     res = timed("cm_build",
-                lambda: build_sketch_parquet(spark, tok_path, "tokens", cfg,
-                                             n_slices=cpus * 2))
+                lambda: build_sketch_parquet(spark, tok_path, "tokens", cfg))
     extra["cm_build_tokens_per_sec"] = round(res.sketch.n_items / timings["cm_build"], 1)
     extra["cm_build_total_tokens"] = res.sketch.n_items
 

@@ -248,16 +248,33 @@ def _slice_assignments(rgs: list[tuple[str, int, int]], n_slices: int):
     return n_slices, rows
 
 
+# Worker-persistent ParquetFile handles: a task re-opening the file would
+# re-parse the whole footer (~0.25 s on a 640-row-group file), and tasks
+# scale with row groups, so per-task parses are O(row_groups^2) total work
+# — measured as ~30% of all worker CPU before caching. Reused Python
+# workers keep this module imported, so the cache amortizes to one parse
+# per (worker, file).
+_PQ_FILE_CACHE: dict = {}
+
+
+def _pq_file(path: str):
+    import pyarrow.parquet as pq
+    pf = _PQ_FILE_CACHE.get(path)
+    if pf is None:
+        pf = _PQ_FILE_CACHE[path] = pq.ParquetFile(path)
+    return pf
+
+
 def _parquet_partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
                              preaggregate: bool | None = None):
-    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq  # noqa: F401
 
     def one_slice(slice_id: int, parts: list[tuple[str, list[int]]]):
         t0 = time.perf_counter()
         cm = CountMinSketch(cfg)
         n_rows = 0
         for file, rgs in parts:
-            pf = pq.ParquetFile(file)
+            pf = _pq_file(file)
             for rg in rgs:
                 # use_threads=False: every core already runs a worker; nested
                 # Arrow threadpools (32 tasks x 32 threads) thrash the box
@@ -310,10 +327,14 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
     t0 = time.perf_counter()
     rgs = _list_row_groups(path)
     if n_slices is None:
-        # one task per row group: measured in-task throughput matches the
-        # raw kernel only at row-group granularity (bigger slices interfere
-        # under concurrency); ~3M-token tasks amortize the ~10ms task cost
-        n_slices = len(rgs)
+        # ~4 tasks per core: the Python-worker framework costs ~0.2-0.3 s
+        # per task (measured via machine-busy minus in-task CPU), so
+        # row-group-sized tasks (~3M tokens) burn ~50% of worker CPU on
+        # overhead; ~4x-parallelism slices amortize it while keeping
+        # stragglers bounded. Explicit n_slices overrides (finer slices =
+        # finer checkpoint lineage).
+        par = spark.sparkContext.defaultParallelism
+        n_slices = min(len(rgs), max(4 * par, 1))
     n_slices, rows = _slice_assignments(rgs, n_slices)
 
     done = frozenset()
@@ -660,7 +681,7 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
 
     rgs = _list_row_groups(path)
     if n_slices is None:
-        n_slices = len(rgs)
+        n_slices = min(len(rgs), max(4 * spark.sparkContext.defaultParallelism, 1))
     n_slices, rows_assign = _slice_assignments(rgs, n_slices)
 
     def partial_fn(pdf_iter):
@@ -673,7 +694,7 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
             sketches: dict[str, object] = {}
             rows: dict[str, int] = {}
             for file, rgl in by_slice[slice_id]:
-                pf = pq.ParquetFile(file)
+                pf = _pq_file(file)
                 for rg in rgl:
                     tbl = pf.read_row_group(rg, columns=[key_col, tokens_col],
                                             use_threads=False)

@@ -42,7 +42,8 @@ def cpu_jiffies():
     with open("/proc/stat") as f:
         parts = f.readline().split()
     vals = [int(x) for x in parts[1:]]
-    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]  # user+nice+sys+irq+softirq
+    return sum(vals), (vals[7] if len(vals) > 7 else 0), busy
 
 cpus = {cpus}
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
@@ -61,14 +62,17 @@ cfg = CMConfig(eps=1e-4, delta=math.exp(-3), seed=1337)
 build = lambda: build_sketch_parquet(spark, {path!r}, "tokens", cfg,
                                      preaggregate=False)
 build()  # warmup: worker pool + page cache + JIT
-t0_j, s0 = cpu_jiffies()
+t0_j, s0, b0 = cpu_jiffies()
 t0 = time.perf_counter()
 res = build()
 dt = time.perf_counter() - t0
-t1_j, s1 = cpu_jiffies()
+t1_j, s1, b1 = cpu_jiffies()
 steal_pct = 100.0 * (s1 - s0) / max(1, t1_j - t0_j)
+busy_cpu_s = (b1 - b0) / 100.0  # machine-wide busy CPU seconds (USER_HZ=100)
 print(json.dumps({{"cpus": cpus, "best": dt, "tokens": res.sketch.n_items,
                    "steal_pct": round(steal_pct, 2),
+                   "busy_cpu_s": round(busy_cpu_s, 2),
+                   "tok_per_cpu_s": round(res.sketch.n_items / max(0.01, busy_cpu_s), 1),
                    "sketch_sha": __import__("hashlib").sha256(res.sketch.to_bytes()).hexdigest()[:16]}}))
 spark.stop()
 """
@@ -124,10 +128,16 @@ def paired_rounds(low: int, high: int, rounds: int, path: str):
         b = run_level(high, path)
         assert a["sketch_sha"] == b["sketch_sha"], "sketch bytes differ"
         eff = a["best"] / (4.0 * b["best"])
-        out.append({"round": rnd, "low": a, "high": b, "eff": round(eff, 3)})
+        # steal-invariant: per-busy-cpu-second throughput retention at 4N.
+        # On dedicated hardware wall-throughput = per-core-throughput x
+        # cores, so retaining per-core efficiency at 4x parallelism IS
+        # wall-clock scaling efficiency there.
+        eff_cpu = b["tok_per_cpu_s"] / max(1.0, a["tok_per_cpu_s"])
+        out.append({"round": rnd, "low": a, "high": b, "eff": round(eff, 3),
+                    "eff_cpu": round(eff_cpu, 3)})
         print(f"pair {low}->{high} round {rnd}: {a['best']:.1f}s vs "
-              f"{b['best']:.1f}s eff={eff:.3f} steal=({a['steal_pct']}, "
-              f"{b['steal_pct']})%", flush=True)
+              f"{b['best']:.1f}s eff={eff:.3f} eff_cpu={eff_cpu:.3f} "
+              f"steal=({a['steal_pct']}, {b['steal_pct']})%", flush=True)
     return out
 
 
@@ -163,7 +173,8 @@ def main(rows: int = 8_000_000, rounds_8_32: int = 5, rounds_4_16: int = 3) -> N
         lo, hi = r["low"], r["high"]
         return (f"| {r['round']} | {lo['best']:.1f} | {hi['best']:.1f} | "
                 f"{tokens/lo['best']/1e6:.0f} M | {tokens/hi['best']/1e6:.0f} M | "
-                f"**{r['eff']:.3f}** | {lo['steal_pct']}% / {hi['steal_pct']}% |")
+                f"**{r['eff']:.3f}** | {r['eff_cpu']:.3f} | "
+                f"{lo['steal_pct']}% / {hi['steal_pct']}% |")
 
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md_path), exist_ok=True)
@@ -181,18 +192,22 @@ measured build each) so both levels of a pair see the same host weather;
 `eff = throughput_4N / (4 * throughput_N)`. The `steal` column is the CPU
 steal fraction sampled from /proc/stat during the measured build — this is
 a shared VM whose throughput drifts 2-3x with co-tenant load, so rounds
-with material steal under-report efficiency.
+with material steal under-report efficiency. `eff_cpu` is the
+steal-invariant companion: tokens per machine-wide busy-CPU-second at 4N
+divided by the same at N — per-core efficiency retention at 4x
+parallelism, which on dedicated hardware (where wall throughput =
+per-core throughput x cores) equals wall-clock scaling efficiency.
 
 ### N=8 -> 4N=32 (4N saturates the 32-vCPU host)
 
-| round | N s | 4N s | N tok/s | 4N tok/s | eff | steal |
-|---|---|---|---|---|---|---|
+| round | N s | 4N s | N tok/s | 4N tok/s | eff | eff_cpu | steal |
+|---|---|---|---|---|---|---|---|
 {chr(10).join(row(r) for r in p832)}
 
 ### N=4 -> 4N=16 (non-saturating operating point)
 
-| round | N s | 4N s | N tok/s | 4N tok/s | eff | steal |
-|---|---|---|---|---|---|---|
+| round | N s | 4N s | N tok/s | 4N tok/s | eff | eff_cpu | steal |
+|---|---|---|---|---|---|---|---|
 {chr(10).join(row(r) for r in p416)}
 
 **Best paired-round efficiency: N=8: {best832['eff']:.3f}, N=4: {best416['eff']:.3f}**
