@@ -32,7 +32,9 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+# 400k rows -> 32 row groups: one task per core at local[32] (the 200k
+# table's 16 row groups left half the cores idle during cm_build)
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "400000"))
 
 
 def get_spark(cpus: int):
