@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sketchlib.countmin import CMConfig
 from sketchlib.spark_build import (
-    build_grouped,
     build_sketch,
     collect_grouped,
     point_query_col,
@@ -59,6 +58,32 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _word_token(word_col):
     return F.pmod(F.xxhash64(word_col), F.lit(2**31)).cast("int")
+
+
+_TOK_CACHE: dict[str, str] = {}
+
+
+def _token_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Tokenize-once materialization: documents.text -> the BASELINE.json
+    input-hint token table (doc_id, tokens array<int>, n_tok, source) as
+    parquet. Downstream sketch builds then use the parquet-direct columnar
+    source (spark_build.build_*_parquet) instead of bouncing every token
+    through JVM rows — at 100 TB this is the ingest step that makes every
+    build a pruned columnar scan. Cached per sf_dir within the process."""
+    import hashlib
+    import tempfile
+    cached = _TOK_CACHE.get(sf_dir)
+    if cached and os.path.exists(os.path.join(cached, "_SUCCESS")):
+        return cached
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
+    path = os.path.join(tempfile.gettempdir(), f"sketchlib_tokens_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (_tokenized_docs(spark, sf_dir)
+         .withColumn("n_tok", F.size("tokens"))
+         .select("doc_id", "tokens", "n_tok", "source")
+         .write.mode("overwrite").parquet(path))
+    _TOK_CACHE[sf_dir] = path
+    return path
 
 
 # ---------------------------------------------------------------------------
@@ -171,10 +196,14 @@ def _q_cm_topk_words(spark, sf_dir):
 
 
 def _q_cm_grouped_by_source(spark, sf_dir):
-    """Per-source Count-Min sketches (grouped build, map-side combined);
-    returns per-source metadata + the estimate for the word 'data'."""
-    toks = _tokenized_docs(spark, sf_dir)
-    grouped = collect_grouped(build_grouped(toks, "source", "tokens", CM_CFG))
+    """Per-source Count-Min sketches (grouped build, map-side combined) via
+    the tokenize-once parquet table + parquet-direct grouped builder (no
+    JVM row bounce); returns per-source metadata + the estimate for the
+    word 'data'."""
+    from sketchlib.spark_build import build_grouped_parquet
+    tok_path = _token_table_path(spark, sf_dir)
+    grouped = collect_grouped(
+        build_grouped_parquet(spark, tok_path, "source", "tokens", CM_CFG))
     probe = None
     import numpy as np
     rows = []
@@ -210,6 +239,34 @@ def _q_cm_inner_product(spark, sf_dir):
         [(est, int(exact), a.sketch.total_count, b.sketch.total_count)],
         "est_inner_product bigint, exact_inner_product bigint, "
         "total_a bigint, total_b bigint")
+
+
+def _q_cm_inner_product_rawlog(spark, sf_dir):
+    """Sketch × RAW-LOG inner product (cm.h:723-785): join-size estimate
+    between a BUILT sketch (src0) and src1's not-yet-sketched token stream,
+    in one pass over the raw log — no second sketch build. The estimate
+    equals the two-sketch estimate bit-for-bit (identity documented at
+    spark_build.inner_product_rawlog) and upper-bounds the exact Σ fa·fb."""
+    from sketchlib.spark_build import inner_product_rawlog
+    toks = _tokenized_docs(spark, sf_dir)
+    a = build_sketch(toks.filter(F.col("source") == "src0"), "tokens", CM_CFG)
+    raw_b = toks.filter(F.col("source") == "src1")
+    est_raw = inner_product_rawlog(spark, a.sketch, raw_b, "tokens")
+    b = build_sketch(raw_b, "tokens", CM_CFG)
+    est_two = a.sketch.inner_product(b.sketch)
+    w = _words(spark, sf_dir)
+    fa = (w.filter(F.col("source") == "src0").groupBy("word")
+          .agg(F.count("*").alias("fa")))
+    fb = (w.filter(F.col("source") == "src1").groupBy("word")
+          .agg(F.count("*").alias("fb")))
+    exact = (fa.join(fb, "word")
+             .agg(F.sum(F.col("fa") * F.col("fb")).alias("x"))
+             .collect()[0]["x"]) or 0
+    return spark.createDataFrame(
+        [(int(est_raw), int(est_two), int(exact),
+          est_raw == est_two, est_raw >= exact)],
+        "est_rawlog bigint, est_two_sketch bigint, exact_inner_product bigint, "
+        "rawlog_equals_two_sketch boolean, est_ge_exact boolean")
 
 
 def _q_hll_distinct_words(spark, sf_dir):
@@ -280,30 +337,12 @@ def _q_quantiles_sketch(spark, sf_dir):
 # -- training-data pipeline operators (sketchlib.pipeline / .similarity) ----
 
 def _q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard >= 0.5 pairs, integer-stable output
-    (3*common >= na+nb <=> jaccard >= 0.5; same shingling as
-    sketchlib.pipeline.ngram_jaccard_pairs). Oracle-checkable."""
-    from sketchlib import pipeline as P
-    ws = P.words_col(F.col("text"))
-    grams = F.when(
-        F.size(ws) >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 2),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, 3))))
-    ).otherwise(F.array().cast("array<string>"))
-    sh = (_docs(spark, sf_dir).select(F.col("doc_id"), grams.alias("grams"))
-          .filter(F.size("grams") > 0).withColumn("n_grams", F.size("grams")))
-    ex = sh.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (a.join(b, [F.col("a.gram") == F.col("b.gram"),
-                        F.col("a.doc_id") < F.col("b.doc_id")])
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"),
-                      F.col("a.n_grams").alias("na"),
-                      F.col("b.n_grams").alias("nb"))
-             .agg(F.count("*").alias("common")))
-    return (inter.filter(3 * F.col("common") >= F.col("na") + F.col("nb"))
-            .select("id_a", "id_b", "common", "na", "nb"))
+    """Exact 3-gram Jaccard >= 0.5 pairs, integer-stable output — delegates
+    to the library operator (single source of truth) with output="ints"
+    ((p+q)·common >= p·(na+nb) integer filter, float-free hash)."""
+    from sketchlib.pipeline import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5,
+                               output="ints")
 
 
 def _q_language_id(spark, sf_dir):
@@ -434,24 +473,100 @@ def _q_user_sessions(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means-lite coarse cells + nprobe search for vec_id=0's
-    embedding; returns (vec_id, rank) plus whether the result agrees with
-    exact brute force at each rank (rows-only: centroids are seeded)."""
-    from sketchlib.similarity import (ann_topk_bruteforce, ivf_topk,
-                                      train_ivf_centroids)
+    """IVF ANN the storage-pruning way: the table is written partitioned by
+    coarse cell once (ivf_write_index), then the probe reads ONLY the
+    n_probe cells' files via parquet partition pruning — no per-query
+    assignment pass. Returns (vec_id, rank) plus agreement with exact brute
+    force at each rank (rows-only: centroids are seeded)."""
+    import hashlib
+    import tempfile
+    from sketchlib.similarity import (ann_topk_bruteforce, ivf_topk_indexed,
+                                      ivf_write_index, train_ivf_centroids)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = emb.select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("embedding"))
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     cents = train_ivf_centroids(emb, "embedding", n_cells=16, seed=7)
-    approx = ivf_topk(emb, "embedding", "vec_id", q, cents,
-                      k=10, n_probe=8).collect()
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
+    idx_path = os.path.join(tempfile.gettempdir(), f"sketchlib_ivf_{key}")
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        ivf_write_index(emb, "embedding", "vec_id", cents, idx_path)
+    approx = ivf_topk_indexed(spark, idx_path, "embedding", "vec_id", q,
+                              cents, k=10, n_probe=8).collect()
     exact = {r["vec_id"] for r in
              ann_topk_bruteforce(emb, "embedding", "vec_id", q, k=10).collect()}
     return spark.createDataFrame(
         [(r["vec_id"], i + 1, r["vec_id"] in exact)
          for i, r in enumerate(approx)],
         "vec_id long, rank int, in_exact_topk boolean")
+
+
+def _q_distinct_words_by_source(spark, sf_dir):
+    """Exact per-source distinct-word counts — the exact-side companion of
+    the grouped HLL build (same grouped-aggregation shape, checkable)."""
+    return (_words(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.countDistinct("word").alias("n_distinct_words"),
+                 F.count("*").alias("n_word_occurrences")))
+
+
+def _q_word_doc_freq(spark, sf_dir):
+    """Document frequency per word (the IDF denominator): number of distinct
+    documents containing each word, plus total occurrences."""
+    w = _words(spark, sf_dir)
+    df_part = (w.select("doc_id", "word").distinct()
+               .groupBy("word").agg(F.count("*").alias("doc_freq")))
+    occ = w.groupBy("word").agg(F.count("*").alias("n_occurrences"))
+    return df_part.join(occ, "word").select("word", "doc_freq", "n_occurrences")
+
+
+def _q_top_bigrams(spark, sf_dir):
+    """Top-25 word bigrams by exact count (deterministic tie-break on the
+    bigram string) — the n=2 shingle domain the dedup operators build on."""
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (_docs(spark, sf_dir)
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "bigram").limit(25))
+
+
+def _q_n_chars_quantiles(spark, sf_dir):
+    """EXACT n_chars quantiles under an explicit discrete definition (value
+    at row_number floor(q*(n-1))+1 of the (n_chars, doc_id) sort) — the
+    exact companion of the KLL/t-digest/DDSketch quantile queries, engine-
+    agnostic because the rank rule is pinned, not each engine's default."""
+    import math as m
+    from pyspark.sql.window import Window
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    s = docs.select(
+        "n_chars",
+        F.row_number().over(
+            Window.orderBy("n_chars", "doc_id")).alias("rn"))
+    targets = [(q, int(m.floor(q * (n - 1))) + 1)
+               for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)]
+    tdf = spark.createDataFrame(targets, "q double, rn int")
+    return (s.join(F.broadcast(tdf), "rn")
+            .select("q", F.col("n_chars").alias("n_chars_at_q")))
+
+
+def _q_word_set_ops(spark, sf_dir):
+    """Set operations over the src0/src1 vocabularies: distinct sizes,
+    intersection, union — exact, one row (SURVEY §2.2 set-ops row)."""
+    w = _words(spark, sf_dir)
+    v0 = w.filter(F.col("source") == "src0").select("word").distinct()
+    v1 = w.filter(F.col("source") == "src1").select("word").distinct()
+    n0 = v0.count()
+    n1 = v1.count()
+    ni = v0.intersect(v1).count()
+    return spark.createDataFrame(
+        [(n0, n1, ni, n0 + n1 - ni)],
+        "n_src0 bigint, n_src1 bigint, n_intersect bigint, n_union bigint")
 
 
 def _q_windowed_event_counts(spark, sf_dir):
@@ -516,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_topk_words": _q_cm_topk_words,
         "cm_grouped_by_source": _q_cm_grouped_by_source,
         "cm_inner_product": _q_cm_inner_product,
+        "cm_inner_product_rawlog": _q_cm_inner_product_rawlog,
         "hll_distinct_words": _q_hll_distinct_words,
         "bloom_membership": _q_bloom_membership,
         "quantiles_sketch": _q_quantiles_sketch,
@@ -536,6 +652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_event_counts,
         "user_sessions": _q_user_sessions,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "distinct_words_by_source": _q_distinct_words_by_source,
+        "word_doc_freq": _q_word_doc_freq,
+        "top_bigrams": _q_top_bigrams,
+        "n_chars_quantiles": _q_n_chars_quantiles,
+        "word_set_ops": _q_word_set_ops,
     }
 
 
@@ -728,6 +849,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR) AS BIGINT) AS win_end_s,
                    event_type, COUNT(*) AS cnt
             FROM events GROUP BY 1, 2, 3
+        """,
+        "distinct_words_by_source": """
+            SELECT source,
+                   COUNT(DISTINCT word) AS n_distinct_words,
+                   COUNT(*) AS n_word_occurrences
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY source
+        """,
+        "word_doc_freq": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), f AS (SELECT doc_id, word FROM w WHERE word <> '')
+            SELECT word,
+                   COUNT(DISTINCT doc_id) AS doc_freq,
+                   COUNT(*) AS n_occurrences
+            FROM f GROUP BY word
+        """,
+        "top_bigrams": """
+            WITH ws AS (
+                SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ), g AS (
+                SELECT w[i] || ' ' || w[i+1] AS bigram
+                FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM ws WHERE len(w) >= 2)
+            )
+            SELECT bigram, COUNT(*) AS cnt FROM g
+            GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 25
+        """,
+        "n_chars_quantiles": """
+            WITH s AS (
+                SELECT n_chars,
+                       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+                FROM documents
+            ), n AS (SELECT COUNT(*) AS n FROM documents),
+            qs(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+            SELECT q, n_chars AS n_chars_at_q
+            FROM s, n, qs
+            WHERE rn = CAST(FLOOR(q * (n - 1)) AS INT) + 1
+        """,
+        "word_set_ops": """
+            WITH w AS (
+                SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), f AS (SELECT source, word FROM w WHERE word <> ''),
+            v0 AS (SELECT DISTINCT word FROM f WHERE source = 'src0'),
+            v1 AS (SELECT DISTINCT word FROM f WHERE source = 'src1'),
+            i AS (SELECT COUNT(*) AS ni FROM (SELECT word FROM v0 INTERSECT SELECT word FROM v1))
+            SELECT (SELECT COUNT(*) FROM v0) AS n_src0,
+                   (SELECT COUNT(*) FROM v1) AS n_src1,
+                   ni AS n_intersect,
+                   (SELECT COUNT(*) FROM v0) + (SELECT COUNT(*) FROM v1) - ni AS n_union
+            FROM i
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

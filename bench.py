@@ -72,8 +72,10 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     from sketchlib.countmin import CMConfig
-    from sketchlib.spark_build import (build_grouped, build_sketch,
-                                       build_sketch_parquet, point_query_col)
+    from sketchlib.spark_build import (build_grouped_parquet,
+                                       build_sketch_parquet,
+                                       inner_product_rawlog_parquet,
+                                       point_query_col)
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,8 +112,18 @@ def main() -> None:
     extra["cm_build_tokens_per_sec"] = round(res.sketch.n_items / timings["cm_build"], 1)
     extra["cm_build_total_tokens"] = res.sketch.n_items
 
+    # grouped build through the parquet-direct columnar source — the arrow
+    # DataFrame path bounces every token through a JVM row (~0.5 GB/s
+    # ceiling; 72.8 s vs 6.2 s for the global build in round 1)
     timed("cm_grouped_build",
-          lambda: build_grouped(toks, "source", "tokens", cfg).collect())
+          lambda: build_grouped_parquet(spark, tok_path, "source",
+                                        "tokens", cfg).collect())
+
+    # sketch × raw-log inner product: one columnar pass over the table,
+    # probing the built sketch (reference cm.h:723-785 semantics)
+    timed("cm_inner_product_rawlog",
+          lambda: inner_product_rawlog_parquet(spark, res.sketch, tok_path,
+                                               "tokens"))
 
     from pyspark.sql import functions as F
     probe_keys = toks.select(F.explode("tokens").alias("t")).limit(100_000)

@@ -19,7 +19,14 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 # on every expression. Raising the thresholds keeps the heap warm. The env
 # vars (MALLOC_MMAP_THRESHOLD_ etc.) only work if set before process start,
 # so apply mallopt directly; harmless no-op on non-glibc platforms.
+#
+# Process-wide side effect, so OPT-OUT-able: freed heap above the raised
+# thresholds stays resident, which a host application embedding this library
+# may not want. SKETCHLIB_MALLOC_TUNE=0 disables it (the repo's own
+# entrypoints and Spark workers keep the default-on fast path).
 def _tune_malloc() -> None:
+    if os.environ.get("SKETCHLIB_MALLOC_TUNE", "1") == "0":
+        return
     try:
         import ctypes
         libc = ctypes.CDLL(None, use_errno=True)

@@ -188,6 +188,26 @@ class CountMinSketch:
             est = np.minimum(est, self.table[j, cols[j]])
         return est.astype(np.int64)
 
+    def row_probe_sums(self, keys) -> np.ndarray:
+        """(d,) int64 — per-row Σ over keys of the probed counter
+        ``table[j, h_j(key)]`` (duplicates counted per occurrence). This is
+        the partial term of the sketch × raw-log inner product (cm.h:723-785):
+        min over rows of the summed probes estimates |R ⋈ S| where R is the
+        raw key stream. Σ_t f_R(t)·table[j,h_j(t)] equals the row-j dot
+        product with a sketch built from R, so partials sum across partitions
+        and the final min matches the two-sketch estimate exactly."""
+        keys_u64 = tokens_to_u64(np.asarray(keys))
+        out = np.zeros(self.cfg.depth, dtype=np.int64)
+        if keys_u64.shape[0] == 0:
+            return out
+        # pre-aggregate duplicates: skewed streams are ~90% dupes, and the
+        # gather then touches each distinct counter once
+        uniq, cnt = np.unique(keys_u64, return_counts=True)
+        cols = self._columns(uniq)
+        for j in range(self.cfg.depth):
+            out[j] = int(np.dot(self.table[j, cols[j]], cnt))
+        return out
+
     def inner_product(self, other: "CountMinSketch") -> int:
         """min over rows of per-row dot products (cm.h:810-815) — estimates
         the equi-join size |R ⋈ S| of the two underlying streams."""

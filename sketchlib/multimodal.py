@@ -55,25 +55,53 @@ def synth_media_table(spark: SparkSession, n: int = 300,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _real_decoders_available() -> bool:
+def _decode_image_real(payload: bytes) -> np.ndarray | None:
+    """Pillow decode when importable; None when the lib is absent or the
+    payload is not a parseable image (fall through to the fake decoder so
+    synthetic fixtures keep working in media-lib-equipped deployments)."""
     try:
-        import PIL  # noqa: F401
-        return True
+        import io
+
+        from PIL import Image
     except ImportError:
-        return False
+        return None
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception:
+        return None
+
+
+def _decode_audio_real(payload: bytes) -> np.ndarray | None:
+    try:
+        import io
+
+        import soundfile as sf
+    except ImportError:
+        return None
+    try:
+        data, _rate = sf.read(io.BytesIO(payload), dtype="float32")
+        return np.asarray(data, dtype=np.float32)
+    except Exception:
+        return None
 
 
 def decode_media(payload: bytes, meta: dict, kind: str) -> np.ndarray:
     """Decode one media payload to an ndarray.
 
-    REAL path requires Pillow/soundfile (absent in this container) ->
-    NotImplementedError; the FAKE path is deterministic (payload tiled into
-    the declared shape) so the distributed plumbing is fully testable.
-    """
-    if _real_decoders_available():
-        raise NotImplementedError(
-            "real decode wiring is intentionally left to deployments with "
-            "media libs; this container exercises the deterministic fake")
+    The REAL path (Pillow for images, soundfile for audio) is used whenever
+    those libraries import AND the payload parses; otherwise the
+    deterministic FAKE decoder (payload bytes tiled into the declared shape)
+    runs, so the distributed plumbing is fully testable in containers
+    without media libs — and against synthetic non-parseable fixtures."""
+    if kind == "image":
+        real = _decode_image_real(payload)
+        if real is not None:
+            return real
+    elif kind == "audio":
+        real = _decode_audio_real(payload)
+        if real is not None:
+            return real
     raw = np.frombuffer(payload, dtype=np.uint8)
     if kind == "image":
         h, w = max(meta["height"], 1), max(meta["width"], 1)

@@ -193,14 +193,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", *, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        output: str = "jaccard") -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs >= threshold.
 
     Pure Catalyst: per-doc distinct n-gram sets via sequence/transform,
     shingle-equality self-join, group-count intersection. SQL-expressible
     (DuckDB oracle in __spark_entry__). Quadratic in bucket sizes — the
     exact companion to minhash_lsh_pairs, for modest tables / verification.
+
+    The threshold filter runs in INTEGER arithmetic (threshold p/q:
+    ``(p+q)·common >= p·(na+nb)``, equivalent to jaccard >= p/q), so results
+    are exact at the boundary. ``output="jaccard"`` returns
+    (id_a, id_b, jaccard); ``output="ints"`` returns the integer-stable
+    (id_a, id_b, common, na, nb) — the shape the oracle-checked entry query
+    hashes (float-free).
     """
+    from fractions import Fraction
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = fr.numerator, fr.denominator
     ws = words_col(F.col(text_col))
     # sequence() descends when stop < start (docs shorter than n words) —
     # guard so such docs yield an empty gram set
@@ -224,10 +235,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                       F.col("a.n_grams").alias("na"),
                       F.col("b.n_grams").alias("nb"))
              .agg(F.count("*").alias("common")))
-    return (inter
+    kept = inter.filter(
+        (p + q) * F.col("common") >= p * (F.col("na") + F.col("nb")))
+    if output == "ints":
+        return kept.select("id_a", "id_b", "common", "na", "nb")
+    return (kept
             .withColumn("jaccard", F.col("common")
                         / (F.col("na") + F.col("nb") - F.col("common")))
-            .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -376,24 +390,35 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     """64-bit polynomial rolling hash of the UTF-8 bytes (base 257 mod 2^64)
     — an order-sensitive content fingerprint (md5 dedup is order-sensitive
     too but not incremental; a rolling hash supports streaming extension).
-    Vectorized per batch: one power table, one dot product per doc."""
+    Fully vectorized over the batch's flat byte buffer (same
+    offsets-segmentation technique as _shingle_hashes): h_doc =
+    Σ byte[i]·B^(len-1-i), evaluated as one power-table gather + one
+    segmented add.reduceat — no per-document Python loop."""
     B = np.uint64(257)
 
     def fn(pdf_iter):
         for pdf in pdf_iter:
             ids = pdf[id_col].to_numpy()
             out = np.zeros(len(ids), dtype=np.uint64)
-            texts = [t.encode("utf-8") for t in pdf[text_col]]
-            maxlen = max((len(t) for t in texts), default=1)
-            pows = np.ones(maxlen, dtype=np.uint64)  # pows[j] = B^j mod 2^64
-            if maxlen > 1:
-                np.multiply.accumulate(np.full(maxlen - 1, B, np.uint64),
-                                       out=pows[1:])
-            for i, tb in enumerate(texts):
-                if tb:
-                    arr = np.frombuffer(tb, dtype=np.uint8).astype(np.uint64)
-                    # h = sum(byte[i] * B^(n-1-i))
-                    out[i] = np.sum(arr * pows[len(tb) - 1::-1])
+            bufs = [t.encode("utf-8") for t in pdf[text_col]]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            total = int(lens.sum())
+            if total:
+                flat = np.frombuffer(b"".join(bufs), dtype=np.uint8
+                                     ).astype(np.uint64)
+                maxlen = int(lens.max())
+                pows = np.ones(maxlen, dtype=np.uint64)  # pows[j] = B^j
+                if maxlen > 1:
+                    np.multiply.accumulate(
+                        np.full(maxlen - 1, B, np.uint64), out=pows[1:])
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                doc_of = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+                pos = np.arange(total, dtype=np.int64) - starts[doc_of]
+                exps = lens[doc_of] - 1 - pos      # B^(len-1-i) per byte
+                nonempty = lens > 0
+                out[nonempty] = np.add.reduceat(   # uint64 wrap = mod 2^64
+                    flat * pows[exps], starts[nonempty])
             yield pd.DataFrame({id_col: ids,
                                 "fingerprint": out.astype(np.int64)})
 

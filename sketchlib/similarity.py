@@ -178,16 +178,45 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
         fn, schema=f"{id_col} long, cell int")
 
 
-def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
-             centroids: np.ndarray, *, k: int = 10,
-             n_probe: int = 4) -> DataFrame:
-    """ANN top-k probing the n_probe nearest IVF cells — partition pruning
-    for vector search (at scale the table is written partitioned by cell,
-    and this becomes a parquet partition filter)."""
+def _probe_cells(query_vec, centroids: np.ndarray, n_probe: int) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
     C = np.asarray(centroids, dtype=np.float64)
     d = np.square(C - q[None, :]).sum(axis=1)
-    cells = [int(c) for c in np.argsort(d)[:n_probe]]
+    return [int(c) for c in np.argsort(d)[:n_probe]]
+
+
+def ivf_write_index(df: DataFrame, vec_col: str, id_col: str,
+                    centroids: np.ndarray, path: str) -> None:
+    """Build the IVF index as STORAGE LAYOUT: the table is written
+    partitioned by nearest-centroid cell (hive-style ``cell=N/`` dirs), paid
+    once at ingest. Probes then read only the probed cells' files via
+    parquet partition pruning — no per-query assignment pass, no join. This
+    is the 100 TB shape: query cost scales with n_probe/n_cells of the
+    table, independent of total size."""
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    (df.join(assigned, id_col)
+       .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivf_topk_indexed(spark, index_path: str, vec_col: str, id_col: str,
+                     query_vec, centroids: np.ndarray, *, k: int = 10,
+                     n_probe: int = 4) -> DataFrame:
+    """ANN top-k over an ivf_write_index table. The ``cell`` filter is a
+    partition filter (asserted in tests/test_plans.py: the scan's
+    PartitionFilters carries it, files of unprobed cells are never opened)."""
+    cells = _probe_cells(query_vec, centroids, n_probe)
+    scan = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return ann_topk_bruteforce(scan, vec_col, id_col, query_vec, k=k)
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
+             centroids: np.ndarray, *, k: int = 10,
+             n_probe: int = 4) -> DataFrame:
+    """Ad-hoc (index-free) IVF probe: assigns cells on the fly and filters —
+    one full assignment pass per query, so ONLY for unindexed one-off
+    queries. The scale path is ivf_write_index + ivf_topk_indexed, where the
+    cell filter prunes parquet partitions instead."""
+    cells = _probe_cells(query_vec, centroids, n_probe)
     assigned = ivf_assign(df, vec_col, id_col, centroids)
     pruned = (df.join(assigned, id_col)
               .filter(F.col("cell").isin(cells)))

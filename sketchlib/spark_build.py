@@ -29,6 +29,8 @@ partials already exist.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import os
 import time
@@ -253,15 +255,26 @@ def _slice_assignments(rgs: list[tuple[str, int, int]], n_slices: int):
 # scale with row groups, so per-task parses are O(row_groups^2) total work
 # — measured as ~30% of all worker CPU before caching. Reused Python
 # workers keep this module imported, so the cache amortizes to one parse
-# per (worker, file).
+# per (worker, file). Entries are validated against os.stat (mtime_ns,
+# size): a file rewritten at the same path within a long-lived session is
+# reopened, not served stale. Bounded FIFO so worker fds don't accumulate.
 _PQ_FILE_CACHE: dict = {}
+_PQ_FILE_CACHE_MAX = 64
 
 
 def _pq_file(path: str):
     import pyarrow.parquet as pq
-    pf = _PQ_FILE_CACHE.get(path)
-    if pf is None:
-        pf = _PQ_FILE_CACHE[path] = pq.ParquetFile(path)
+    st = os.stat(path)
+    sig = (st.st_mtime_ns, st.st_size)
+    entry = _PQ_FILE_CACHE.get(path)
+    if entry is not None and entry[0] == sig:
+        return entry[1]
+    if entry is not None:
+        del _PQ_FILE_CACHE[path]
+    pf = pq.ParquetFile(path)
+    while len(_PQ_FILE_CACHE) >= _PQ_FILE_CACHE_MAX:
+        _PQ_FILE_CACHE.pop(next(iter(_PQ_FILE_CACHE)))
+    _PQ_FILE_CACHE[path] = (sig, pf)
     return pf
 
 
@@ -311,6 +324,55 @@ def _parquet_partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
     return fn
 
 
+def _rg_layout_digest(rgs: list[tuple[str, int, int]]) -> str:
+    h = hashlib.sha256()
+    for f, i, n in rgs:
+        h.update(f"{os.path.basename(f)}|{i}|{n}\n".encode())
+    return h.hexdigest()
+
+
+def _pin_checkpoint_slices(checkpoint_dir: str, rgs, n_slices: int) -> int:
+    """Persist (or validate against) the slice assignment of a checkpointed
+    build. Slice ids must mean the same row-group ranges across runs —
+    resuming under a different core count (defaultParallelism feeds the
+    n_slices default) or against rewritten data would otherwise reinterpret
+    completed pids and silently double-count/omit row groups. First run
+    records {n_slices, layout digest}; resumes reuse the recorded n_slices
+    and refuse a changed layout or a conflicting explicit n_slices."""
+    meta_path = os.path.join(checkpoint_dir, "SLICES.json")
+    digest = _rg_layout_digest(rgs)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["layout"] != digest:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was built against a different "
+                "parquet row-group layout; completed slice ids are not "
+                "transferable — use a fresh checkpoint_dir")
+        if n_slices is not None and n_slices != meta["n_slices"]:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} pinned n_slices="
+                f"{meta['n_slices']}, got explicit n_slices={n_slices}")
+        return int(meta["n_slices"])
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_slices": int(n_slices), "layout": digest}, f)
+    os.replace(tmp, meta_path)
+    return int(n_slices)
+
+
+def _default_n_slices(spark: SparkSession, n_rgs: int) -> int:
+    # ~4 tasks per core: the Python-worker framework costs ~0.2-0.3 s
+    # per task (measured via machine-busy minus in-task CPU), so
+    # row-group-sized tasks (~3M tokens) burn ~50% of worker CPU on
+    # overhead; ~4x-parallelism slices amortize it while keeping
+    # stragglers bounded. Explicit n_slices overrides (finer slices =
+    # finer checkpoint lineage).
+    par = spark.sparkContext.defaultParallelism
+    return min(n_rgs, max(4 * par, 1))
+
+
 def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
                          cfg: CMConfig, *, cu: bool = False,
                          fanout: int | None = None, n_slices: int | None = None,
@@ -320,21 +382,21 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
 
     Functionally identical (byte-identical result) to
     ``build_sketch(spark.read.parquet(path), ...)`` but ~5x faster: the token
-    arrays never pass through JVM rows. Slice assignments are deterministic
-    from the file's row-group layout, so ``checkpoint_dir`` resume skips
-    completed slices before any IO happens.
+    arrays never pass through JVM rows. With ``checkpoint_dir`` the slice
+    assignment is pinned in {checkpoint_dir}/SLICES.json on the first run, so
+    resume skips completed slices before any IO happens and is immune to a
+    changed core count or data layout (validated, not assumed).
     """
     t0 = time.perf_counter()
     rgs = _list_row_groups(path)
-    if n_slices is None:
-        # ~4 tasks per core: the Python-worker framework costs ~0.2-0.3 s
-        # per task (measured via machine-busy minus in-task CPU), so
-        # row-group-sized tasks (~3M tokens) burn ~50% of worker CPU on
-        # overhead; ~4x-parallelism slices amortize it while keeping
-        # stragglers bounded. Explicit n_slices overrides (finer slices =
-        # finer checkpoint lineage).
-        par = spark.sparkContext.defaultParallelism
-        n_slices = min(len(rgs), max(4 * par, 1))
+    if checkpoint_dir is not None:
+        pinned = _pin_checkpoint_slices(
+            checkpoint_dir.rstrip("/"), rgs,
+            n_slices if n_slices is not None
+            else _default_n_slices(spark, len(rgs)))
+        n_slices = pinned
+    elif n_slices is None:
+        n_slices = _default_n_slices(spark, len(rgs))
     n_slices, rows = _slice_assignments(rgs, n_slices)
 
     done = frozenset()
@@ -515,7 +577,22 @@ def collect_grouped(grouped_df: DataFrame) -> dict[str, CountMinSketch]:
 # batch point queries: broadcast sketch + scalar pandas UDF
 # ---------------------------------------------------------------------------
 
-_SKETCH_CACHE: dict[int, CountMinSketch] = {}
+# Worker-persistent deserialized sketches, keyed by CONTENT digest — never by
+# id(): a broadcast blob's id() can be reused by a later broadcast after GC,
+# which would silently serve the wrong sketch. The digest is computed once on
+# the driver (blobs are ~KB-MB) and shipped inside the UDF closure. Bounded
+# FIFO so long sessions with many sketches don't pin old tables.
+_SKETCH_CACHE: dict[str, object] = {}
+_SKETCH_CACHE_MAX = 16
+
+
+def _cached_sketch(digest: str, blob: bytes):
+    sk = _SKETCH_CACHE.get(digest)
+    if sk is None:
+        while len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+            _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
+        sk = _SKETCH_CACHE[digest] = serde.loads(bytes(blob))
+    return sk
 
 
 def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
@@ -523,18 +600,112 @@ def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
     against a broadcast ``sketch`` — vectorized, one deserialize per task."""
     from pyspark.sql.functions import pandas_udf
 
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    blob = sketch.to_bytes()
+    digest = hashlib.blake2b(blob, digest_size=16).hexdigest()
+    bc = spark.sparkContext.broadcast(blob)
 
     @pandas_udf("long")
     def est(keys: pd.Series) -> pd.Series:
-        blob = bc.value
-        cm = _SKETCH_CACHE.get(id(blob))
-        if cm is None:
-            cm = CountMinSketch.from_bytes(blob)
-            _SKETCH_CACHE[id(blob)] = cm
+        cm = _cached_sketch(digest, bc.value)
         return pd.Series(cm.point_query_batch(keys.to_numpy()))
 
     return est(key_col)
+
+
+def inner_product_rawlog(spark: SparkSession, sketch: CountMinSketch,
+                         df: DataFrame, tokens_col: str) -> int:
+    """Join-size estimate between a BUILT sketch and a raw, NOT-yet-sketched
+    token DataFrame, in one pass over the raw log — the reference's
+    sketch × raw-log innerProductQuery (cm.h:723-785: replay the update list
+    against the sketch, per-row Σ, then min over rows), without the
+    reference's chunked-path bugs (cm.h:653/767).
+
+    Identity used by the test suite: Σ_t f_R(t)·S[j, h_j(t)] is exactly the
+    row-j dot product of S with a sketch built from R, so this equals the
+    two-sketch estimate bit-for-bit — but skips the second build's shuffle
+    and memory. Per partition only a d-vector of partial sums moves.
+    """
+    blob = sketch.to_bytes()
+    digest = hashlib.blake2b(blob, digest_size=16).hexdigest()
+    bc = spark.sparkContext.broadcast(blob)
+    depth = sketch.cfg.depth
+
+    def fn(batches):
+        sums = np.zeros(depth, dtype=np.int64)
+        seen = False
+        col_idx = None
+        for batch in batches:
+            if col_idx is None:
+                col_idx = batch.schema.get_field_index(tokens_col)
+            toks = _flat_tokens(batch, col_idx)
+            if toks.shape[0]:
+                cm = _cached_sketch(digest, bc.value)
+                sums += cm.row_probe_sums(toks)
+                seen = True
+        if seen:
+            yield pa.RecordBatch.from_pydict(
+                {"sums": [sums.tolist()]},
+                schema=pa.schema([("sums", pa.list_(pa.int64()))]))
+
+    src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
+    rows = src.mapInArrow(fn, schema="sums array<long>").collect()
+    if not rows:
+        return 0
+    total = np.zeros(depth, dtype=np.int64)
+    for r in rows:
+        total += np.asarray(r["sums"], dtype=np.int64)
+    return int(total.min())
+
+
+def inner_product_rawlog_parquet(spark: SparkSession, sketch: CountMinSketch,
+                                 path: str, tokens_col: str, *,
+                                 n_slices: int | None = None) -> int:
+    """inner_product_rawlog over a parquet token table via the same
+    Python-side columnar row-group reads as build_sketch_parquet — the raw
+    log never passes through JVM rows, and per slice only a d-vector of
+    partial sums returns to the driver."""
+    blob = sketch.to_bytes()
+    digest = hashlib.blake2b(blob, digest_size=16).hexdigest()
+    bc = spark.sparkContext.broadcast(blob)
+    depth = sketch.cfg.depth
+
+    rgs = _list_row_groups(path)
+    if n_slices is None:
+        n_slices = _default_n_slices(spark, len(rgs))
+    n_slices, rows_assign = _slice_assignments(rgs, n_slices)
+
+    def fn(pdf_iter):
+        sums = np.zeros(depth, dtype=np.int64)
+        seen = False
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():  # tiny: one row per (slice, file)
+                pf = _pq_file(row["file"])
+                for rg in row["rgs"]:
+                    col = pf.read_row_group(int(rg), columns=[tokens_col],
+                                            use_threads=False).column(0)
+                    for chunk in col.chunks:
+                        flat = chunk.flatten()
+                        try:
+                            toks = flat.to_numpy(zero_copy_only=True)
+                        except pa.ArrowInvalid:
+                            toks = flat.to_numpy(zero_copy_only=False)
+                        if toks.shape[0]:
+                            cm = _cached_sketch(digest, bc.value)
+                            sums += cm.row_probe_sums(toks)
+                            seen = True
+        if seen:
+            yield pd.DataFrame({"sums": [sums.tolist()]})
+
+    assign = spark.createDataFrame(
+        rows_assign, "slice_id int, file string, rgs array<int>")
+    assign = assign.repartition(min(n_slices, len(rows_assign)))
+    rows = assign.mapInPandas(fn, schema="sums array<long>").collect()
+    if not rows:
+        return 0
+    total = np.zeros(depth, dtype=np.int64)
+    for r in rows:
+        total += np.asarray(r["sums"], dtype=np.int64)
+    return int(total.min())
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +852,7 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
 
     rgs = _list_row_groups(path)
     if n_slices is None:
-        n_slices = min(len(rgs), max(4 * spark.sparkContext.defaultParallelism, 1))
+        n_slices = _default_n_slices(spark, len(rgs))
     n_slices, rows_assign = _slice_assignments(rgs, n_slices)
 
     def partial_fn(pdf_iter):
@@ -764,8 +935,10 @@ def heavy_hitters(df: DataFrame, tokens_col: str, phi: float) -> DataFrame:
 
     src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
     cand_df = (src.mapInArrow(candidates_fn, schema="token int").distinct())
+    # global threshold from sum(size(tokens)) — scan-pruned, no explode job
+    # (an exploded .count() here was a third full pass over the stream)
+    total = src.agg(F.sum(F.size(tokens_col))).collect()[0][0] or 0
     exploded = src.select(F.explode(tokens_col).alias("token"))
-    total = exploded.count()
     return (exploded.join(F.broadcast(cand_df), "token")
             .groupBy("token").agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= F.lit(float(phi * total)))

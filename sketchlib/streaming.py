@@ -20,12 +20,53 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import serde
 from .spark_build import build_aggregator, build_grouped_aggregator
+
+
+# -- atomic versioned snapshots ------------------------------------------------
+# A snapshot (blobs + manifest) must become visible AS A UNIT: writing blobs
+# then the manifest in place leaves a crash window where blobs already carry
+# batch N while the manifest still says N-1, so foreachBatch replay folds
+# batch N twice. Instead every save writes a fresh ``v{batch_id}/`` dir and
+# atomically repoints a CURRENT file; a crash anywhere leaves CURRENT on the
+# previous complete snapshot, and Spark's replay of the uncommitted batch is
+# folded exactly once against it.
+
+def _snapshot_load_dir(snapshot_dir: str) -> str | None:
+    cur = os.path.join(snapshot_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        ver = f.read().strip()
+    vdir = os.path.join(snapshot_dir, ver)
+    return vdir if os.path.isdir(vdir) else None
+
+
+def _snapshot_commit(snapshot_dir: str, batch_id: int, write_fn) -> None:
+    """write_fn(tmpdir) populates the snapshot; then tmpdir -> v{batch_id}
+    and CURRENT is atomically repointed. Older versions are pruned."""
+    ver = f"v{batch_id}"
+    vdir = os.path.join(snapshot_dir, ver)
+    tmpdir = vdir + ".tmp"
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    os.makedirs(tmpdir)
+    write_fn(tmpdir)
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.rename(tmpdir, vdir)
+    cur = os.path.join(snapshot_dir, "CURRENT")
+    tmp = cur + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(ver)
+    os.replace(tmp, cur)
+    for name in os.listdir(snapshot_dir):
+        if name.startswith("v") and name != ver and not name.endswith(".tmp"):
+            shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
 
 class StreamingSketchBuilder:
@@ -38,32 +79,24 @@ class StreamingSketchBuilder:
         os.makedirs(snapshot_dir, exist_ok=True)
         self.sketch, self.last_batch_id = self._load()
 
-    # -- snapshot persistence (atomic rename; blob + manifest) ---------------
-    def _paths(self):
-        return (os.path.join(self.snapshot_dir, "sketch.bin"),
-                os.path.join(self.snapshot_dir, "MANIFEST.json"))
-
     def _load(self):
-        blob_path, man_path = self._paths()
-        if os.path.exists(blob_path) and os.path.exists(man_path):
-            with open(man_path) as f:
+        vdir = _snapshot_load_dir(self.snapshot_dir)
+        if vdir is not None:
+            with open(os.path.join(vdir, "MANIFEST.json")) as f:
                 man = json.load(f)
-            with open(blob_path, "rb") as f:
+            with open(os.path.join(vdir, "sketch.bin"), "rb") as f:
                 return serde.loads(f.read()), man["last_batch_id"]
         return self.factory(), -1
 
     def _save(self) -> None:
-        blob_path, man_path = self._paths()
-        tmp = blob_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(self.sketch.to_bytes())
-        os.replace(tmp, blob_path)
-        tmp = man_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch_id": self.last_batch_id,
-                       "n_items": self.sketch.n_items,
-                       "updated_at": time.time()}, f)
-        os.replace(tmp, man_path)
+        def write_fn(tmpdir):
+            with open(os.path.join(tmpdir, "sketch.bin"), "wb") as f:
+                f.write(self.sketch.to_bytes())
+            with open(os.path.join(tmpdir, "MANIFEST.json"), "w") as f:
+                json.dump({"last_batch_id": self.last_batch_id,
+                           "n_items": self.sketch.n_items,
+                           "updated_at": time.time()}, f)
+        _snapshot_commit(self.snapshot_dir, self.last_batch_id, write_fn)
 
     # -- the foreachBatch hook ------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -111,9 +144,13 @@ class WindowedSketchBuilder:
     """Per-event-time-window sketches maintained incrementally: each
     micro-batch builds grouped partials keyed by window start (distributed,
     map-side combined) and merges them into ``self.sketches[window_start]``.
-    Same exactly-once snapshot contract as StreamingSketchBuilder. Windows
-    older than ``retention_windows`` behind the max seen are finalized and
-    evicted (the sketch analogue of watermark state cleanup)."""
+    Same exactly-once snapshot contract as StreamingSketchBuilder — and the
+    snapshot carries BOTH live and finalized windows, so finalized results
+    survive restarts. Windows older than ``retention_windows`` behind the
+    max seen are finalized and evicted from the live set (the sketch
+    analogue of watermark state cleanup); late data for an
+    already-finalized window merges INTO the finalized sketch (never
+    replaces it)."""
 
     def __init__(self, factory, time_col: str, values_col: str,
                  snapshot_dir: str, *, window_seconds: int = 600,
@@ -130,32 +167,34 @@ class WindowedSketchBuilder:
         self.last_batch_id = -1
         self._load()
 
-    def _manifest_path(self):
-        return os.path.join(self.snapshot_dir, "MANIFEST.json")
-
     def _load(self) -> None:
-        man_path = self._manifest_path()
-        if not os.path.exists(man_path):
+        vdir = _snapshot_load_dir(self.snapshot_dir)
+        if vdir is None:
             return
-        with open(man_path) as f:
+        with open(os.path.join(vdir, "MANIFEST.json")) as f:
             man = json.load(f)
         self.last_batch_id = man["last_batch_id"]
         for ws in man["windows"]:
-            with open(os.path.join(self.snapshot_dir, f"w{ws}.bin"), "rb") as f:
+            with open(os.path.join(vdir, f"w{ws}.bin"), "rb") as f:
                 self.sketches[int(ws)] = serde.loads(f.read())
+        for ws in man.get("finalized", []):
+            with open(os.path.join(vdir, f"f{ws}.bin"), "rb") as f:
+                self.finalized[int(ws)] = f.read()
 
     def _save(self) -> None:
-        for ws, sk in self.sketches.items():
-            tmp = os.path.join(self.snapshot_dir, f"w{ws}.bin.tmp")
-            with open(tmp, "wb") as f:
-                f.write(sk.to_bytes())
-            os.replace(tmp, tmp[:-4])
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch_id": self.last_batch_id,
-                       "windows": sorted(self.sketches),
-                       "window_seconds": self.window_seconds}, f)
-        os.replace(tmp, self._manifest_path())
+        def write_fn(tmpdir):
+            for ws, sk in self.sketches.items():
+                with open(os.path.join(tmpdir, f"w{ws}.bin"), "wb") as f:
+                    f.write(sk.to_bytes())
+            for ws, blob in self.finalized.items():
+                with open(os.path.join(tmpdir, f"f{ws}.bin"), "wb") as f:
+                    f.write(blob)
+            with open(os.path.join(tmpdir, "MANIFEST.json"), "w") as f:
+                json.dump({"last_batch_id": self.last_batch_id,
+                           "windows": sorted(self.sketches),
+                           "finalized": sorted(self.finalized),
+                           "window_seconds": self.window_seconds}, f)
+        _snapshot_commit(self.snapshot_dir, self.last_batch_id, write_fn)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id:
@@ -168,6 +207,13 @@ class WindowedSketchBuilder:
         for r in grouped.collect():
             ws = int(r["key"])
             sk = serde.loads(bytes(r["sketch"]))
+            if ws in self.finalized:
+                # late slice for a finalized window: fold into the full
+                # finalized sketch (a fresh live sketch here would later
+                # evict and clobber it with only the late slice)
+                self.finalized[ws] = (
+                    serde.loads(self.finalized[ws]).merge(sk).to_bytes())
+                continue
             cur = self.sketches.get(ws)
             self.sketches[ws] = sk if cur is None else cur.merge(sk)
         if self.sketches:

@@ -162,3 +162,88 @@ def test_multimodal_plumbing(spark):
     vids = media.filter(F.col("kind") == "video").count()
     assert len({r["media_id"] for r in frames}) == vids
     assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+
+def test_doc_fingerprint_matches_definition(spark):
+    """The vectorized flat-buffer fingerprint must equal the scalar Horner
+    definition h = (h*257 + byte) mod 2^64 for every doc, including empty
+    and multi-byte-UTF-8 docs (guards the reduceat segmentation)."""
+    texts = ["", "a", "ab", "hello world", "ümlaut ♥ text",
+             "x" * 300]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in P.doc_fingerprint(df).collect()}
+    for i, t in enumerate(texts):
+        h = 0
+        for byte in t.encode("utf-8"):
+            h = (h * 257 + byte) % 2**64
+        expected = h - 2**64 if h >= 2**63 else h
+        assert got[i] == expected, (i, t)
+
+
+def test_ngram_jaccard_ints_output_consistent(docs):
+    """output="ints" must select exactly the pairs of the jaccard output,
+    with (p+q)*common >= p*(na+nb) equivalent to jaccard >= 0.5."""
+    jac = {(r["id_a"], r["id_b"])
+           for r in P.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    ints = P.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                 output="ints").collect()
+    assert {(r["id_a"], r["id_b"]) for r in ints} == jac
+    for r in ints:
+        assert 3 * r["common"] >= r["na"] + r["nb"]
+
+
+def test_ivf_indexed_matches_adhoc(vecs, spark, tmp_path):
+    """The partition-pruned index probe returns the same top-k as the ad-hoc
+    assignment path (same cells, same vectors)."""
+    df, base = vecs
+    cents = S.train_ivf_centroids(df, "embedding", n_cells=4, sample=40)
+    idx = str(tmp_path / "ivf_idx")
+    S.ivf_write_index(df, "embedding", "vec_id", cents, idx)
+    adhoc = [r["vec_id"] for r in
+             S.ivf_topk(df, "embedding", "vec_id", base[3], cents,
+                        k=3, n_probe=2).collect()]
+    indexed = [r["vec_id"] for r in
+               S.ivf_topk_indexed(spark, idx, "embedding", "vec_id", base[3],
+                                  cents, k=3, n_probe=2).collect()]
+    assert indexed == adhoc and indexed[0] == 3
+
+
+def test_multimodal_real_decoder_used_when_available(monkeypatch):
+    """Round-1 verdict #6: when an image library IS importable, decode_media
+    must use it (fake only as fallback). Prove with a stub PIL whose output
+    is distinguishable from the fake tiling."""
+    import sys
+    import types
+
+    sentinel = np.full((4, 4, 3), 123, dtype=np.uint8)
+
+    class _FakeImage:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return sentinel
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda fp: _FakeImage()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    meta = {"width": 16, "height": 16, "n_frames": 1,
+            "sample_rate": 0, "mime": "image/fake"}
+    out = M.decode_media(b"\x00" * 64, meta, "image")
+    assert np.array_equal(out, sentinel)  # real path taken, not the tiler
+
+    # and with no PIL importable the deterministic fake still runs
+    monkeypatch.setitem(sys.modules, "PIL", None)
+    monkeypatch.setitem(sys.modules, "PIL.Image", None)
+    fake = M.decode_media(b"\x00" * 64, meta, "image")
+    assert fake.shape == (16, 16, 3)

@@ -125,3 +125,28 @@ def test_relational_agg_uses_wholestage_codegen_and_partial_agg(spark, docs_path
     # final plan ("WholeStageCodegen subtrees" header + generated code)
     pc = plan_str(df, mode="codegen")
     assert "WholeStageCodegen" in pc, pc[:2000]
+
+
+def test_ivf_probe_uses_partition_filters(spark, tmp_path_factory):
+    """Round-1 verdict #5: the IVF index probe must prune at STORAGE level —
+    the scan's PartitionFilters carries the cell predicate, so files of
+    unprobed cells are never opened (no assignment join in the plan)."""
+    import numpy as np
+    from sketchlib.similarity import (ivf_topk_indexed, ivf_write_index,
+                                      train_ivf_centroids)
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, "embedding", n_cells=4, sample=60)
+    idx = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_write_index(df, "embedding", "vec_id", cents, idx)
+
+    probe = ivf_topk_indexed(spark, idx, "embedding", "vec_id", base[3],
+                             cents, k=3, n_probe=2)
+    p = plan_str(probe)
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], p
+    # no join against a computed assignment — pruning is the storage layout
+    assert "PythonMapInPandas" not in p, p

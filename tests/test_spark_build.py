@@ -169,3 +169,113 @@ def test_with_salt_splits_hot_key(spark, tokens_df):
     direct = {r["source"]: r["n"] for r in
               tokens_df.groupBy("source").agg(F2.count("*").alias("n")).collect()}
     assert two_phase == direct
+
+
+def test_point_query_cache_two_sketches_one_session(spark):
+    """Regression (round-1 verdict #2): two different sketches queried in one
+    session must each return their own estimates — the worker-side cache is
+    keyed by content digest, never by a reusable id()."""
+    cfg = CMConfig(eps=1e-2, delta=0.05, seed=1)
+    a = CountMinSketch(cfg)
+    a.update_batch(np.full(5, 7, dtype=np.int64))
+    b = CountMinSketch(cfg)
+    b.update_batch(np.full(11, 7, dtype=np.int64))
+    keys_df = spark.createDataFrame([(7,)], "token int")
+    ea = keys_df.withColumn(
+        "est", point_query_col(spark, a, F.col("token"))).collect()[0]["est"]
+    eb = keys_df.withColumn(
+        "est", point_query_col(spark, b, F.col("token"))).collect()[0]["est"]
+    assert (ea, eb) == (5, 11)
+
+
+def test_inner_product_rawlog_matches_two_sketch_and_bounds(spark, tokens_df):
+    """Sketch × raw-log inner product (cm.h:723-785 semantics): one pass over
+    the raw DataFrame must equal the two-sketch estimate bit-for-bit and
+    upper-bound the exact join size."""
+    from sketchlib.spark_build import inner_product_rawlog
+    a_df = tokens_df.filter(F.col("source") == "web")
+    b_df = tokens_df.filter(F.col("source") != "web")
+    a = build_sketch(a_df, "tokens", CFG)
+    b = build_sketch(b_df, "tokens", CFG)
+    est_raw = inner_product_rawlog(spark, a.sketch, b_df, "tokens")
+    assert est_raw == a.sketch.inner_product(b.sketch)
+
+    fa = (a_df.select(F.explode("tokens").alias("t"))
+          .groupBy("t").agg(F.count("*").alias("fa")))
+    fb = (b_df.select(F.explode("tokens").alias("t"))
+          .groupBy("t").agg(F.count("*").alias("fb")))
+    exact = (fa.join(fb, "t")
+             .agg(F.sum(F.col("fa") * F.col("fb")).alias("x"))
+             .collect()[0]["x"]) or 0
+    assert est_raw >= exact > 0
+
+
+def test_inner_product_rawlog_parquet_matches(spark, token_table_path):
+    from sketchlib.spark_build import (inner_product_rawlog,
+                                       inner_product_rawlog_parquet)
+    df = spark.read.parquet(token_table_path)
+    res = build_sketch(df, "tokens", CFG)
+    e1 = inner_product_rawlog(spark, res.sketch, df, "tokens")
+    e2 = inner_product_rawlog_parquet(spark, res.sketch, token_table_path,
+                                      "tokens")
+    assert e1 == e2 > 0
+
+
+@pytest.fixture(scope="module")
+def multi_rg_path(tmp_path_factory):
+    """A token table with several row groups (12.5k rows per group)."""
+    from sketchlib.datagen import generate_token_table
+    path = str(tmp_path_factory.mktemp("multirg") / "tok.parquet")
+    generate_token_table(path, rows=30_000, seed=77, dist="zipf")
+    return path
+
+
+def test_checkpoint_slices_pinned_across_parallelism(spark, multi_rg_path,
+                                                     tmp_path):
+    """ADVICE (high): checkpointed parquet builds pin their slice assignment
+    in SLICES.json — resume under a different (parallelism-derived) default
+    n_slices reuses the pinned assignment instead of reinterpreting pids,
+    a conflicting explicit n_slices is refused, and a changed row-group
+    layout is refused."""
+    from sketchlib.spark_build import build_sketch_parquet
+    ckpt = str(tmp_path / "ck")
+    full = build_sketch_parquet(spark, multi_rg_path, "tokens", CFG,
+                                n_slices=3, checkpoint_dir=ckpt)
+
+    with pytest.raises(ValueError, match="pinned n_slices"):
+        build_sketch_parquet(spark, multi_rg_path, "tokens", CFG,
+                             n_slices=2, checkpoint_dir=ckpt)
+
+    # default n_slices (would be 4*defaultParallelism) resolves to pinned 3
+    res = build_sketch_parquet(spark, multi_rg_path, "tokens", CFG,
+                               checkpoint_dir=ckpt)
+    assert res.sketch.to_bytes() == full.sketch.to_bytes()
+    assert sorted(res.lineage["pid"]) == sorted(full.lineage["pid"])
+
+    # changed row-group layout under the same checkpoint refuses to resume
+    other = str(tmp_path / "other.parquet")
+    from sketchlib.datagen import generate_token_table
+    generate_token_table(other, rows=2_000, seed=78, dist="zipf")
+    with pytest.raises(ValueError, match="row-group layout"):
+        build_sketch_parquet(spark, other, "tokens", CFG,
+                             checkpoint_dir=ckpt)
+
+
+def test_pq_file_cache_invalidates_on_rewrite(tmp_path):
+    """ADVICE (medium): the worker-side ParquetFile cache validates
+    (mtime_ns, size) — a file rewritten at the same path is reopened."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from sketchlib.spark_build import _pq_file
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), p)
+    pf1 = _pq_file(p)
+    assert pf1.metadata.num_rows == 3
+    assert _pq_file(p) is pf1  # cache hit while unchanged
+    import os
+    import time as _t
+    _t.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    pq.write_table(pa.table({"x": [1, 2, 3, 4, 5]}), p)
+    pf2 = _pq_file(p)
+    assert pf2 is not pf1
+    assert pf2.metadata.num_rows == 5

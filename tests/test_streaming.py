@@ -149,3 +149,54 @@ def test_windowed_sketch_builder(spark, tmp_path):
                                str(tmp_path / "ws_snap"), window_seconds=3600)
     assert {w: s.to_bytes() for w, s in b2.sketches.items()} == snap0
     assert b2.last_batch_id == 0
+
+
+def test_windowed_finalized_persist_and_late_merge(spark, tmp_path):
+    """ADVICE fixes: finalized windows survive a restart (persisted in the
+    versioned snapshot), and late data for a finalized window merges INTO
+    the finalized sketch instead of seeding a fresh live one."""
+    from pyspark.sql import functions as F
+    from sketchlib.streaming import WindowedSketchBuilder
+    from sketchlib import serde
+
+    snap = str(tmp_path / "fin_snap")
+    b = WindowedSketchBuilder(_cm_factory, "ts", "tokens", snap,
+                              window_seconds=3600, retention_windows=1)
+
+    def at_hour(h, seed):
+        inbox = str(tmp_path / f"fin_in_{seed}")
+        os.makedirs(inbox, exist_ok=True)
+        generate_token_table(f"{inbox}/p.parquet", rows=100, seed=seed,
+                             dist="zipf")
+        return (spark.read.parquet(inbox)
+                .withColumn("ts", F.to_timestamp(
+                    F.lit(f"2024-01-01 {h:02d}:30:00"))))
+
+    b.process_batch(at_hour(0, 21), 0)          # window h0 live
+    b.process_batch(at_hour(3, 22), 1)          # h3 arrives; h0 finalized
+    assert b.finalized and not any(w in b.sketches for w in b.finalized)
+    h0 = min(b.finalized)
+    fin_before = b.finalized[h0]
+
+    # restart: finalized state must reload from the snapshot
+    b2 = WindowedSketchBuilder(_cm_factory, "ts", "tokens", snap,
+                               window_seconds=3600, retention_windows=1)
+    assert b2.finalized.get(h0) == fin_before
+    assert b2.last_batch_id == 1
+
+    # late slice for the finalized h0 merges into it (not a fresh sketch)
+    late = at_hour(0, 23)
+    b2.process_batch(late, 2)
+    assert h0 not in b2.sketches
+    merged = serde.loads(b2.finalized[h0])
+    base = serde.loads(fin_before)
+    late_items = int(late.select(
+        F.sum(F.size("tokens"))).collect()[0][0])
+    assert merged.n_items == base.n_items + late_items
+
+    # and a crashed-looking partial snapshot never surfaces: CURRENT still
+    # points at a complete versioned dir after every save
+    cur = os.path.join(snap, "CURRENT")
+    with open(cur) as f:
+        ver = f.read().strip()
+    assert os.path.exists(os.path.join(snap, ver, "MANIFEST.json"))
