@@ -286,6 +286,34 @@ def _q_hll_distinct_words(spark, sf_dir):
         "n_distinct_exact bigint, hll_est double, rel_err double, within_bound boolean")
 
 
+def _q_hll_grouped_by_source(spark, sf_dir):
+    """Per-source HLL distinct-token estimates via the grouped mergeable
+    aggregator (map-side combined, sparse-aware partial blobs) vs exact
+    per-source distinct counts with the published-bound flag — the
+    rows-only sketch twin of the oracle-checked distinct_words_by_source."""
+    import functools
+    from sketchlib import serde as SD
+    from sketchlib.hll import HllSketch
+    from sketchlib.spark_build import build_grouped_aggregator
+    toks = _tokenized_docs(spark, sf_dir)
+    grouped = build_grouped_aggregator(
+        toks, "source", "tokens", functools.partial(HllSketch, p=14)).collect()
+    exact = {r["source"]: r["n"] for r in
+             _words(spark, sf_dir).groupBy("source")
+             .agg(F.countDistinct("word").alias("n")).collect()}
+    rows = []
+    for r in sorted(grouped, key=lambda r: r["key"]):
+        sk = SD.loads(bytes(r["sketch"]))
+        est = float(sk.estimate())
+        ex = int(exact.get(r["key"], 0))
+        rel = abs(est - ex) / max(ex, 1)
+        rows.append((r["key"], ex, est, float(rel),
+                     bool(rel < 3 * 1.04 / (sk.m ** 0.5))))
+    return spark.createDataFrame(
+        rows, "source string, n_distinct_exact bigint, hll_est double, "
+              "rel_err double, within_bound boolean")
+
+
 def _q_bloom_membership(spark, sf_dir):
     """Bloom filter over src0's words; probe all words: no false negatives,
     bounded false-positive rate (rows-only)."""
@@ -633,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_inner_product": _q_cm_inner_product,
         "cm_inner_product_rawlog": _q_cm_inner_product_rawlog,
         "hll_distinct_words": _q_hll_distinct_words,
+        "hll_grouped_by_source": _q_hll_grouped_by_source,
         "bloom_membership": _q_bloom_membership,
         "quantiles_sketch": _q_quantiles_sketch,
         "ngram_jaccard_pairs": _q_ngram_jaccard,

@@ -40,6 +40,7 @@ import numpy as np
 from .hashing import accumulate_into, columns_into, seed_schedule, tokens_to_u64
 
 _MAGIC = b"CMSK"
+_MAGIC_SPARSE = b"CMSP"
 _VERSION = 1
 
 
@@ -254,6 +255,39 @@ class CountMinSketch:
         payload = np.ascontiguousarray(self.table, dtype="<i8").tobytes()
         return head + seeds + payload
 
+    def to_bytes_sparse(self) -> bytes:
+        """Sparse (flat-index, value) encoding — the reference's Hashtable
+        backend idea (cm.h:199-253) applied where it matters in the Spark
+        topology: PARTIAL blobs of grouped builds, where a (partition, key)
+        slice touching few distinct tokens would otherwise ship a full
+        d×w×8-byte dense table through the merge shuffle. Merge stages
+        dispatch by magic, so sparse partials and dense partials mix freely;
+        final merged sketches always serialize dense (byte-identity)."""
+        cfg = self.cfg
+        flat = self.table.ravel()
+        idx = np.flatnonzero(flat)
+        head = struct.pack(
+            "<4sHHqqddqqq",
+            _MAGIC_SPARSE, _VERSION, 0,
+            cfg.width, cfg.depth,
+            cfg.eps, cfg.delta,
+            cfg.seed, self.n_items, self.total_count,
+        )
+        seeds = np.asarray(cfg.row_seeds, dtype="<u4").tobytes()
+        nnz = struct.pack("<q", idx.shape[0])
+        return (head + seeds + nnz
+                + idx.astype("<i8").tobytes()
+                + flat[idx].astype("<i8").tobytes())
+
+    def to_bytes_auto(self) -> bytes:
+        """Sparse when it is smaller (16 bytes/nonzero vs 8 bytes/counter),
+        dense otherwise — used for partial blobs; queries/merges accept
+        either form."""
+        nnz = int(np.count_nonzero(self.table))
+        if 16 * nnz < 8 * self.cfg.depth * self.cfg.width:
+            return self.to_bytes_sparse()
+        return self.to_bytes()
+
     @staticmethod
     def from_bytes(buf: bytes) -> "CountMinSketch":
         head_size = struct.calcsize("<4sHHqqddqqq")
@@ -261,12 +295,23 @@ class CountMinSketch:
             raise ValueError("bad CountMinSketch serialization (truncated)")
         magic, ver, _, w, d, eps, delta, seed, n_items, total = struct.unpack(
             "<4sHHqqddqqq", buf[:head_size])
-        if magic != _MAGIC or ver != _VERSION:
+        if magic not in (_MAGIC, _MAGIC_SPARSE) or ver != _VERSION:
             raise ValueError("bad CountMinSketch serialization")
         off = head_size
         seeds = tuple(np.frombuffer(buf[off:off + 4 * d], dtype="<u4").tolist())
         off += 4 * d
-        table = np.frombuffer(buf[off:off + 8 * d * w], dtype="<i8").reshape(d, w).astype(np.int64)
+        if magic == _MAGIC_SPARSE:
+            (nnz,) = struct.unpack("<q", buf[off:off + 8])
+            off += 8
+            idx = np.frombuffer(buf[off:off + 8 * nnz], dtype="<i8")
+            off += 8 * nnz
+            vals = np.frombuffer(buf[off:off + 8 * nnz], dtype="<i8")
+            table = np.zeros(d * w, dtype=np.int64)
+            table[idx] = vals
+            table = table.reshape(d, w)
+        else:
+            table = np.frombuffer(buf[off:off + 8 * d * w],
+                                  dtype="<i8").reshape(d, w).astype(np.int64)
         cfg = CMConfig(eps=eps, delta=delta, seed=seed)
         assert cfg.width == w and cfg.depth == d and cfg.row_seeds == seeds
         return CountMinSketch(cfg, table, n_items=n_items, total_count=total)

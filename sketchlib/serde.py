@@ -13,6 +13,7 @@ from .tdigest import TDigest
 
 _REGISTRY = {
     b"CMSK": CountMinSketch,
+    b"CMSP": CountMinSketch,   # sparse partial encoding (same class)
     b"HLL1": HllSketch,
     b"BLM1": BloomFilter,
     b"DDS1": DDSketch,
@@ -27,3 +28,13 @@ def loads(buf: bytes):
     if cls is None:
         raise ValueError(f"unknown sketch magic {bytes(buf[:4])!r}")
     return cls.from_bytes(buf)
+
+
+def dumps_partial(sk) -> bytes:
+    """Serialize a PARTIAL blob (shuffle-bound, merged downstream): uses the
+    sketch's size-adaptive encoding when it has one (Count-Min sparse
+    triples for slices that touch few counters), dense otherwise. Final
+    results must keep using to_bytes() — its dense form is the byte-
+    identity contract."""
+    f = getattr(sk, "to_bytes_auto", None)
+    return f() if f is not None else sk.to_bytes()

@@ -516,7 +516,7 @@ def _grouped_partial_builder(cfg: CMConfig, key_col: str, tokens_col: str, cu: b
             yield pa.RecordBatch.from_pydict({
                 "key": ordered,
                 "pid": [pid] * len(ordered),
-                "sketch": [sketches[k].to_bytes() for k in ordered],
+                "sketch": [serde.dumps_partial(sketches[k]) for k in ordered],
                 "n_rows": [rows[k] for k in ordered],
                 "n_items": [sketches[k].n_items for k in ordered],
                 "total_count": [sketches[k].total_count for k in ordered],
@@ -813,7 +813,7 @@ def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
             yield pa.RecordBatch.from_pydict({
                 "key": ordered,
                 "pid": [pid] * len(ordered),
-                "sketch": [sketches[k].to_bytes() for k in ordered],
+                "sketch": [serde.dumps_partial(sketches[k]) for k in ordered],
                 "n_rows": [rows[k] for k in ordered],
                 "n_items": [sketches[k].n_items for k in ordered],
                 "total_count": [getattr(sketches[k], "total_count", 0) for k in ordered],
@@ -879,7 +879,7 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
                 yield pd.DataFrame({
                     "key": ordered,
                     "pid": [slice_id] * len(ordered),
-                    "sketch": [sketches[k].to_bytes() for k in ordered],
+                    "sketch": [serde.dumps_partial(sketches[k]) for k in ordered],
                     "n_rows": [rows[k] for k in ordered],
                     "n_items": [sketches[k].n_items for k in ordered],
                     "total_count": [getattr(sketches[k], "total_count", 0)

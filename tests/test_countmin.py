@@ -196,3 +196,34 @@ def test_error_histogram_reproducible():
     h1, h2 = run(), run()
     assert np.array_equal(h1, h2)          # deterministic, like seeded bench
     assert h1[0] >= 0.95 * h1.sum()        # nearly all queries exact at this eps
+
+
+def test_sparse_serialization_roundtrip_and_auto():
+    """Sparse partial encoding (CMSP): roundtrips to the identical dense
+    sketch, is much smaller for slices touching few counters, auto-selects
+    by size, and merges interchangeably with dense blobs."""
+    from sketchlib import serde
+    cfg = CMConfig(eps=1e-3, delta=0.01, seed=7)
+    cm = CountMinSketch(cfg)
+    cm.update_batch(np.arange(50, dtype=np.int64))
+    blob = cm.to_bytes_sparse()
+    assert blob[:4] == b"CMSP"
+    assert len(blob) < len(cm.to_bytes()) / 10
+    rt = CountMinSketch.from_bytes(blob)
+    assert rt.to_bytes() == cm.to_bytes()
+    assert cm.to_bytes_auto()[:4] == b"CMSP"
+
+    # near-full table: auto stays dense (sparse would be larger)
+    dense_cfg = CMConfig(eps=0.5, delta=0.5, seed=7)
+    big = CountMinSketch(dense_cfg)
+    big.update_batch(np.arange(10_000, dtype=np.int64) % 1000)
+    assert big.to_bytes_auto()[:4] == b"CMSK"
+
+    # serde dispatch + mixed-encoding merge == pure-dense merge
+    m = serde.loads(cm.to_bytes_sparse()).merge(serde.loads(cm.to_bytes()))
+    two = CountMinSketch(cfg)
+    two.update_batch(np.arange(50, dtype=np.int64))
+    two.update_batch(np.arange(50, dtype=np.int64))
+    assert m.to_bytes() == two.to_bytes()
+    # dumps_partial picks the compact form for sketches that support it
+    assert serde.dumps_partial(cm)[:4] == b"CMSP"
