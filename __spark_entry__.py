@@ -286,6 +286,37 @@ def _q_hll_distinct_words(spark, sf_dir):
         "n_distinct_exact bigint, hll_est double, rel_err double, within_bound boolean")
 
 
+def _q_cm_sketch_table_probe(spark, sf_dir):
+    """Sketch-AS-TABLE build (counters as a distributed (row, col, cnt)
+    DataFrame — the scale path when d×w×8 bytes exceeds executor memory,
+    cm.h:440-467's block partitioning restated as a Spark shuffle) probed
+    via the join-based point query; estimates must equal the dense build's
+    bit-for-bit (rows-only: hash-family specific)."""
+    from sketchlib.spark_build import build_sketch_table, point_query_table
+    import numpy as np
+    tight = CMConfig(eps=2e-3, delta=0.05, seed=1337)
+    toks = _tokenized_docs(spark, sf_dir)
+    tbl = build_sketch_table(toks, "tokens", tight)
+    dense = build_sketch(toks, "tokens", tight)
+    top = (_words(spark, sf_dir).groupBy("word")
+           .agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), "word").limit(10))
+    probe = top.select(_word_token(F.col("word")).alias("t"), "word",
+                       "exact_cnt")
+    est = point_query_table(tbl, probe, "t", tight)
+    rows = (probe.join(est, "t")
+            .select("t", "word", "exact_cnt",
+                    F.col("est").alias("est_table")).collect())
+    keys = np.array([r["t"] for r in rows], dtype=np.int64)
+    dense_est = dense.sketch.point_query_batch(keys)
+    return spark.createDataFrame(
+        [(r["word"], r["exact_cnt"], r["est_table"],
+          bool(r["est_table"] == int(d)))
+         for r, d in sorted(zip(rows, dense_est),
+                            key=lambda p: (-p[0]["exact_cnt"], p[0]["word"]))],
+        "word string, exact_cnt bigint, est_table bigint, equals_dense boolean")
+
+
 def _q_hll_grouped_by_source(spark, sf_dir):
     """Per-source HLL distinct-token estimates via the grouped mergeable
     aggregator (map-side combined, sparse-aware partial blobs) vs exact
@@ -660,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_grouped_by_source": _q_cm_grouped_by_source,
         "cm_inner_product": _q_cm_inner_product,
         "cm_inner_product_rawlog": _q_cm_inner_product_rawlog,
+        "cm_sketch_table_probe": _q_cm_sketch_table_probe,
         "hll_distinct_words": _q_hll_distinct_words,
         "hll_grouped_by_source": _q_hll_grouped_by_source,
         "bloom_membership": _q_bloom_membership,

@@ -44,6 +44,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .countmin import CMConfig, CountMinSketch
+from .hashing import columns_into, tokens_to_u64
 from . import serde
 
 _PARTIAL_SCHEMA = (
@@ -899,6 +900,113 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
     return (level1.groupBy("key")
             .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
                            schema=_GROUPED_MERGED_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# sketch-as-table: counters as a DataFrame, for ε too small for dense blobs
+# ---------------------------------------------------------------------------
+# The reference handles sketches larger than RAM by block-partitioning the
+# counter array across 1 MB disk chunks with per-chunk buffers
+# (cm.h:440-467, 523-530). The Spark-native restatement: make the COUNTERS
+# a DataFrame (row, col, cnt), hash-partitioned by the shuffle — the
+# cluster's partitioning IS the block layout, and no single executor ever
+# materializes d×w×8 bytes. Used when ε is so small (ε≈1e-8 → ~2 GB dense)
+# that the dense-partial topology above stops fitting; for ordinary ε the
+# dense path is strictly faster (no counter shuffle at all).
+
+_TRIPLE_SCHEMA = "row int, col bigint, cnt bigint"
+_TRIPLE_PA_SCHEMA = pa.schema([
+    ("row", pa.int32()), ("col", pa.int64()), ("cnt", pa.int64())])
+
+
+def _triple_builder(cfg: CMConfig, tokens_col: str):
+    depth = cfg.depth
+
+    def fn(batches):
+        acc_cols = [[] for _ in range(depth)]
+        acc_cnts = [[] for _ in range(depth)]
+        col_idx = None
+        for batch in batches:
+            if col_idx is None:
+                col_idx = batch.schema.get_field_index(tokens_col)
+            toks = _flat_tokens(batch, col_idx)
+            if not toks.shape[0]:
+                continue
+            uniq, cnt = np.unique(toks, return_counts=True)
+            u64 = tokens_to_u64(uniq)
+            for j, s in enumerate(cfg.row_seeds):
+                cols = np.empty(u64.shape[0], dtype=np.int64)
+                columns_into(u64, s, cfg.width, cols)
+                acc_cols[j].append(cols)
+                acc_cnts[j].append(cnt.astype(np.int64))
+        rows_o, cols_o, cnts_o = [], [], []
+        for j in range(depth):
+            if not acc_cols[j]:
+                continue
+            c = np.concatenate(acc_cols[j])
+            w = np.concatenate(acc_cnts[j])
+            uc, inv = np.unique(c, return_inverse=True)
+            agg = np.bincount(inv, weights=w).astype(np.int64)
+            rows_o.append(np.full(uc.shape[0], j, dtype=np.int32))
+            cols_o.append(uc)
+            cnts_o.append(agg)
+        if rows_o:
+            yield pa.RecordBatch.from_pydict({
+                "row": np.concatenate(rows_o),
+                "col": np.concatenate(cols_o),
+                "cnt": np.concatenate(cnts_o),
+            }, schema=_TRIPLE_PA_SCHEMA)
+    return fn
+
+
+def build_sketch_table(df: DataFrame, tokens_col: str,
+                       cfg: CMConfig) -> DataFrame:
+    """Count-Min build whose RESULT is a distributed counter table
+    (row, col, cnt) instead of a dense blob — for configs where d×w×8 bytes
+    exceeds executor memory. Stage 1 pre-aggregates (row, col) hits per
+    input partition (map-side combine: at most d × distinct_tokens triples
+    shuffle per partition, never raw tokens); the groupBy-sum is Spark's
+    hash shuffle playing the reference's block-partitioned layout. The
+    counter values are IDENTICAL to the dense build's table (same
+    placement, same addition), verified in tests."""
+    src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
+    triples = src.mapInArrow(_triple_builder(cfg, tokens_col),
+                             schema=_TRIPLE_SCHEMA)
+    return (triples.groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def point_query_table(sketch_table: DataFrame, keys_df: DataFrame,
+                      key_col: str, cfg: CMConfig) -> DataFrame:
+    """Point queries against a build_sketch_table result: each probe key
+    expands to its d (row, col) addresses (vectorized hash in one
+    mapInPandas), left-joins the counter table (missing counter = 0, like
+    the reference's sparse backends, cm.h:550-557), and takes the min over
+    rows. Returns (key, est). The join touches d rows per probe —
+    broadcastable for small probe sets, shuffle-join for bulk scoring."""
+    depth = cfg.depth
+
+    def probes_fn(pdf_iter):
+        for pdf in pdf_iter:
+            keys = pdf[key_col].to_numpy()
+            u64 = tokens_to_u64(keys)
+            out_k, out_r, out_c = [], [], []
+            for j, s in enumerate(cfg.row_seeds):
+                cols = np.empty(u64.shape[0], dtype=np.int64)
+                columns_into(u64, s, cfg.width, cols)
+                out_k.append(keys)
+                out_r.append(np.full(keys.shape[0], j, dtype=np.int32))
+                out_c.append(cols)
+            yield pd.DataFrame({key_col: np.concatenate(out_k),
+                                "row": np.concatenate(out_r),
+                                "col": np.concatenate(out_c)})
+
+    probes = keys_df.select(key_col).distinct().mapInPandas(
+        probes_fn, schema=f"{key_col} long, row int, col bigint")
+    joined = (probes.join(sketch_table, ["row", "col"], "left")
+              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    return (joined.groupBy(key_col)
+            .agg(F.min("cnt").alias("est")))
 
 
 # ---------------------------------------------------------------------------

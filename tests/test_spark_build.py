@@ -279,3 +279,26 @@ def test_pq_file_cache_invalidates_on_rewrite(tmp_path):
     pf2 = _pq_file(p)
     assert pf2 is not pf1
     assert pf2.metadata.num_rows == 5
+
+
+def test_sketch_table_equals_dense(spark, tokens_df):
+    """The sketch-as-table build (counters as a distributed DataFrame, for
+    ε too small for dense partials) must produce EXACTLY the dense build's
+    counter matrix, and its join-based point queries must equal the dense
+    sketch's estimates."""
+    from sketchlib.spark_build import build_sketch_table, point_query_table
+    cfg = CMConfig(eps=1e-2, delta=0.05, seed=1337)
+    dense = build_sketch(tokens_df, "tokens", cfg)
+    tbl = build_sketch_table(tokens_df, "tokens", cfg)
+    mat = np.zeros((cfg.depth, cfg.width), dtype=np.int64)
+    for r in tbl.collect():
+        mat[r["row"], r["col"]] = r["cnt"]
+    assert np.array_equal(mat, dense.sketch.table)
+
+    some = (tokens_df.select(F.explode("tokens").alias("t"))
+            .distinct().limit(200))
+    est = {r["t"]: r["est"]
+           for r in point_query_table(tbl, some, "t", cfg).collect()}
+    keys = np.fromiter(est.keys(), dtype=np.int64)
+    dense_est = dense.sketch.point_query_batch(keys)
+    assert all(est[int(k)] == e for k, e in zip(keys, dense_est))
