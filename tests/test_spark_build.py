@@ -302,3 +302,26 @@ def test_sketch_table_equals_dense(spark, tokens_df):
     keys = np.fromiter(est.keys(), dtype=np.int64)
     dense_est = dense.sketch.point_query_batch(keys)
     assert all(est[int(k)] == e for k, e in zip(keys, dense_est))
+
+
+def test_sources_resolution(spark, token_table_path, tmp_path):
+    """Source adapter: parquet passes through; an Iceberg-shaped directory
+    without the Iceberg runtime is refused loudly (reading its data files
+    directly would resurrect snapshot-deleted rows); Iceberg identifiers
+    demand the runtime."""
+    from sketchlib import sources
+    df = sources.read_table(spark, token_table_path)
+    assert df.count() == spark.read.parquet(token_table_path).count()
+    assert sources.parquet_scan_path(token_table_path) == token_table_path
+
+    fake_iceberg = tmp_path / "tbl"
+    (fake_iceberg / "metadata").mkdir(parents=True)
+    (fake_iceberg / "metadata" / "v1.metadata.json").write_text("{}")
+    (fake_iceberg / "data").mkdir()
+    if not sources._iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            sources.read_table(spark, str(fake_iceberg))
+        with pytest.raises(RuntimeError, match="runtime"):
+            sources.read_table(spark, "iceberg:db.tokens")
+    assert sources.parquet_scan_path(str(fake_iceberg)) is None
+    assert sources.parquet_scan_path("iceberg:db.tokens") is None
