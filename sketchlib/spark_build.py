@@ -160,7 +160,12 @@ def build_sketch(df: DataFrame, tokens_col: str, cfg: CMConfig, *,
 
     ``checkpoint_dir`` makes the build resumable: stage-1 partials are
     appended to ``{checkpoint_dir}/partials`` keyed by partition id; a rerun
-    skips partitions already present and merges old + new.
+    skips partitions already present and merges old + new. CAVEAT: pids here
+    are the DataFrame's partition ids, so resume is only sound if the rerun
+    reproduces the same partitioning (same input files, same
+    maxPartitionBytes, no repartition change). For layout-pinned resume that
+    validates this instead of assuming it, use ``build_sketch_parquet``
+    (slice assignment persisted in SLICES.json).
     """
     t0 = time.perf_counter()
     src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
@@ -611,6 +616,29 @@ def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
         return pd.Series(cm.point_query_batch(keys.to_numpy()))
 
     return est(key_col)
+
+
+def register_sql_udfs(spark: SparkSession, sketches: dict) -> None:
+    """Expose broadcast point-query UDFs to the SQL surface: after
+    ``register_sql_udfs(spark, {"cm_est": sketch})``,
+    ``spark.sql("SELECT token, cm_est(token) FROM t")`` probes the sketch
+    with the same digest-cached, Arrow-vectorized path as point_query_col.
+    Any sketchlib sketch with ``point_query_batch`` works (CM standard or
+    conservative-update)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def make_probe(digest: str, bc):
+        @pandas_udf("long")
+        def est(keys: pd.Series) -> pd.Series:
+            cm = _cached_sketch(digest, bc.value)
+            return pd.Series(cm.point_query_batch(keys.to_numpy()))
+        return est
+
+    for name, sketch in sketches.items():
+        blob = sketch.to_bytes()
+        digest = hashlib.blake2b(blob, digest_size=16).hexdigest()
+        spark.udf.register(
+            name, make_probe(digest, spark.sparkContext.broadcast(blob)))
 
 
 def inner_product_rawlog(spark: SparkSession, sketch: CountMinSketch,

@@ -150,3 +150,21 @@ def test_ivf_probe_uses_partition_filters(spark, tmp_path_factory):
     assert pf and "cell" in pf[0], p
     # no join against a computed assignment — pruning is the storage layout
     assert "PythonMapInPandas" not in p, p
+
+
+def test_grouped_partials_no_token_shuffle(spark, token_table_path):
+    """Grouped stage 1 is also a pure map (per-(partition, key) partials):
+    no Exchange before tokens reduce to blobs, so a skewed key costs no hot
+    shuffle partition."""
+    import math
+    from sketchlib.countmin import CMConfig
+    from sketchlib.spark_build import (_grouped_partial_builder,
+                                       _GROUPED_PARTIAL_SCHEMA)
+    cfg = CMConfig(eps=1e-2, delta=math.exp(-3), seed=1337)
+    src = (spark.read.parquet(token_table_path)
+           .select(F.col("source").alias("key"), "tokens"))
+    partials = src.mapInArrow(
+        _grouped_partial_builder(cfg, "key", "tokens", False),
+        schema=_GROUPED_PARTIAL_SCHEMA)
+    p = plan_str(partials)
+    assert "Exchange" not in p, p

@@ -325,3 +325,18 @@ def test_sources_resolution(spark, token_table_path, tmp_path):
             sources.read_table(spark, "iceberg:db.tokens")
     assert sources.parquet_scan_path(str(fake_iceberg)) is None
     assert sources.parquet_scan_path("iceberg:db.tokens") is None
+
+
+def test_sql_registered_point_query(spark, tokens_df, exact_counts):
+    """register_sql_udfs exposes the broadcast probe to spark.sql; the SQL
+    surface returns the same one-sided estimates as point_query_col."""
+    from sketchlib.spark_build import register_sql_udfs
+    res = build_sketch(tokens_df, "tokens", CFG)
+    register_sql_udfs(spark, {"cm_est_sql": res.sketch})
+    (tokens_df.select(F.explode("tokens").alias("t")).limit(100)
+     .createOrReplaceTempView("probe_tokens"))
+    rows = spark.sql(
+        "SELECT t, cm_est_sql(t) AS est FROM probe_tokens").collect()
+    assert rows
+    for r in rows:
+        assert r["est"] >= exact_counts[r["t"]]
