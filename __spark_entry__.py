@@ -628,6 +628,45 @@ def _q_word_set_ops(spark, sf_dir):
         "n_src0 bigint, n_src1 bigint, n_intersect bigint, n_union bigint")
 
 
+def _q_asof_click_purchase(spark, sf_dir):
+    """As-of join: for each click, the most recent at-or-before purchase by
+    the same user (union + ordered-window trick: one shuffle, no per-key
+    cross product). Oracle: DuckDB ASOF LEFT JOIN. -1 encodes 'no prior
+    purchase' for a null-free hash."""
+    from sketchlib.joins import as_of_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+    j = as_of_join(clicks, purch, "user_id", "ts", ["event_id"])
+    us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        us(F.col("ts")).alias("click_ts_us"),
+        F.coalesce(us(F.col("ts_asof")), F.lit(-1)).alias("purchase_ts_us"),
+        F.coalesce(F.col("event_id_asof"), F.lit(-1))
+        .alias("purchase_event_id"))
+
+
+def _q_purchases_within_30m(spark, sf_dir):
+    """Bounded range join: (click, purchase) pairs of one user with the
+    purchase 0-30 minutes AFTER the click — banded time-bucket join, no
+    per-key cross product. Oracle: plain BETWEEN join."""
+    from sketchlib.joins import range_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+    rj = range_join(clicks, purch, "user_id", "ts",
+                    lower_us=0, upper_us=30 * 60 * 1_000_000)
+    return rj.select("user_id",
+                     F.col("l_event_id").alias("click_event_id"),
+                     F.col("r_event_id").alias("purchase_event_id"))
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Event-time windowed counts (1h tumbling) per event_type — the
     streaming operator's exact semantics, oracle-checkable because the
@@ -718,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": _q_top_bigrams,
         "n_chars_quantiles": _q_n_chars_quantiles,
         "word_set_ops": _q_word_set_ops,
+        "asof_click_purchase": _q_asof_click_purchase,
+        "purchases_within_30m": _q_purchases_within_30m,
     }
 
 
@@ -952,6 +993,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, n_chars AS n_chars_at_q
             FROM s, n, qs
             WHERE rn = CAST(FLOOR(q * (n - 1)) AS INT) + 1
+        """,
+        "asof_click_purchase": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id,
+                   c.event_id AS click_event_id,
+                   epoch_us(c.ts) AS click_ts_us,
+                   COALESCE(epoch_us(p.ts), -1) AS purchase_ts_us,
+                   COALESCE(p.event_id, -1) AS purchase_event_id
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "purchases_within_30m": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id,
+                   c.event_id AS click_event_id,
+                   p.event_id AS purchase_event_id
+            FROM clicks c JOIN purch p ON c.user_id = p.user_id
+             AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
         """,
         "word_set_ops": """
             WITH w AS (

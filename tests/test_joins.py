@@ -1,0 +1,91 @@
+"""Temporal joins: as-of (union + ordered window) and bounded range join
+(time-band buckets) vs brute-force truth on hand-built frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.joins import as_of_join, range_join
+
+
+@pytest.fixture(scope="module")
+def streams(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100),
+         (1, "2024-01-01 11:00:00", 101),
+         (1, "2024-01-01 09:00:00", 102),   # before any right row
+         (2, "2024-01-01 10:30:00", 200),
+         (3, "2024-01-01 10:00:00", 300)],  # key with no right rows
+        "user_id long, ts_s string, event_id long"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 900),
+         (1, "2024-01-01 10:30:00", 901),
+         (1, "2024-01-01 11:00:00", 902),   # equal-ts tie with left 101
+         (2, "2024-01-01 10:00:00", 903),
+         (2, "2024-01-01 10:29:00", 904)],
+        "user_id long, ts_s string, event_id long"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+    return left, right
+
+
+def test_as_of_join_most_recent_at_or_before(streams):
+    left, right = streams
+    out = {r["event_id"]: r["event_id_asof"]
+           for r in as_of_join(left, right, "user_id", "ts",
+                               ["event_id"]).collect()}
+    assert len(out) == 5               # every left row survives
+    assert out[100] == 900             # 10:00 -> 09:30
+    assert out[101] == 902             # 11:00 ties right 11:00 -> included
+    assert out[102] is None            # nothing at or before 09:00
+    assert out[200] == 904             # 10:30 -> 10:29
+    assert out[300] is None            # key with no right rows
+
+
+def test_as_of_join_strict_excludes_equal_ts(streams):
+    left, right = streams
+    out = {r["event_id"]: r["event_id_asof"]
+           for r in as_of_join(left, right, "user_id", "ts", ["event_id"],
+                               strict=True).collect()}
+    assert out[101] == 901             # equal-ts right row no longer visible
+    assert out[100] == 900
+
+
+def test_as_of_join_matches_bruteforce(spark, streams):
+    left, right = streams
+    lrows = left.collect()
+    rrows = right.collect()
+    expected = {}
+    for l in lrows:
+        cands = [r for r in rrows
+                 if r["user_id"] == l["user_id"] and r["ts"] <= l["ts"]]
+        expected[l["event_id"]] = (max(cands, key=lambda r: r["ts"])["event_id"]
+                                   if cands else None)
+    got = {r["event_id"]: r["event_id_asof"]
+           for r in as_of_join(left, right, "user_id", "ts",
+                               ["event_id"]).collect()}
+    assert got == expected
+
+
+def test_range_join_matches_bruteforce_and_bounds(spark, streams):
+    left, right = streams
+    lo, hi = 0, 30 * 60 * 1_000_000     # [0, 30min] after the left row
+    out = {(r["l_event_id"], r["r_event_id"])
+           for r in range_join(left, right, "user_id", "ts",
+                               lower_us=lo, upper_us=hi).collect()}
+    lrows, rrows = left.collect(), right.collect()
+
+    def us(t):
+        import calendar
+        return calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+
+    expected = {(l["event_id"], r["event_id"])
+                for l in lrows for r in rrows
+                if l["user_id"] == r["user_id"]
+                and lo <= us(r["ts"]) - us(l["ts"]) <= hi}
+    assert out == expected
+    assert (100, 901) in out            # +30:00 boundary is inclusive
+    assert (101, 902) in out            # 0-offset boundary is inclusive
+    # each pair appears exactly once (band replication never duplicates)
+    rows = range_join(left, right, "user_id", "ts",
+                      lower_us=lo, upper_us=hi).collect()
+    assert len(rows) == len(out)
