@@ -65,10 +65,23 @@ def token_table_path() -> str:
     return path
 
 
+def _cpu_jiffies():
+    """(total, steal, busy) jiffies from /proc/stat — the suite runs on a
+    shared VM whose throughput drifts 2-4x with co-tenant load (see
+    BENCH/BASELINE.md), so every bench line carries its own weather."""
+    try:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0), busy
+    except Exception:
+        return 0, 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    j0 = _cpu_jiffies()
 
     import __spark_entry__ as entry_mod
     from sketchlib.countmin import CMConfig
@@ -130,6 +143,13 @@ def main() -> None:
     timed("cm_point_queries_100k",
           lambda: probe_keys.withColumn(
               "est", point_query_col(spark, res.sketch, F.col("t"))).collect())
+
+    j1 = _cpu_jiffies()
+    if j1[0] > j0[0]:
+        extra["host_steal_pct"] = round(100.0 * (j1[1] - j0[1])
+                                        / (j1[0] - j0[0]), 2)
+        extra["host_busy_pct"] = round(100.0 * (j1[2] - j0[2])
+                                       / (j1[0] - j0[0]), 2)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

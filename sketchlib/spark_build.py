@@ -544,6 +544,32 @@ def _merge_grouped_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+# Below ~1k partials per key a two-level tree buys nothing: every stage
+# boundary is a straggler barrier (one slow task stalls the stage — the
+# dominant cost on a contended host), and level-1 merge tasks cost more
+# scheduling/worker overhead than the blob adds they perform. The tree is
+# for the 10^5-10^6-partial regime (SCALE.md); small builds merge in ONE
+# grouped stage. Byte-identity is unaffected (merge order is irrelevant).
+_GROUPED_TREE_THRESHOLD = 1024
+
+
+def _grouped_merge(partials: DataFrame, fanout: int,
+                   n_partials: int | None) -> DataFrame:
+    if n_partials is not None and n_partials <= _GROUPED_TREE_THRESHOLD:
+        return (partials.groupBy("key")
+                .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
+                               schema=_GROUPED_MERGED_SCHEMA))
+    level1 = (partials
+              .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
+              .applyInPandas(
+                  lambda pdf: _merge_grouped_pdf(pdf).assign(pid=0)[
+                      ["key", "pid", "sketch", "n_rows", "n_items", "total_count"]],
+                  schema=_GROUPED_PARTIAL_SCHEMA))
+    return (level1.groupBy("key")
+            .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
+                           schema=_GROUPED_MERGED_SCHEMA))
+
+
 def build_grouped(df: DataFrame, key_col: str, tokens_col: str, cfg: CMConfig,
                   *, cu: bool = False, fanout: int = 8) -> DataFrame:
     """One sketch per distinct ``key_col`` value.
@@ -562,16 +588,7 @@ def build_grouped(df: DataFrame, key_col: str, tokens_col: str, cfg: CMConfig,
     partials = src.mapInArrow(
         _grouped_partial_builder(cfg, "key", tokens_col, cu),
         schema=_GROUPED_PARTIAL_SCHEMA)
-    level1 = (partials
-              .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
-              .applyInPandas(
-                  lambda pdf: _merge_grouped_pdf(pdf).assign(pid=0)[
-                      ["key", "pid", "sketch", "n_rows", "n_items", "total_count"]],
-                  schema=_GROUPED_PARTIAL_SCHEMA))
-    final = (level1.groupBy("key")
-             .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
-                            schema=_GROUPED_MERGED_SCHEMA))
-    return final
+    return _grouped_merge(partials, fanout, src.rdd.getNumPartitions())
 
 
 def collect_grouped(grouped_df: DataFrame) -> dict[str, CountMinSketch]:
@@ -851,15 +868,7 @@ def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
     src = (df.select(F.col(key_col).alias("key"), F.col(values_col))
              .filter(F.col(values_col).isNotNull()))
     partials = src.mapInArrow(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
-    level1 = (partials
-              .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
-              .applyInPandas(
-                  lambda pdf: _merge_grouped_pdf(pdf).assign(pid=0)[
-                      ["key", "pid", "sketch", "n_rows", "n_items", "total_count"]],
-                  schema=_GROUPED_PARTIAL_SCHEMA))
-    return (level1.groupBy("key")
-            .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
-                           schema=_GROUPED_MERGED_SCHEMA))
+    return _grouped_merge(partials, fanout, src.rdd.getNumPartitions())
 
 
 def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
@@ -919,15 +928,7 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
         rows_assign, "slice_id int, file string, rgs array<int>")
     assign = assign.repartition(min(n_slices, len(rows_assign)))
     partials = assign.mapInPandas(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
-    level1 = (partials
-              .groupBy("key", F.pmod(F.col("pid"), F.lit(fanout)).alias("bucket"))
-              .applyInPandas(
-                  lambda pdf: _merge_grouped_pdf(pdf).assign(pid=0)[
-                      ["key", "pid", "sketch", "n_rows", "n_items", "total_count"]],
-                  schema=_GROUPED_PARTIAL_SCHEMA))
-    return (level1.groupBy("key")
-            .applyInPandas(lambda pdf: _merge_grouped_pdf(pdf),
-                           schema=_GROUPED_MERGED_SCHEMA))
+    return _grouped_merge(partials, fanout, n_slices)
 
 
 # ---------------------------------------------------------------------------
