@@ -115,11 +115,19 @@ def main() -> None:
     toks = spark.read.parquet(tok_path)
     cfg = CMConfig(eps=1e-4, delta=math.exp(-3), seed=1337)
     # warm page cache + spawn/reuse the Python worker pool so cm_build
-    # measures steady-state throughput, not one-time worker forks
-    timed("token_table_warmup",
-          lambda: (toks.count(),
-                   build_sketch_parquet(spark, tok_path, "tokens",
-                                        CMConfig(eps=1.0, delta=0.5))))
+    # measures steady-state throughput, not one-time worker forks; one
+    # trivial applyInPandas job also warms the grouped merge worker path
+    def _warmup():
+        toks.count()
+        build_sketch_parquet(spark, tok_path, "tokens",
+                             CMConfig(eps=1.0, delta=0.5))
+        (spark.range(256).withColumn("g", F.pmod("id", F.lit(32)))
+         .groupBy("g")
+         .applyInPandas(lambda pdf: pdf.head(1), schema="id long, g bigint")
+         .count())
+
+    from pyspark.sql import functions as F
+    timed("token_table_warmup", _warmup)
     res = timed("cm_build",
                 lambda: build_sketch_parquet(spark, tok_path, "tokens", cfg))
     extra["cm_build_tokens_per_sec"] = round(res.sketch.n_items / timings["cm_build"], 1)

@@ -199,14 +199,19 @@ class CountMinSketch:
         and the final min matches the two-sketch estimate exactly."""
         keys_u64 = tokens_to_u64(np.asarray(keys))
         out = np.zeros(self.cfg.depth, dtype=np.int64)
-        if keys_u64.shape[0] == 0:
-            return out
-        # pre-aggregate duplicates: skewed streams are ~90% dupes, and the
-        # gather then touches each distinct counter once
-        uniq, cnt = np.unique(keys_u64, return_counts=True)
-        cols = self._columns(uniq)
-        for j in range(self.cfg.depth):
-            out[j] = int(np.dot(self.table[j, cols[j]], cnt))
+        # pre-aggregate duplicates per CHUNK: skewed streams are ~90% dupes
+        # so the gather touches each distinct counter once — but a single
+        # np.unique over the whole batch is an n·8-byte sort whose DRAM
+        # temporaries dominate on busy multi-worker hosts; 256k-element
+        # chunks keep the sort working set near-cache-resident (same
+        # rationale as hashing.accumulate_into's fused chunks)
+        chunk = 1 << 18
+        for off in range(0, keys_u64.shape[0], chunk):
+            uniq, cnt = np.unique(keys_u64[off:off + chunk],
+                                  return_counts=True)
+            cols = self._columns(uniq)
+            for j in range(self.cfg.depth):
+                out[j] += int(np.dot(self.table[j, cols[j]], cnt))
         return out
 
     def inner_product(self, other: "CountMinSketch") -> int:

@@ -472,30 +472,51 @@ _GROUPED_MERGED_SCHEMA = (
 )
 
 
+def _ragged_take(flat: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """Concatenate flat[s:s+l] for each (s, l) — the cumsum index trick:
+    one O(total) int64 temp, no per-row Python, no sort."""
+    nz = lens > 0
+    starts, lens = starts[nz], lens[nz]
+    if starts.shape[0] == 0:
+        return flat[:0]
+    total = int(lens.sum())
+    idx = np.ones(total, dtype=np.int64)
+    idx[0] = starts[0]
+    if starts.shape[0] > 1:
+        pos = np.cumsum(lens[:-1])
+        idx[pos] = starts[1:] - starts[:-1] - lens[:-1] + 1
+    np.cumsum(idx, out=idx)
+    return flat[idx]
+
+
 def _ingest_grouped(sketches: dict, rows: dict, keys: np.ndarray,
                     values_col, make_sketch, cu: bool) -> None:
     """Fold one batch's (keys, values) into per-key sketches. ``values_col``
-    is an Arrow array (list or scalar); grouping is one argsort + reduceat-
-    style segmentation, no per-row Python."""
+    is an Arrow array (list or scalar). Grouping sorts only the ROW keys
+    (thousands) and gathers each key's token ranges with a ragged take —
+    never a token-count-sized sort/repeat: those ~n_tokens×8-byte
+    temporaries were the dominant cost per batch and fault badly on
+    long-lived workers with fragmented heaps."""
     is_list = pa.types.is_list(values_col.type) or pa.types.is_large_list(values_col.type)
     if is_list:
         flat = values_col.flatten().to_numpy(zero_copy_only=False)
-        lens = np.asarray(values_col.value_lengths().to_numpy(zero_copy_only=False))
+        lens = np.asarray(values_col.value_lengths()
+                          .to_numpy(zero_copy_only=False)).astype(np.int64)
     else:
         flat = values_col.to_numpy(zero_copy_only=False)
         lens = np.ones(len(keys), dtype=np.int64)
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
     uniq, inv = np.unique(keys, return_inverse=True)
-    val_group = np.repeat(inv, lens)
-    order = np.argsort(val_group, kind="stable")
-    sorted_vals = flat[order]
-    bounds = np.searchsorted(val_group[order], np.arange(len(uniq) + 1))
     row_counts = np.bincount(inv, minlength=len(uniq))
     for g, key in enumerate(uniq.tolist()):
         sk = sketches.get(key)
         if sk is None:
             sk = sketches[key] = make_sketch()
             rows[key] = 0
-        seg = sorted_vals[bounds[g]:bounds[g + 1]]
+        rmask = inv == g
+        seg = _ragged_take(flat, offsets[:-1][rmask], lens[rmask])
         if cu:
             sk.update_batch_cu(seg)
         else:
@@ -835,25 +856,9 @@ def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
                 vi = batch.schema.get_field_index(values_col)
             keys = batch.column(ki).to_numpy(zero_copy_only=False)
             col = batch.column(vi)
-            is_list = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
-            if is_list:
-                flat = col.flatten().to_numpy(zero_copy_only=False)
-                lens = np.asarray(col.value_lengths().to_numpy(zero_copy_only=False))
-            else:
-                flat = col.to_numpy(zero_copy_only=False)
-                lens = np.ones(len(keys), dtype=np.int64)
-            uniq, inv = np.unique(keys, return_inverse=True)
-            val_group = np.repeat(inv, lens)
-            order = np.argsort(val_group, kind="stable")
-            sorted_vals = flat[order]
-            bounds = np.searchsorted(val_group[order], np.arange(len(uniq) + 1))
-            for g, key in enumerate(uniq.tolist()):
-                sk = sketches.get(key)
-                if sk is None:
-                    sk = sketches[key] = factory()
-                    rows[key] = 0
-                sk.update_batch(sorted_vals[bounds[g]:bounds[g + 1]])
-                rows[key] += int(np.sum(inv == g))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            _ingest_grouped(sketches, rows, keys, col, factory, False)
         if sketches:
             ordered = sorted(sketches)
             yield pa.RecordBatch.from_pydict({
