@@ -260,6 +260,28 @@ def stream_build_from_files(spark: SparkSession, input_dir: str,
     return builder, query
 
 
+def stream_dedup(stream_df: DataFrame, text_col: str = "text", *,
+                 watermark_col: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by content fingerprint (md5 of ``text_col``) —
+    the incremental counterpart of pipeline.dedup_exact: the first arrival
+    of each distinct content wins, later copies are dropped across
+    micro-batches via engine-managed dedup state.
+
+    With ``watermark_col`` set the state is BOUNDED:
+    dropDuplicatesWithinWatermark keeps a fingerprint only until the
+    watermark passes it, so duplicates separated by more than the
+    watermark interval can re-emit — the standard correctness/state
+    trade at unbounded-stream scale. Without a watermark the state grows
+    with distinct contents (exact semantics; suitable for bounded
+    backfills)."""
+    s = stream_df.withColumn("_fp", F.md5(F.col(text_col)))
+    if watermark_col is not None:
+        s = s.withWatermark(watermark_col, watermark)
+        return s.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+    return s.dropDuplicates(["_fp"]).drop("_fp")
+
+
 def stateful_running_counts(stream_df: DataFrame, key_col: str):
     """Arbitrary stateful streaming op via applyInPandasWithState: running
     per-key event counts maintained as engine-managed state (update mode,

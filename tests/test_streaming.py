@@ -200,3 +200,43 @@ def test_windowed_finalized_persist_and_late_merge(spark, tmp_path):
     with open(cur) as f:
         ver = f.read().strip()
     assert os.path.exists(os.path.join(snap, ver, "MANIFEST.json"))
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming content dedup across micro-batches: one survivor per
+    distinct text, same fingerprint set as the batch dedup."""
+    from pyspark.sql import functions as F
+    from sketchlib.pipeline import dedup_exact
+    from sketchlib.streaming import stream_dedup
+
+    inbox = str(tmp_path / "dd_inbox")
+    os.makedirs(inbox)
+    batch1 = [(0, "alpha beta"), (1, "gamma"), (2, "alpha beta")]
+    batch2 = [(3, "gamma"), (4, "delta"), (5, "alpha beta")]
+    spark.createDataFrame(batch1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(inbox + "/b1")
+    spark.createDataFrame(batch2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(inbox + "/b2")
+    # one flat dir of files for the file stream
+    import glob
+    import shutil
+    flat = str(tmp_path / "dd_flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(inbox + "/b*/*.parquet"))):
+        shutil.copy(f, f"{flat}/part{i}.parquet")
+
+    static = spark.read.parquet(flat)
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    out_dir = str(tmp_path / "dd_out")
+    q = (stream_dedup(stream, "text")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).collect()
+    texts = [r["text"] for r in got]
+    assert sorted(texts) == ["alpha beta", "delta", "gamma"]  # one each
+    batch_fps = {r["text"] for r in dedup_exact(static).collect()}
+    assert set(texts) == batch_fps
