@@ -286,6 +286,23 @@ def _q_hll_distinct_words(spark, sf_dir):
         "n_distinct_exact bigint, hll_est double, rel_err double, within_bound boolean")
 
 
+def _q_cm_weighted_build(spark, sf_dir):
+    """Weighted build from a pre-aggregated (token, cnt) table — the
+    reference's update(i, c) with c != 1 — must yield the same counter
+    matrix and estimates as the unit-update build (rows-only)."""
+    import numpy as np
+    from sketchlib.spark_build import build_sketch_from_counts
+    toks = _tokenized_docs(spark, sf_dir)
+    counts = (toks.select(F.explode("tokens").alias("t"))
+              .groupBy("t").agg(F.count("*").alias("cnt")))
+    wb = build_sketch_from_counts(counts, "t", "cnt", CM_CFG)
+    direct = build_sketch(toks, "tokens", CM_CFG)
+    return spark.createDataFrame(
+        [(wb.sketch.total_count, direct.sketch.total_count,
+          bool(np.array_equal(wb.sketch.table, direct.sketch.table)))],
+        "weighted_total bigint, direct_total bigint, tables_equal boolean")
+
+
 def _q_cm_sketch_table_probe(spark, sf_dir):
     """Sketch-AS-TABLE build (counters as a distributed (row, col, cnt)
     DataFrame — the scale path when d×w×8 bytes exceeds executor memory,
@@ -731,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_inner_product": _q_cm_inner_product,
         "cm_inner_product_rawlog": _q_cm_inner_product_rawlog,
         "cm_sketch_table_probe": _q_cm_sketch_table_probe,
+        "cm_weighted_build": _q_cm_weighted_build,
         "hll_distinct_words": _q_hll_distinct_words,
         "hll_grouped_by_source": _q_hll_grouped_by_source,
         "bloom_membership": _q_bloom_membership,

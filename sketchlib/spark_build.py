@@ -207,6 +207,56 @@ def build_sketch(df: DataFrame, tokens_col: str, cfg: CMConfig, *,
                        n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
 
 
+def build_sketch_from_counts(df: DataFrame, key_col: str, count_col: str,
+                             cfg: CMConfig, *,
+                             fanout: int | None = None) -> BuildResult:
+    """Weighted build over a PRE-AGGREGATED (key, count) table — the
+    reference's ``update(i, c)`` with c != 1 (cm.h:260, 482-488), batched:
+    each partition folds its (key, count) rows with one weighted
+    scatter-add, partials tree-merge as usual. Byte-identical to building
+    from the exploded unit-update stream (tested), at the cost of one scan
+    of the aggregate instead of Σ counts updates."""
+    def fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        t0 = time.perf_counter()
+        cm = CountMinSketch(cfg)
+        n_rows = 0
+        ki = ci = None
+        for batch in batches:
+            if ki is None:
+                ki = batch.schema.get_field_index(key_col)
+                ci = batch.schema.get_field_index(count_col)
+            keys = batch.column(ki).to_numpy(zero_copy_only=False)
+            cnts = batch.column(ci).to_numpy(zero_copy_only=False)
+            if keys.shape[0]:
+                cm.update_batch(keys, counts=cnts)
+                n_rows += batch.num_rows
+        ms = (time.perf_counter() - t0) * 1e3
+        yield pa.RecordBatch.from_pydict({
+            "pid": [pid], "sketch": [cm.to_bytes()], "n_rows": [n_rows],
+            "n_items": [cm.n_items], "total_count": [cm.total_count],
+            "build_ms": [ms],
+        }, schema=_PARTIAL_PA_SCHEMA)
+
+    t0 = time.perf_counter()
+    src = (df.select(key_col, count_col)
+           .filter(F.col(key_col).isNotNull() & F.col(count_col).isNotNull()))
+    partials = src.mapInArrow(fn, schema=_PARTIAL_SCHEMA).persist()
+    lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
+    try:
+        lineage = partials.select(*lineage_cols).toPandas()
+        sketch = _tree_merge(partials, fanout, len(lineage))
+    finally:
+        partials.unpersist()
+    if sketch is None:
+        sketch = CountMinSketch(cfg)
+    wall = time.perf_counter() - t0
+    lineage = lineage.sort_values("pid").reset_index(drop=True)
+    return BuildResult(sketch=sketch, lineage=lineage,
+                       n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
+
+
 # ---------------------------------------------------------------------------
 # parquet-direct source: pyarrow row-group reads inside the Python workers
 # ---------------------------------------------------------------------------

@@ -340,3 +340,21 @@ def test_sql_registered_point_query(spark, tokens_df, exact_counts):
     assert rows
     for r in rows:
         assert r["est"] >= exact_counts[r["t"]]
+
+
+def test_weighted_build_from_counts_equals_exploded(spark, tokens_df,
+                                                    exact_counts):
+    """build_sketch_from_counts over the aggregated (token, cnt) table must
+    produce the same counter matrix and total as the unit-update build
+    (reference update(i, c) semantics, cm.h:482-488); n_items differs by
+    design (one update per aggregate row)."""
+    from sketchlib.spark_build import build_sketch_from_counts
+    counts = (tokens_df.select(F.explode("tokens").alias("t"))
+              .groupBy("t").agg(F.count("*").alias("cnt")))
+    wb = build_sketch_from_counts(counts, "t", "cnt", CFG)
+    direct = build_sketch(tokens_df, "tokens", CFG)
+    assert np.array_equal(wb.sketch.table, direct.sketch.table)
+    assert wb.sketch.total_count == direct.sketch.total_count
+    keys = np.fromiter(exact_counts.keys(), dtype=np.int64)
+    assert np.array_equal(wb.sketch.point_query_batch(keys),
+                          direct.sketch.point_query_batch(keys))
