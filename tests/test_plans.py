@@ -168,3 +168,25 @@ def test_grouped_partials_no_token_shuffle(spark, token_table_path):
         schema=_GROUPED_PARTIAL_SCHEMA)
     p = plan_str(partials)
     assert "Exchange" not in p, p
+
+
+def test_temporal_joins_avoid_nested_loops(spark):
+    """as_of_join is one shuffle + window (no join operator at all);
+    range_join's band equi-key keeps it a hash/sort-merge join — a naive
+    BETWEEN-only condition would plan a nested-loop/cartesian product."""
+    from sketchlib.joins import as_of_join, range_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1)],
+        "user_id long, ts_s string, event_id long"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+    right = left.select("user_id", "ts", (F.col("event_id") + 100).alias("event_id"))
+
+    a = as_of_join(left, right, "user_id", "ts", ["event_id"])
+    pa_ = plan_str(a)
+    assert "Join" not in pa_ and "Window" in pa_, pa_
+
+    r = range_join(left, right, "user_id", "ts", lower_us=0,
+                   upper_us=60_000_000)
+    pr = plan_str(r)
+    assert "BroadcastNestedLoopJoin" not in pr, pr
+    assert "CartesianProduct" not in pr, pr
