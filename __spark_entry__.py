@@ -732,6 +732,71 @@ def _q_streaming_incremental(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: dup-word/dup-bigram percentages
+    (integer-stable) + top word count per document."""
+    from sketchlib.pipeline import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_deterministic_sample(spark, sf_dir):
+    """Content-addressed 25% sample by md5(doc_id) hex prefix — stable
+    across engines, partitionings and re-runs (no RNG state)."""
+    from sketchlib.pipeline import deterministic_sample
+    return (deterministic_sample(_docs(spark, sf_dir), key_col="doc_id",
+                                 threshold_hex="40")
+            .select("doc_id", "source", "n_chars"))
+
+
+def _q_contamination_overlap(spark, sf_dir):
+    """Cross-source word-3-gram contamination: distinct shared n-grams per
+    source pair (train/test leakage check shape)."""
+    from sketchlib.pipeline import cross_source_ngram_overlap
+    return cross_source_ngram_overlap(_docs(spark, sf_dir), n=3)
+
+
+def _q_json_props_stats(spark, sf_dir):
+    """JSON extraction over events.props ({"k": int}) aggregated per
+    event_type — exercises the JSON scalar-function surface."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+def _q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP aggregation with grouping_id — subtotal + grand-total rows
+    (multi-dimensional aggregate surface; Spark grouping_id bit order
+    matches DuckDB GROUPING())."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count("*").alias("count_order"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+
+
+def _q_clicks_no_purchase(spark, sf_dir):
+    """Left-anti join with a range predicate: clicks NOT followed by a
+    purchase from the same user within 30 minutes (abandoned-click funnel
+    — the anti flavor of purchases_within_30m), counted per user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", us.alias("ts_us")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("p_user"), us.alias("p_ts_us")))
+    cond = ((clicks.user_id == purch.p_user)
+            & (purch.p_ts_us >= clicks.ts_us)
+            & (purch.p_ts_us <= clicks.ts_us + 30 * 60 * 1_000_000))
+    return (clicks.join(purch, cond, "left_anti")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_abandoned_clicks")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_freq_exact": _q_word_freq_exact,
@@ -777,6 +842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_set_ops": _q_word_set_ops,
         "asof_click_purchase": _q_asof_click_purchase,
         "purchases_within_30m": _q_purchases_within_30m,
+        "repetition_stats": _q_repetition_stats,
+        "deterministic_sample": _q_deterministic_sample,
+        "contamination_overlap": _q_contamination_overlap,
+        "json_props_stats": _q_json_props_stats,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "clicks_no_purchase_30m": _q_clicks_no_purchase,
     }
 
 
@@ -1055,6 +1126,89 @@ def oracle_sql() -> dict[str, str]:
                    ni AS n_intersect,
                    (SELECT COUNT(*) FROM v0) + (SELECT COUNT(*) FROM v1) - ni AS n_union
             FROM i
+        """,
+        "repetition_stats": """
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ), bi AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) >= 2 THEN
+                           [w[i] || ' ' || w[i+1]
+                            for i in generate_series(1, len(w) - 1)]
+                       ELSE [] END AS b
+                FROM ws
+            ), base AS (
+                SELECT doc_id,
+                       CAST(len(w) AS INT) AS n_words,
+                       CASE WHEN len(w) > 0 THEN
+                           CAST((len(w) - len(list_distinct(w))) * 100 // len(w) AS INT)
+                       ELSE 0 END AS dup_word_pct,
+                       CASE WHEN len(b) > 0 THEN
+                           CAST((len(b) - len(list_distinct(b))) * 100 // len(b) AS INT)
+                       ELSE 0 END AS dup_bigram_pct
+                FROM bi
+            ), top AS (
+                SELECT doc_id, MAX(cnt) AS top_word_cnt
+                FROM (SELECT doc_id, word, COUNT(*) AS cnt
+                      FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+                      GROUP BY doc_id, word)
+                GROUP BY doc_id
+            )
+            SELECT base.doc_id, n_words, dup_word_pct, dup_bigram_pct,
+                   COALESCE(top_word_cnt, 0) AS top_word_cnt
+            FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        """,
+        "contamination_overlap": """
+            WITH ws AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT source AS src,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM (SELECT source, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM ws WHERE len(w) >= 3)
+            )
+            SELECT a.src AS src_a, b.src AS src_b,
+                   COUNT(*) AS n_shared_ngrams
+            FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+            GROUP BY 1, 2
+        """,
+        "json_props_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   COUNT(*) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "clicks_no_purchase_30m": """
+            SELECT user_id, COUNT(*) AS n_abandoned_clicks
+            FROM events c
+            WHERE c.event_type = 'click'
+              AND NOT EXISTS (
+                  SELECT 1 FROM events p
+                  WHERE p.user_id = c.user_id
+                    AND p.event_type = 'purchase'
+                    AND epoch_us(p.ts) - epoch_us(c.ts)
+                        BETWEEN 0 AND 1800000000)
+            GROUP BY user_id
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

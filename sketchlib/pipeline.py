@@ -462,3 +462,82 @@ def session_stats(df: DataFrame, user_col: str, ts_col: str, *,
             .agg(F.count("*").alias("n_sessions"),
                  F.max("n_events").alias("max_session_events"),
                  F.sum("n_events").alias("total_events")))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word and
+    duplicate-bigram fractions (as integer percages via integer division —
+    hash-stable for the oracle) plus the most-frequent-word count.
+
+    Scale shape: the word/bigram dup stats are pure array expressions (no
+    shuffle, whole-stage codegen); top_word_cnt is one explode + two
+    partial-aggregated groupBys keyed by doc_id — shuffles (doc_id, word,
+    cnt) triples, never text. All SQL-expressible (DuckDB oracle)."""
+    ws = words_col(F.col(text_col))
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    bi = F.when(n_words >= 2, F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                              F.element_at(ws, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bi)
+    n_bi_distinct = F.size(F.array_distinct(bi))
+    pct = lambda num, den: (F.when(den > 0, (num * 100).cast("long") / den)  # noqa: E731
+                            .otherwise(F.lit(0)).cast("int"))
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        pct(n_words - n_distinct, n_words).alias("dup_word_pct"),
+        pct(n_bi - n_bi_distinct, n_bi).alias("dup_bigram_pct"),
+    )
+    top = (df.select(F.col(id_col), F.explode(ws).alias("word"))
+           .groupBy(id_col, "word").agg(F.count("*").alias("cnt"))
+           .groupBy(id_col).agg(F.max("cnt").alias("top_word_cnt")))
+    return (base.join(top, on=id_col, how="left")
+            .withColumn("top_word_cnt",
+                        F.coalesce(F.col("top_word_cnt"), F.lit(0))))
+
+
+def deterministic_sample(df: DataFrame, *, key_col: str = "doc_id",
+                         threshold_hex: str = "40") -> DataFrame:
+    """Deterministic content-addressed sampling: keep rows whose
+    md5(cast(key as string)) hex prefix is lexicographically below
+    ``threshold_hex`` ('40' -> 64/256 = 25%). Reproducible across engines
+    (md5 lowercase hex everywhere), partition-local (a pushed-down filter,
+    no shuffle, no RNG state), and stable under repartitioning — the
+    property Bernoulli sampling with seeds does NOT give on re-runs over
+    re-split input at 100 TB."""
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1,
+                         len(threshold_hex))
+    return df.filter(prefix < F.lit(threshold_hex.lower()))
+
+
+def cross_source_ngram_overlap(df: DataFrame, n: int = 3,
+                               text_col: str = "text",
+                               source_col: str = "source") -> DataFrame:
+    """Train/test-contamination check: for every pair of sources, the
+    number of distinct word n-grams appearing in both. The classic use is
+    source_col = dataset split (did benchmark n-grams leak into training
+    text?).
+
+    Scale shape: one distinct over (source, gram) — shuffles gram hashes,
+    not text — then an equi-join on gram. Per-gram fanout is bounded by
+    n_sources (collect-set of sources per gram would bound it to one row
+    per gram; the join form keeps the plan all-JVM and the output is the
+    same). Grams shared by many sources cost at most n_sources^2 pairs."""
+    ws = words_col(F.col(text_col))
+    grams = F.when(F.size(ws) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j)
+                                     for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    sg = (df.select(F.col(source_col).alias("src"),
+                    F.explode(grams).alias("gram")).distinct())
+    a, b = sg.alias("a"), sg.alias("b")
+    return (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.src") < F.col("b.src")))
+            .groupBy(F.col("a.src").alias("src_a"),
+                     F.col("b.src").alias("src_b"))
+            .agg(F.count("*").alias("n_shared_ngrams")))
