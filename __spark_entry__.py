@@ -366,9 +366,8 @@ def _q_bloom_membership(spark, sf_dir):
     """Bloom filter over src0's words; probe all words: no false negatives,
     bounded false-positive rate (rows-only)."""
     import functools
-    import numpy as np
     from sketchlib.bloom import BloomFilter
-    from sketchlib.spark_build import build_aggregator
+    from sketchlib.spark_build import build_aggregator, sketch_probe_col
     toks = _tokenized_docs(spark, sf_dir)
     res = build_aggregator(toks.filter(F.col("source") == "src0"), "tokens",
                            functools.partial(BloomFilter, capacity=200_000, fpr=0.01))
@@ -376,15 +375,19 @@ def _q_bloom_membership(spark, sf_dir):
              .select("word", _word_token(F.col("word")).alias("t"),
                      (F.col("source") == "src0").alias("in_src0"))
              .groupBy("word", "t").agg(F.max("in_src0").alias("present")))
-    rows = probe.collect()
-    t = np.array([r["t"] for r in rows], dtype=np.int64)
-    present = np.array([bool(r["present"]) for r in rows])
-    claimed = res.sketch.contains_batch(t)
-    fn = int((present & ~claimed).sum())
-    fp = int((~present & claimed).sum())
-    return spark.createDataFrame(
-        [(len(rows), int(present.sum()), int(claimed.sum()), fn, fp)],
-        "n_probes bigint, n_true bigint, n_claimed bigint, false_negatives bigint, false_positives bigint")
+    claimed = sketch_probe_col(spark, res.sketch, F.col("t"),
+                               method="contains_batch", rtype="boolean")
+    # fully distributed verdict: broadcast bloom probe + one aggregate —
+    # the driver never sees per-word rows (the r01 version collected the
+    # whole vocabulary)
+    return (probe.withColumn("claimed", claimed)
+            .agg(F.count("*").alias("n_probes"),
+                 F.sum(F.col("present").cast("long")).alias("n_true"),
+                 F.sum(F.col("claimed").cast("long")).alias("n_claimed"),
+                 F.sum((F.col("present") & ~F.col("claimed"))
+                       .cast("long")).alias("false_negatives"),
+                 F.sum((~F.col("present") & F.col("claimed"))
+                       .cast("long")).alias("false_positives")))
 
 
 def _q_quantiles_sketch(spark, sf_dir):

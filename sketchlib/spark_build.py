@@ -706,6 +706,31 @@ def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
     return est(key_col)
 
 
+def sketch_probe_col(spark: SparkSession, sketch, key_col, *,
+                     method: str = "point_query_batch",
+                     rtype: str = "long"):
+    """Generalized broadcast probe: a column expression applying any
+    sketchlib sketch's batch probe (CM ``point_query_batch``, Bloom
+    ``contains_batch``, ...) to every key of ``key_col`` — Arrow-vectorized,
+    digest-cached one deserialize per worker, nothing collected to the
+    driver. The membership/estimate verdicts then aggregate distributively
+    (sum/count on the probed column), which is the 100 TB shape: the
+    driver never sees per-key rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    blob = sketch.to_bytes()
+    digest = hashlib.blake2b(blob, digest_size=16).hexdigest()
+    bc = spark.sparkContext.broadcast(blob)
+
+    @pandas_udf(rtype)
+    def probe(keys: pd.Series) -> pd.Series:
+        sk = _cached_sketch(digest, bc.value)
+        out = getattr(sk, method)(keys.to_numpy())
+        return pd.Series(np.asarray(out))
+
+    return probe(key_col)
+
+
 def register_sql_udfs(spark: SparkSession, sketches: dict) -> None:
     """Expose broadcast point-query UDFs to the SQL surface: after
     ``register_sql_udfs(spark, {"cm_est": sketch})``,

@@ -84,3 +84,36 @@ def test_grouped_ddsketch_scalar_col(spark, token_table_path):
               df.groupBy("source").agg(F.count("*").alias("c")).collect()}
     for src, sk in rows.items():
         assert sk.count() == counts[src], src
+
+
+def test_sketch_probe_col_bloom_and_cm(spark, token_table_path):
+    """sketch_probe_col probes a broadcast sketch columnwise with no
+    driver-side collect; verdicts match the local batch probes."""
+    import math
+    from sketchlib.countmin import CMConfig
+    from sketchlib.spark_build import build_sketch, sketch_probe_col
+
+    df = spark.read.parquet(token_table_path)
+    bres = build_aggregator(df, "tokens",
+                            functools.partial(BloomFilter, capacity=600_000,
+                                              fpr=0.01))
+    probes = (df.select(F.explode("tokens").alias("t")).limit(2000)
+              .union(spark.range(2**31 + 1, 2**31 + 2001)
+                     .select(F.col("id").alias("t"))))
+    out = (probes.withColumn(
+        "claimed", sketch_probe_col(spark, bres.sketch, F.col("t"),
+                                    method="contains_batch",
+                                    rtype="boolean")).collect())
+    t = np.array([r["t"] for r in out], dtype=np.int64)
+    claimed = np.array([r["claimed"] for r in out])
+    assert (claimed == bres.sketch.contains_batch(t)).all()
+    # present tokens are never missed
+    assert claimed[t < 2**31].all()
+
+    cres = build_sketch(df, "tokens", CMConfig(eps=1e-4, delta=math.exp(-3),
+                                               seed=1337))
+    est = (probes.withColumn(
+        "est", sketch_probe_col(spark, cres.sketch, F.col("t"))).collect())
+    e = np.array([r["est"] for r in est], dtype=np.int64)
+    assert (e == cres.sketch.point_query_batch(
+        np.array([r["t"] for r in est], dtype=np.int64))).all()
