@@ -800,6 +800,57 @@ def _q_clicks_no_purchase(spark, sf_dir):
             .agg(F.count("*").alias("n_abandoned_clicks")))
 
 
+_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _materialized(spark, sf_dir, fmt):
+    """documents re-shipped once per (sf_dir, fmt) as JSONL / CSV shards in
+    tmp — the source-connector round-trip fixture."""
+    import hashlib
+    import tempfile
+    key = (sf_dir, fmt)
+    cached = _SRC_CACHE.get(key)
+    if cached and os.path.exists(os.path.join(cached, "_SUCCESS")):
+        return cached
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
+    path = os.path.join(tempfile.gettempdir(), f"sketchlib_{fmt}_{h}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = _docs(spark, sf_dir).write.mode("overwrite")
+        (w.json(path) if fmt == "jsonl" else
+         w.option("header", "true").csv(path))
+    _SRC_CACHE[key] = path
+    return path
+
+
+_DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
+                "n_chars bigint")
+
+
+def _q_jsonl_source_stats(spark, sf_dir):
+    """JSONL source connector round-trip: documents re-shipped as JSONL
+    shards, read back with a pinned schema, aggregated — oracle is the
+    same aggregate over the parquet ground truth, so the connector's
+    parse path is value-checked end-to-end."""
+    from sketchlib.sources import read_jsonl
+    df = read_jsonl(spark, _materialized(spark, sf_dir, "jsonl"),
+                    _DOCS_SCHEMA)
+    return (df.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_len")))
+
+
+def _q_csv_source_stats(spark, sf_dir):
+    """CSV source connector round-trip (quoted text fields with embedded
+    spaces), value-checked against the parquet ground truth."""
+    from sketchlib.sources import read_csv
+    df = read_csv(spark, _materialized(spark, sf_dir, "csv"), _DOCS_SCHEMA)
+    return (df.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_len")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_freq_exact": _q_word_freq_exact,
@@ -851,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _q_json_props_stats,
         "lineitem_rollup": _q_lineitem_rollup,
         "clicks_no_purchase_30m": _q_clicks_no_purchase,
+        "jsonl_source_stats": _q_jsonl_source_stats,
+        "csv_source_stats": _q_csv_source_stats,
     }
 
 
@@ -1212,6 +1265,18 @@ def oracle_sql() -> dict[str, str]:
                     AND epoch_us(p.ts) - epoch_us(c.ts)
                         BETWEEN 0 AND 1800000000)
             GROUP BY user_id
+        """,
+        "jsonl_source_stats": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+            FROM documents GROUP BY source
+        """,
+        "csv_source_stats": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+            FROM documents GROUP BY source
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

@@ -76,3 +76,27 @@ def parquet_scan_path(source: str) -> str | None:
     if os.path.isdir(source) and _looks_like_iceberg_dir(source):
         return None
     return source
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSONL source with a PINNED schema — the format LLM training corpora
+    usually arrive in (one JSON document per line, sharded).
+
+    The schema is mandatory by design: at 100 TB, inference costs an extra
+    full pass over every shard and mistypes fields that are null in the
+    sampled prefix. Plain/zstd shards split per HDFS block; gzip shards do
+    not split (one task per .gz file) — corpora should ship as many small
+    shards, which also sets the parallelism floor. Corrupt lines surface in
+    ``_corrupt_record`` when the schema includes it, instead of killing the
+    job."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, *,
+             header: bool = True) -> DataFrame:
+    """CSV source with a pinned schema (same rationale as read_jsonl:
+    inference is a full extra pass at scale; quoted fields with embedded
+    commas/newlines parse correctly only in multiLine-free well-formed
+    shards, which is what Spark's own csv writer emits)."""
+    return (spark.read.schema(schema)
+            .option("header", "true" if header else "false").csv(path))
