@@ -269,6 +269,28 @@ def _q_cm_inner_product_rawlog(spark, sf_dir):
         "rawlog_equals_two_sketch boolean, est_ge_exact boolean")
 
 
+def _q_cm_join_size_tpch(spark, sf_dir):
+    """CM inner product as a query-optimizer cardinality estimator on real
+    relational keys: |orders JOIN lineitem ON orderkey| estimated from two
+    sketches built over the key columns (weighted build from pre-aggregated
+    (key, count) — no explode), vs the exact join count. est >= exact
+    always (one-sided, cm.h:810-815 semantics)."""
+    from sketchlib.spark_build import build_sketch_from_counts
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    oc = (orders.groupBy(F.col("o_orderkey").alias("k"))
+          .agg(F.count("*").alias("c")))
+    lc = (li.groupBy(F.col("l_orderkey").alias("k"))
+          .agg(F.count("*").alias("c")))
+    a = build_sketch_from_counts(oc, "k", "c", CM_CFG)
+    b = build_sketch_from_counts(lc, "k", "c", CM_CFG)
+    est = int(a.sketch.inner_product(b.sketch))
+    exact = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    return spark.createDataFrame(
+        [(est, int(exact), est >= exact)],
+        "est_join_size bigint, exact_join_size bigint, est_ge_exact boolean")
+
+
 def _q_hll_distinct_words(spark, sf_dir):
     """HLL distinct-word estimate vs exact, with the published-bound check
     inlined (rows-only: sketch estimates are not SQL-expressible)."""
@@ -866,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_grouped_by_source": _q_cm_grouped_by_source,
         "cm_inner_product": _q_cm_inner_product,
         "cm_inner_product_rawlog": _q_cm_inner_product_rawlog,
+        "cm_join_size_tpch": _q_cm_join_size_tpch,
         "cm_sketch_table_probe": _q_cm_sketch_table_probe,
         "cm_weighted_build": _q_cm_weighted_build,
         "hll_distinct_words": _q_hll_distinct_words,
