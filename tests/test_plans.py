@@ -190,3 +190,46 @@ def test_temporal_joins_avoid_nested_loops(spark):
     pr = plan_str(r)
     assert "BroadcastNestedLoopJoin" not in pr, pr
     assert "CartesianProduct" not in pr, pr
+
+
+def test_deterministic_sample_no_shuffle(spark, docs_path):
+    """The md5-prefix sample is a stateless scan-side filter: zero
+    exchanges, so the sample is identical however 100 TB is split."""
+    from sketchlib.pipeline import deterministic_sample
+    df = deterministic_sample(spark.read.parquet(docs_path),
+                              key_col="doc_id", threshold_hex="40")
+    p = plan_str(df)
+    assert "Exchange" not in p, p
+    assert "Filter" in p, p
+
+
+def test_anti_join_range_predicate_no_nested_loop(spark):
+    """Anti join with an equi key + range conjunct must plan as a keyed
+    join (hash/sort-merge LeftAnti), never a nested-loop/cartesian —
+    the difference between O(n log n) and O(n^2) at scale."""
+    ev = spark.createDataFrame(
+        [(i % 7, i, 1000 * i, "click" if i % 3 else "purchase")
+         for i in range(100)],
+        "user_id long, event_id long, ts_us long, event_type string")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "event_id", "ts_us")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("p_user"),
+                     F.col("ts_us").alias("p_ts_us")))
+    cond = ((clicks.user_id == purch.p_user)
+            & (purch.p_ts_us >= clicks.ts_us)
+            & (purch.p_ts_us <= clicks.ts_us + 10_000))
+    out = clicks.join(purch, cond, "left_anti")
+    p = plan_str(out)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "LeftAnti" in p, p
+
+
+def test_contamination_overlap_partial_agg(spark, docs_path):
+    """Distinct-then-join plan: partial aggregation before the gram
+    shuffle (per-doc repeats collapse map-side), equi-join on gram."""
+    from sketchlib.pipeline import cross_source_ngram_overlap
+    df = cross_source_ngram_overlap(spark.read.parquet(docs_path), n=3)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "HashAggregate" in p, p
