@@ -873,6 +873,61 @@ def _q_csv_source_stats(spark, sf_dir):
                  F.sum(F.length("text")).alias("total_text_len")))
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """Streaming session windows (applyInPandasWithState, event-time
+    timeout) must agree with batch sessionization once the watermark
+    closes the sessions (rows-only; exercises engine-managed session
+    state + late-group handling)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketchlib.pipeline import session_stats
+    from sketchlib.streaming import stateful_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = lambda u, m: (u, t0 + dt.timedelta(minutes=m))  # noqa: E731
+    batches = [[ev(1, 0), ev(1, 10), ev(2, 5), ev(3, 1)],
+               [ev(1, 20), ev(1, 110), ev(2, 15), ev(3, 200)],
+               [ev(99, 3000)], [ev(98, 4000)]]
+    root = tempfile.mkdtemp(prefix="sketchlib_sess_")
+    try:
+        inbox = os.path.join(root, "inbox")
+        os.makedirs(inbox)
+        for i, rows in enumerate(batches):
+            p = f"{inbox}/b{i}.parquet"
+            pq.write_table(
+                pa.table({"user_id": pa.array([r[0] for r in rows],
+                                              pa.int64()),
+                          "ts": pa.array([r[1] for r in rows],
+                                         pa.timestamp("us"))}), p)
+            os.utime(p, (1_700_000_000 + i * 60,) * 2)
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(inbox))
+        q = (stateful_sessionize(stream, "user_id", "ts", gap_minutes=30)
+             .writeStream.format("memory").queryName("sessions_q")
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        from collections import Counter
+        got = Counter(r["user"] for r in spark.table("sessions_q").collect()
+                      if int(r["user"]) < 90)
+        all_ev = (spark.read.parquet(inbox)
+                  .filter(F.col("user_id") < 90))
+        batch = {str(r["user_id"]): r["n_sessions"] for r in
+                 session_stats(all_ev, "user_id", "ts",
+                               gap_minutes=30).collect()}
+        return spark.createDataFrame(
+            [(int(sum(got.values())), dict(got) == batch)],
+            "n_closed_sessions bigint, matches_batch boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_freq_exact": _q_word_freq_exact,
@@ -909,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "cm_conservative_update": _q_cm_conservative_update,
         "streaming_incremental_cm": _q_streaming_incremental,
+        "streaming_sessions": _q_streaming_sessions,
         "windowed_event_counts": _q_windowed_event_counts,
         "user_sessions": _q_user_sessions,
         "ann_ivf_topk": _q_ann_ivf_topk,

@@ -339,3 +339,73 @@ def stateful_sketch_state(stream_df: DataFrame, key_col: str,
             .applyInPandasWithState(
                 fn, "key string, n_items long, sketch binary",
                 "sketch binary", "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_sessionize(stream_df: DataFrame, user_col: str, ts_col: str, *,
+                        gap_minutes: int = 30, watermark: str = "1 hour"):
+    """Streaming session windows via applyInPandasWithState with an
+    EVENT-TIME timeout — the streaming counterpart of pipeline.sessionize.
+
+    State per user is three longs (session_start_us, last_ts_us,
+    n_events); a session CLOSES either when a later event from the same
+    user exceeds the gap inside a batch, or when the watermark passes
+    last_ts + gap (engine timeout) — so closed sessions emit exactly once
+    (append mode) and state is bounded by ACTIVE users, not history.
+    Batch folding is vectorized (sort + np.diff split), no per-event
+    Python beyond per-session boundaries."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    cols = ["user", "session_start_us", "session_end_us", "n_events"]
+
+    def fn(key, pdf_iter, state):
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((key[0], start, last, n))
+            state.remove()
+        else:
+            parts = []
+            for pdf in pdf_iter:
+                t = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+                parts.append(t.to_numpy())
+            ts = np.sort(np.concatenate(parts))
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = None
+                n = 0
+            segs = np.split(ts, np.flatnonzero(np.diff(ts) > gap_us) + 1)
+            for seg in segs:
+                if last is not None and seg[0] - last <= gap_us:
+                    n += len(seg)            # continues the open session
+                else:
+                    if last is not None:     # close the open session
+                        out.append((key[0], start, last, n))
+                    start, n = int(seg[0]), len(seg)
+                last = int(seg[-1])
+            to_ms = last // 1000 + gap_minutes * 60_000
+            if to_ms <= state.getCurrentWatermarkMs():
+                # the whole group arrived later than watermark+gap (late
+                # shard / out-of-order file): its session is already over
+                # — close now instead of setting an in-the-past timeout
+                out.append((key[0], start, last, n))
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((int(start), int(last), int(n)))
+                state.setTimeoutTimestamp(to_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .withColumn("user", F.col(user_col).cast("string"))
+            .groupBy("user")
+            .applyInPandasWithState(
+                fn,
+                "user string, session_start_us long, session_end_us long, "
+                "n_events long",
+                "session_start_us long, last_ts_us long, n_events long",
+                "append", GroupStateTimeout.EventTimeTimeout))

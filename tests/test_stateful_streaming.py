@@ -70,3 +70,69 @@ def test_stateful_sketch_state(spark, tmp_path):
         ref = build_sketch(static.filter(F.col("source") == src),
                            "tokens", CFG)
         assert final[src] == ref.sketch.to_bytes(), src
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Closed streaming sessions must equal batch sessionization for every
+    user whose last session the advancing watermark has closed."""
+    import datetime as dt
+
+    from sketchlib.pipeline import session_stats
+    from sketchlib.streaming import stateful_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, minutes):
+        return (uid, t0 + dt.timedelta(minutes=minutes))
+
+    # user 1: two sessions (gap 90m > 30m); user 2: one session
+    batch0 = [ev(1, 0), ev(1, 10), ev(2, 5)]
+    batch1 = [ev(1, 20), ev(1, 110), ev(2, 15)]
+    # sentinels march the watermark (1h) far past everyone's last+gap:
+    # one batch to raise the watermark, one more so timeouts fire
+    batch2 = [ev(99, 3000)]
+    batch3 = [ev(98, 4000)]
+    inbox = str(tmp_path / "sess_inbox")
+    os.makedirs(inbox)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    # flat files (the file-stream source does not recurse into Spark's
+    # per-write directories) with ascending mtimes so the source's
+    # mtime-ordered listing processes them in the intended order
+    for i, rows in enumerate((batch0, batch1, batch2, batch3)):
+        p = f"{inbox}/b{i}.parquet"
+        pq.write_table(
+            pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "ts": pa.array([r[1] for r in rows],
+                                     pa.timestamp("us"))}), p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(inbox))
+    q = (stateful_sessionize(stream, "user_id", "ts", gap_minutes=30)
+         .writeStream.format("memory").queryName("sessions")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    got = {(r["user"], r["session_start_us"], r["session_end_us"],
+            r["n_events"])
+           for r in spark.table("sessions").collect()}
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e6)  # noqa: E731
+    expected = {
+        ("1", us(0), us(20), 3),     # closed in-batch by the 110m event
+        ("1", us(110), us(110), 1),  # closed by watermark timeout
+        ("2", us(5), us(15), 2),     # closed by watermark timeout
+    }
+    assert expected <= got, got
+    # no session for the sentinel users should be double-counted as users
+    # 1/2 sessions; batch comparison: session counts match pipeline.sessionize
+    all_ev = spark.read.parquet(inbox).filter(F.col("user_id") < 90)
+    bstats = {r["user_id"]: r["n_sessions"]
+              for r in session_stats(all_ev, "user_id", "ts",
+                                     gap_minutes=30).collect()}
+    from collections import Counter
+    stream_counts = Counter(u for (u, *_rest) in got if u in ("1", "2"))
+    assert stream_counts == {str(k): v for k, v in bstats.items()}, (
+        stream_counts, bstats)
