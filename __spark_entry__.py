@@ -873,6 +873,33 @@ def _q_csv_source_stats(spark, sf_dir):
                  F.sum(F.length("text")).alias("total_text_len")))
 
 
+def _q_bucketed_join_agg(spark, sf_dir):
+    """Fact-fact join with the shuffle paid at WRITE time: orders and
+    lineitem are stored bucketed by orderkey (sketchlib.sinks), so the
+    join itself plans with zero Exchange operators (plan-asserted in
+    tests/test_plans.py); values oracle-checked against a plain join."""
+    import hashlib
+    import tempfile
+    from sketchlib.sinks import bucketed_join, write_bucketed
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    base = os.path.join(tempfile.gettempdir(), f"sketchlib_buckets_{h}")
+    ta, tb = f"bk_orders_{h}", f"bk_lineitem_{h}"
+    if not spark.catalog.tableExists(ta):
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .withColumnRenamed("o_orderkey", "orderkey"))
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .withColumnRenamed("l_orderkey", "orderkey")
+              .select("orderkey", "l_quantity"))
+        write_bucketed(orders, ta, "orderkey", n_buckets=8,
+                       path=os.path.join(base, "orders"))
+        write_bucketed(li, tb, "orderkey", n_buckets=8,
+                       path=os.path.join(base, "lineitem"))
+    return (bucketed_join(spark, ta, tb, "orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """Streaming session windows (applyInPandasWithState, event-time
     timeout) must agree with batch sessionization once the watermark
@@ -983,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_no_purchase_30m": _q_clicks_no_purchase,
         "jsonl_source_stats": _q_jsonl_source_stats,
         "csv_source_stats": _q_csv_source_stats,
+        "bucketed_join_agg": _q_bucketed_join_agg,
     }
 
 
@@ -1356,6 +1384,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    CAST(SUM(length(text)) AS BIGINT) AS total_text_len
             FROM documents GROUP BY source
+        """,
+        "bucketed_join_agg": """
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

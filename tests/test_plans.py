@@ -233,3 +233,36 @@ def test_contamination_overlap_partial_agg(spark, docs_path):
     p = plan_str(df)
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path_factory):
+    """Both sides bucketed by the join key at write time -> the join plans
+    with ZERO Exchange operators: the shuffle was paid once at write, not
+    per query — the storage-layout lever for fact-fact joins at 100 TB."""
+    from sketchlib.sinks import bucketed_join, write_bucketed
+    root = tmp_path_factory.mktemp("buckets")
+    a = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bk_a", "k", n_buckets=8, path=str(root / "a"))
+    write_bucketed(b, "bk_b", "k", n_buckets=8, path=str(root / "b"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "bk_a", "bk_b", "k")
+            p = plan_str(joined)
+            assert "Exchange" not in p, p
+            assert "SortMergeJoin" in p, p
+            assert joined.count() == 10_000
+            # unbucketed control: the same join DOES shuffle
+            pa_ = spark.read.parquet(str(root / "a"))
+            pb_ = spark.read.parquet(str(root / "b"))
+            pc = plan_str(pa_.join(pb_, "k"))
+            assert "Exchange" in pc, pc
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
