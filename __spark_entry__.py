@@ -656,6 +656,24 @@ def _q_n_chars_quantiles(spark, sf_dir):
             .select("q", F.col("n_chars").alias("n_chars_at_q")))
 
 
+def _q_quantiles_by_source(spark, sf_dir):
+    """Per-source exact quantiles (grouped flavor of n_chars_quantiles):
+    rank-pinned value at floor(q*(n-1))+1 within each source partition —
+    one shuffle on source, window rank + windowed count, no collect."""
+    from pyspark.sql.window import Window
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source")
+    s = docs.select(
+        "source", "n_chars",
+        F.row_number().over(w.orderBy("n_chars", "doc_id")).alias("rn"),
+        F.count("*").over(w).alias("n"))
+    qs_arr = F.array(*[F.lit(q) for q in (0.25, 0.5, 0.9)])
+    return (s.withColumn("q", F.explode(qs_arr))
+            .filter(F.col("rn")
+                    == F.floor(F.col("q") * (F.col("n") - 1)).cast("int") + 1)
+            .select("source", "q", F.col("n_chars").alias("n_chars_at_q")))
+
+
 def _q_word_set_ops(spark, sf_dir):
     """Set operations over the src0/src1 vocabularies: distinct sizes,
     intersection, union — exact, one row (SURVEY §2.2 set-ops row)."""
@@ -999,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_doc_freq": _q_word_doc_freq,
         "top_bigrams": _q_top_bigrams,
         "n_chars_quantiles": _q_n_chars_quantiles,
+        "quantiles_by_source": _q_quantiles_by_source,
         "word_set_ops": _q_word_set_ops,
         "asof_click_purchase": _q_asof_click_purchase,
         "purchases_within_30m": _q_purchases_within_30m,
@@ -1244,6 +1263,18 @@ def oracle_sql() -> dict[str, str]:
             qs(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
             SELECT q, n_chars AS n_chars_at_q
             FROM s, n, qs
+            WHERE rn = CAST(FLOOR(q * (n - 1)) AS INT) + 1
+        """,
+        "quantiles_by_source": """
+            WITH s AS (
+                SELECT source, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM documents
+            ), qs(q) AS (VALUES (0.25), (0.5), (0.9))
+            SELECT source, q, n_chars AS n_chars_at_q
+            FROM s, qs
             WHERE rn = CAST(FLOOR(q * (n - 1)) AS INT) + 1
         """,
         "asof_click_purchase": """
