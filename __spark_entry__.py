@@ -524,6 +524,28 @@ def _q_multimodal_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_multimodal_dup_pairs(spark, sf_dir):
+    """End-to-end multimodal near-dup: media payloads -> feature vectors
+    (byte-histogram stand-in for a real encoder) -> feature-cosine dup
+    pairs. Ten duplicate payloads are planted under shifted ids; the
+    pipeline must recover exactly those pairs (random payloads sit at
+    cosine ~0.97, exact dups at 1.0 — threshold 0.999 separates).
+    Rows-only (hash-family/stub-specific)."""
+    from sketchlib.multimodal import extract_features, synth_media_table
+    from sketchlib.similarity import cosine_pairs_exact
+    media = synth_media_table(spark, n=60)
+    dups = (media.filter(F.col("media_id") < 10)
+            .withColumn("media_id", F.col("media_id") + 1000))
+    feats = extract_features(media.union(dups))
+    found = {(r["id_a"], r["id_b"]) for r in
+             cosine_pairs_exact(feats, "feature", "media_id",
+                                threshold=0.999).collect()}
+    planted = {(i, i + 1000) for i in range(10)}
+    return spark.createDataFrame(
+        [(len(planted), len(found), found == planted)],
+        "n_planted bigint, n_found bigint, exact_recovery boolean")
+
+
 def _q_heavy_hitters(spark, sf_dir):
     """phi-heavy-hitter words (exact output via candidate+verify — the
     full stream never shuffles). Oracle-checkable: HAVING cnt >= phi*total."""
@@ -1006,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_dup_pairs": _q_multimodal_dup_pairs,
         "heavy_hitters": _q_heavy_hitters,
         "cm_conservative_update": _q_cm_conservative_update,
         "streaming_incremental_cm": _q_streaming_incremental,
