@@ -308,6 +308,36 @@ def _q_hll_distinct_words(spark, sf_dir):
         "n_distinct_exact bigint, hll_est double, rel_err double, within_bound boolean")
 
 
+def _q_hll_vocab_overlap(spark, sf_dir):
+    """HLL set algebra: src0/src1 vocabulary union comes free from the
+    sketch merge; intersection via inclusion-exclusion
+    (|A|+|B|-|A∪B|) — compared against the exact intersect/union sizes
+    (word_set_ops computes the same exactly). Rows-only."""
+    import functools
+    from sketchlib.hll import HllSketch
+    from sketchlib.spark_build import build_aggregator
+    toks = _tokenized_docs(spark, sf_dir)
+    mk = functools.partial(HllSketch, p=14)
+    a = build_aggregator(toks.filter(F.col("source") == "src0"),
+                         "tokens", mk).sketch
+    b = build_aggregator(toks.filter(F.col("source") == "src1"),
+                         "tokens", mk).sketch
+    est_a, est_b = a.estimate(), b.estimate()
+    from sketchlib import serde
+    u = serde.loads(a.to_bytes()).merge(b)   # merge mutates; union a copy
+    est_u = u.estimate()
+    est_i = est_a + est_b - est_u
+    w = _words(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
+    vocab = w.select("source", "word").distinct()
+    exact_u = vocab.select("word").distinct().count()
+    exact_i = (vocab.groupBy("word").agg(F.count("*").alias("ns"))
+               .filter(F.col("ns") == 2).count())
+    return spark.createDataFrame(
+        [(float(est_u), int(exact_u), float(est_i), int(exact_i))],
+        "est_union double, exact_union bigint, "
+        "est_intersect double, exact_intersect bigint")
+
+
 def _q_cm_weighted_build(spark, sf_dir):
     """Weighted build from a pre-aggregated (token, cnt) table — the
     reference's update(i, c) with c != 1 — must yield the same counter
@@ -1015,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_weighted_build": _q_cm_weighted_build,
         "hll_distinct_words": _q_hll_distinct_words,
         "hll_grouped_by_source": _q_hll_grouped_by_source,
+        "hll_vocab_overlap": _q_hll_vocab_overlap,
         "bloom_membership": _q_bloom_membership,
         "quantiles_sketch": _q_quantiles_sketch,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
