@@ -186,13 +186,16 @@ def _q_lineitem_pricing(spark, sf_dir):
 # -- sketch queries (rows-only: estimates are not SQL-expressible) ----------
 
 def _q_cm_topk_words(spark, sf_dir):
+    """Top-20 words by exact count with CM estimates alongside; the
+    est_ge_exact flag self-asserts the one-sided CM guarantee per row."""
     toks = _tokenized_docs(spark, sf_dir)
     res = build_sketch(toks, "tokens", CM_CFG)
     top = (_words(spark, sf_dir).groupBy("word")
            .agg(F.count("*").alias("exact_cnt"))
            .orderBy(F.desc("exact_cnt"), "word").limit(20))
-    return top.withColumn(
+    return (top.withColumn(
         "cm_est", point_query_col(spark, res.sketch, _word_token(F.col("word"))))
+        .withColumn("est_ge_exact", F.col("cm_est") >= F.col("exact_cnt")))
 
 
 def _q_cm_grouped_by_source(spark, sf_dir):
@@ -204,19 +207,21 @@ def _q_cm_grouped_by_source(spark, sf_dir):
     tok_path = _token_table_path(spark, sf_dir)
     grouped = collect_grouped(
         build_grouped_parquet(spark, tok_path, "source", "tokens", CM_CFG))
-    probe = None
     import numpy as np
+    probe = (spark.range(1).select(_word_token(F.lit("data")).alias("t"))
+             .collect()[0]["t"])
+    exact = {r["source"]: r["c"] for r in
+             (_words(spark, sf_dir).filter(F.col("word") == "data")
+              .groupBy("source").agg(F.count("*").alias("c")).collect())}
     rows = []
     for src in sorted(grouped):
         cm = grouped[src]
-        if probe is None:
-            # token id for 'data' under the engine convention
-            probe_df = spark.range(1).select(_word_token(F.lit("data")).alias("t"))
-            probe = probe_df.collect()[0]["t"]
-        rows.append((src, cm.n_items, cm.total_count,
-                     int(cm.point_query_batch(np.array([probe]))[0])))
+        est = int(cm.point_query_batch(np.array([probe]))[0])
+        rows.append((src, cm.n_items, cm.total_count, est,
+                     int(exact.get(src, 0)), est >= exact.get(src, 0)))
     return spark.createDataFrame(
-        rows, "source string, n_items bigint, total_count bigint, est_data bigint")
+        rows, "source string, n_items bigint, total_count bigint, "
+              "est_data bigint, exact_data bigint, est_ge_exact boolean")
 
 
 def _q_cm_inner_product(spark, sf_dir):
