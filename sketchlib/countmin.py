@@ -112,10 +112,10 @@ class CountMinSketch:
         both matter for memory-bandwidth-bound multi-worker builds.
 
         ``preaggregate`` collapses duplicate keys (one sort) before hashing:
-        ~2x faster on skewed streams when a worker has cache/bandwidth
-        headroom, but the sort's working set thrashes shared caches when
-        every core runs one worker. None = heuristic (on for large batches);
-        pass False on densely-packed executors.
+        measured 1.26-1.44x faster on skewed streams at every local[N]
+        level since the L2-resident kernel rework (pre-rework it
+        anti-scaled on saturated hosts; see BENCH/BASELINE.md). None =
+        heuristic (on for large batches).
         """
         arr = np.asarray(keys)
         n = arr.shape[0]

@@ -57,10 +57,11 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 cfg = CMConfig(eps=1e-4, delta=math.exp(-3), seed=1337)
-# preaggregate=False: the duplicate-collapsing sort is faster per-task but
-# its cache working set anti-scales when every core runs a worker
-build = lambda: build_sketch_parquet(spark, {path!r}, "tokens", cfg,
-                                     preaggregate=False)
+# default preaggregate heuristic (on for large batches): since the
+# L2-resident kernel rework the duplicate-collapsing sort wins at EVERY
+# parallelism level (A/B in BENCH/BASELINE.md session C2: 1.26-1.44x),
+# so the scaling pair measures the configuration a user actually gets
+build = lambda: build_sketch_parquet(spark, {path!r}, "tokens", cfg)
 build()  # warmup: worker pool + page cache + JIT
 t0_j, s0, b0 = cpu_jiffies()
 t0 = time.perf_counter()
