@@ -541,3 +541,28 @@ def cross_source_ngram_overlap(df: DataFrame, n: int = 3,
             .groupBy(F.col("a.src").alias("src_a"),
                      F.col("b.src").alias("src_b"))
             .agg(F.count("*").alias("n_shared_ngrams")))
+
+
+def register_ngram_udtf(spark, name: str = "ngrams"):
+    """Python UDTF (Spark 4 table function) emitting word n-grams — the
+    UDTF corner of the UDF/UDAF/UDTF surface. After registration::
+
+        SELECT g.* FROM documents,
+               LATERAL ngrams(text, 3) AS g
+
+    For scale paths prefer the pure-Catalyst transform/slice expression in
+    cross_source_ngram_overlap (no Python); the UDTF form exists for SQL
+    users composing table functions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram string, pos int")
+    class NgramUdtf:
+        def eval(self, text: str, n: int):  # noqa: D102
+            if not text:
+                return
+            ws = [w for w in text.split(" ") if w]
+            for i in range(len(ws) - n + 1):
+                yield (" ".join(ws[i:i + n]), i)
+
+    spark.udtf.register(name, NgramUdtf)
+    return NgramUdtf

@@ -301,3 +301,22 @@ def test_cross_source_ngram_overlap(docs):
     # 3-gram with src1's copy except none (different order); check key absent
     # or small
     assert rows.get(("src1", "src2"), 0) <= 1
+
+
+def test_ngram_udtf(spark, docs):
+    """UDTF surface: SQL-level table function matches the Catalyst n-gram
+    expression used by cross_source_ngram_overlap."""
+    P.register_ngram_udtf(spark, "ngrams_t")
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql("""
+        SELECT doc_id, g.gram, g.pos
+        FROM udtf_docs, LATERAL ngrams_t(text, 3) AS g
+        WHERE doc_id = 0
+        ORDER BY g.pos
+    """).collect()
+    assert rows[0]["gram"] == "the quick brown" and rows[0]["pos"] == 0
+    assert len(rows) == 7  # 9 words -> 7 trigrams
+    # empty doc emits nothing
+    assert spark.sql("""
+        SELECT * FROM udtf_docs, LATERAL ngrams_t(text, 3) AS g
+        WHERE doc_id = 5""").count() == 0
