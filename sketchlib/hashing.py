@@ -200,8 +200,20 @@ def accumulate_into(keys: np.ndarray, seeds, width: int, table: np.ndarray,
     s8s = [_U64((int(s) & 0xFFFFFFFFFFFFFFFF) ^ 8) for s in seeds]
     d = len(s8s)
     fweights = None
+    iweights = None
+    # strategy: bincount's O(m + width) per chunk is unbeatable while the
+    # row fits L2 (and is the multi-worker-validated hot path), but its
+    # width-scan term collapses for wide sketches (w=1e6: 6.7 vs 16.6
+    # M tok/s; w=4e6: 2.3 vs 13.8 — measured sweep in BENCH/BASELINE.md
+    # session C2); past ~4 chunks' worth of counters switch to indexed
+    # scatter, which touches only the m hit counters per chunk.
+    scatter = width > 4 * _CHUNK
     if weights is not None:
+        # float64 weight sums are exact for |sum| < 2^53 (bincount path);
+        # counts are integral so the int64 cast is exact (scatter path)
         fweights = np.asarray(weights, dtype=np.float64)
+        if scatter:
+            iweights = fweights.astype(np.int64)
     for st in range(0, n, _CHUNK):
         en = min(st + _CHUNK, n)
         m = en - st
@@ -212,10 +224,12 @@ def accumulate_into(keys: np.ndarray, seeds, width: int, table: np.ndarray,
             b %= w
             c = cols[:m]
             np.copyto(c, b, casting="unsafe")
-            if wseg is None:
+            if scatter:
+                np.add.at(table[j], c,
+                          1 if wseg is None else iweights[st:en])
+            elif wseg is None:
                 table[j] += np.bincount(c, minlength=width)
             else:
-                # float64 weight sums are exact for |sum| < 2^53
                 table[j] += np.bincount(c, weights=wseg,
                                         minlength=width).astype(np.int64)
 

@@ -106,3 +106,35 @@ def test_bit_length_u64():
 def test_hash_scalar_shape():
     h = hash_u64(np.array([7], dtype=np.uint64), 9)
     assert h.shape == (1,)
+
+
+def test_accumulate_into_scatter_equals_bincount():
+    """The wide-sketch scatter strategy (width > 4*chunk) must produce the
+    exact same counters as the bincount strategy, weighted and not."""
+    import numpy as np
+    from sketchlib import hashing as H
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**32, size=300_000, dtype=np.int64)
+    seeds = [11, 22, 33]
+    for width in (1000, 5 * H._CHUNK):  # one per strategy branch
+        t1 = np.zeros((3, width), np.int64)
+        H.accumulate_into(keys, seeds, width, t1)
+        # reference accumulation: plain full-array hash + bincount
+        t2 = np.zeros((3, width), np.int64)
+        for j, s in enumerate(seeds):
+            h2 = H.murmur3_x64_128_u64(keys.astype(np.uint64), s)[1]
+            cols = (h2 % np.uint64(width)).astype(np.int64)
+            t2[j] += np.bincount(cols, minlength=width)
+        assert np.array_equal(t1, t2), width
+        # weighted
+        w1 = np.zeros((3, width), np.int64)
+        wts = rng.integers(1, 100, size=len(keys))
+        H.accumulate_into(keys, seeds, width, w1, weights=wts)
+        w2 = np.zeros((3, width), np.int64)
+        for j, s in enumerate(seeds):
+            h2 = H.murmur3_x64_128_u64(keys.astype(np.uint64), s)[1]
+            cols = (h2 % np.uint64(width)).astype(np.int64)
+            w2[j] += np.bincount(cols, weights=wts.astype(np.float64),
+                                 minlength=width).astype(np.int64)
+        assert np.array_equal(w1, w2), width
