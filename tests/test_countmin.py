@@ -227,3 +227,36 @@ def test_sparse_serialization_roundtrip_and_auto():
     assert m.to_bytes() == two.to_bytes()
     # dumps_partial picks the compact form for sketches that support it
     assert serde.dumps_partial(cm)[:4] == b"CMSP"
+
+
+def test_cu_chunked_equals_sequential():
+    """The chunked-vectorized CU must be bit-identical to the pure
+    sequential sorted-unique order at any width (collision-free chunks
+    don't interact; dirty chunks keep the scalar order)."""
+    import math
+
+    import numpy as np
+
+    from sketchlib.countmin import CMConfig, CountMinSketch
+    from sketchlib.hashing import tokens_to_u64
+
+    rng = np.random.default_rng(5)
+    for eps in (0.1, 1e-3):  # w=28 (heavy collisions) and w=2719
+        cfg = CMConfig(eps=eps, delta=math.exp(-3), seed=1337)
+        keys = rng.integers(0, 50_000, size=30_000, dtype=np.int64)
+        cm = CountMinSketch(cfg)
+        cm.update_batch_cu(keys)
+        # reference: pure sequential loop over sorted uniques
+        ref = CountMinSketch(cfg)
+        u64 = tokens_to_u64(keys)
+        uniq, inv = np.unique(u64, return_inverse=True)
+        agg = np.bincount(inv).astype(np.int64)
+        cols = ref._columns(uniq)
+        rows = np.arange(cfg.depth)
+        for i in range(uniq.shape[0]):
+            ci = cols[:, i]
+            cur = ref.table[rows, ci]
+            new = cur.min() + agg[i]
+            np.maximum(cur, new, out=cur)
+            ref.table[rows, ci] = cur
+        assert np.array_equal(cm.table, ref.table), eps
