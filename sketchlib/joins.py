@@ -40,32 +40,45 @@ def as_of_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
     window's running ``last(..., ignorenulls=True)`` carries the latest
     right values forward into the left rows.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
     # side flag orders ties: right rows sort BEFORE left at equal ts for
     # <=, AFTER for strict < (so an equal-ts right row is not visible)
     l_tag, r_tag = (1, 0) if not strict else (0, 1)
-    carry = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+    # the right attrs travel as ONE struct so the window carries the
+    # matched right row ATOMICALLY: per-column last(..., ignorenulls)
+    # would backfill a NULL attribute of the matched row from an OLDER
+    # right row, emitting a column combination no right row contains
+    rtype = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [StructField("__ts", right.schema[ts_col].dataType)])
     l = left.select(
         *lcols,
         F.lit(l_tag).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType)
-        .alias(f"{ts_col}{suffix}"))
-    r = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          if c not in (key_col, ts_col) else F.col(c) for c in lcols],
-        F.lit(r_tag).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"))
+        F.lit(None).cast(rtype).alias("_rrow"))
+    r = (right
+         # a NULL-timestamp right row is not a valid as-of predecessor
+         # (it would sort nulls-first and pollute every early left row)
+         .filter(F.col(ts_col).isNotNull())
+         .select(
+             *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+               if c not in (key_col, ts_col) else F.col(c) for c in lcols],
+             F.lit(r_tag).alias("_side"),
+             F.struct(*[F.col(c).alias(c) for c in right_cols],
+                      F.col(ts_col).alias("__ts")).alias("_rrow")))
     u = l.unionByName(r)
     w = (Window.partitionBy(key_col)
          .orderBy(_us(F.col(ts_col)), F.col("_side"))
          .rowsBetween(Window.unboundedPreceding, 0))
     out = u.select(
         *lcols, "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry])
-    return out.filter(F.col("_side") == l_tag).drop("_side")
+        F.last("_rrow", ignorenulls=True).over(w).alias("_m"))
+    return (out.filter(F.col("_side") == l_tag)
+            .select(*lcols,
+                    *[F.col(f"_m.{c}").alias(f"{c}{suffix}")
+                      for c in right_cols],
+                    F.col("_m.__ts").alias(f"{ts_col}{suffix}")))
 
 
 def range_join(left: DataFrame, right: DataFrame, key_col: str,

@@ -213,9 +213,12 @@ def build_sketch_from_counts(df: DataFrame, key_col: str, count_col: str,
     """Weighted build over a PRE-AGGREGATED (key, count) table — the
     reference's ``update(i, c)`` with c != 1 (cm.h:260, 482-488), batched:
     each partition folds its (key, count) rows with one weighted
-    scatter-add, partials tree-merge as usual. Byte-identical to building
-    from the exploded unit-update stream (tested), at the cost of one scan
-    of the aggregate instead of Σ counts updates."""
+    scatter-add, partials tree-merge as usual. Counter-table- and
+    total_count-identical to building from the exploded unit-update
+    stream (tested) — NOT blob-byte-identical, because the serialized
+    header's n_items records rows folded (len(keys)) rather than
+    Σ counts — at the cost of one scan of the aggregate instead of
+    Σ counts updates."""
     def fn(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -387,7 +390,8 @@ def _rg_layout_digest(rgs: list[tuple[str, int, int]]) -> str:
     return h.hexdigest()
 
 
-def _pin_checkpoint_slices(checkpoint_dir: str, rgs, n_slices: int) -> int:
+def _pin_checkpoint_slices(checkpoint_dir: str, rgs, n_slices: int | None,
+                           default_n_slices: int) -> int:
     """Persist (or validate against) the slice assignment of a checkpointed
     build. Slice ids must mean the same row-group ranges across runs —
     resuming under a different core count (defaultParallelism feeds the
@@ -410,6 +414,8 @@ def _pin_checkpoint_slices(checkpoint_dir: str, rgs, n_slices: int) -> int:
                 f"checkpoint {checkpoint_dir} pinned n_slices="
                 f"{meta['n_slices']}, got explicit n_slices={n_slices}")
         return int(meta["n_slices"])
+    if n_slices is None:
+        n_slices = default_n_slices
     os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
@@ -446,11 +452,13 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
     t0 = time.perf_counter()
     rgs = _list_row_groups(path)
     if checkpoint_dir is not None:
-        pinned = _pin_checkpoint_slices(
-            checkpoint_dir.rstrip("/"), rgs,
-            n_slices if n_slices is not None
-            else _default_n_slices(spark, len(rgs)))
-        n_slices = pinned
+        # pass the raw (possibly-None) n_slices: an explicit value must
+        # match the pinned one, but the parallelism-derived DEFAULT must
+        # not be treated as explicit — a resume on a different core count
+        # would spuriously conflict with the pinned assignment
+        n_slices = _pin_checkpoint_slices(
+            checkpoint_dir.rstrip("/"), rgs, n_slices,
+            _default_n_slices(spark, len(rgs)))
     elif n_slices is None:
         n_slices = _default_n_slices(spark, len(rgs))
     n_slices, rows = _slice_assignments(rgs, n_slices)
@@ -560,13 +568,20 @@ def _ingest_grouped(sketches: dict, rows: dict, keys: np.ndarray,
     np.cumsum(lens, out=offsets[1:])
     uniq, inv = np.unique(keys, return_inverse=True)
     row_counts = np.bincount(inv, minlength=len(uniq))
+    # one stable argsort of the group ids replaces a per-group `inv == g`
+    # mask (that scan was O(n_groups x n_rows) per batch — quadratic for
+    # high-cardinality keys); bounds come from the group sizes
+    order = np.argsort(inv, kind="stable")
+    bounds = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=bounds[1:])
+    starts_all = offsets[:-1]
     for g, key in enumerate(uniq.tolist()):
         sk = sketches.get(key)
         if sk is None:
             sk = sketches[key] = make_sketch()
             rows[key] = 0
-        rmask = inv == g
-        seg = _ragged_take(flat, offsets[:-1][rmask], lens[rmask])
+        sel = order[bounds[g]:bounds[g + 1]]
+        seg = _ragged_take(flat, starts_all[sel], lens[sel])
         if cu:
             sk.update_batch_cu(seg)
         else:

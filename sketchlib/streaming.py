@@ -379,13 +379,24 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str, ts_col: str, *,
                 n = 0
             segs = np.split(ts, np.flatnonzero(np.diff(ts) > gap_us) + 1)
             for seg in segs:
-                if last is not None and seg[0] - last <= gap_us:
-                    n += len(seg)            # continues the open session
+                s0, s1 = int(seg[0]), int(seg[-1])
+                if last is None:
+                    start, last, n = s0, s1, len(seg)
+                elif s0 <= last + gap_us and s1 >= start - gap_us:
+                    # overlaps/extends the open session (late segs allowed
+                    # within the watermark) — the span only grows, never
+                    # regresses last_ts/start
+                    n += len(seg)
+                    start = min(start, s0)
+                    last = max(last, s1)
+                elif s1 < start - gap_us:
+                    # late seg ENTIRELY before the open session: an older
+                    # session of its own whose gap already elapsed — emit
+                    # it closed, leave the open session's state alone
+                    out.append((key[0], s0, s1, len(seg)))
                 else:
-                    if last is not None:     # close the open session
-                        out.append((key[0], start, last, n))
-                    start, n = int(seg[0]), len(seg)
-                last = int(seg[-1])
+                    out.append((key[0], start, last, n))  # close open
+                    start, last, n = s0, s1, len(seg)
             to_ms = last // 1000 + gap_minutes * 60_000
             if to_ms <= state.getCurrentWatermarkMs():
                 # the whole group arrived later than watermark+gap (late

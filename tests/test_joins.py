@@ -89,3 +89,36 @@ def test_range_join_matches_bruteforce_and_bounds(spark, streams):
     rows = range_join(left, right, "user_id", "ts",
                       lower_us=lo, upper_us=hi).collect()
     assert len(rows) == len(out)
+
+
+def test_as_of_join_carries_matched_row_atomically(spark):
+    """A NULL attribute in the matched right row must stay NULL — not be
+    backfilled from an older right row (per-column carry would fabricate
+    a (ts, val) combination existing in no right row)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1)],
+        "k long, ts_s string, lid long"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 5),
+         (1, "2024-01-01 09:30:00", None)],   # matched row, val NULL
+        "k long, ts_s string, val long"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "val")
+    row = as_of_join(left, right, "k", "ts", ["val"]).collect()[0]
+    assert row["ts_asof"].minute == 30         # matched the 09:30 row
+    assert row["val_asof"] is None             # its NULL val is preserved
+
+
+def test_as_of_join_ignores_null_right_timestamps(spark):
+    """Right rows with NULL ts are not valid as-of predecessors."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 1)],
+        "k long, ts_s string, lid long"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, None, 99),
+         (1, "2024-01-01 12:00:00", 5)],       # after the left row
+        "k long, ts_s string, val long"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "val")
+    row = as_of_join(left, right, "k", "ts", ["val"]).collect()[0]
+    assert row["val_asof"] is None and row["ts_asof"] is None

@@ -358,3 +358,24 @@ def test_weighted_build_from_counts_equals_exploded(spark, tokens_df,
     keys = np.fromiter(exact_counts.keys(), dtype=np.int64)
     assert np.array_equal(wb.sketch.point_query_batch(keys),
                           direct.sketch.point_query_batch(keys))
+
+
+def test_checkpoint_resume_ignores_changed_default_parallelism(tmp_path):
+    """Resume with n_slices=None must reuse the PINNED assignment even when
+    the parallelism-derived default changed (different core count) — only
+    an EXPLICIT conflicting n_slices is an error."""
+    import pytest as _pytest
+
+    from sketchlib.spark_build import _pin_checkpoint_slices
+
+    rgs = [("f.parquet", i, 1000) for i in range(64)]
+    ckpt = str(tmp_path / "ckpt")
+    # first run on a "32-core" host: default 128 slices
+    assert _pin_checkpoint_slices(ckpt, rgs, None, 64) == 64
+    # resume on an "8-core" host: default would be 32 — pinned 64 wins
+    assert _pin_checkpoint_slices(ckpt, rgs, None, 32) == 64
+    # explicit conflicting value still refuses
+    with _pytest.raises(ValueError, match="pinned n_slices"):
+        _pin_checkpoint_slices(ckpt, rgs, 32, 32)
+    # explicit matching value is fine
+    assert _pin_checkpoint_slices(ckpt, rgs, 64, 32) == 64

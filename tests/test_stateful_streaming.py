@@ -136,3 +136,43 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     stream_counts = Counter(u for (u, *_rest) in got if u in ("1", "2"))
     assert stream_counts == {str(k): v for k, v in bstats.items()}, (
         stream_counts, bstats)
+
+
+def test_stateful_sessionize_late_events_do_not_regress(spark, tmp_path):
+    """A late in-watermark event merging into the open session must not
+    regress last_ts (the r2 bug closed sessions at a too-early end)."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from sketchlib.streaming import stateful_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e6)  # noqa: E731
+    ev = lambda u, m: (u, t0 + dt.timedelta(minutes=m))  # noqa: E731
+    # batch0: events at 10,20; batch1: LATE event at 15 (within watermark)
+    # plus 40 (continues: 40-20=20m <= 30m); batch2/3: watermark sentinels
+    batches = [[ev(1, 10), ev(1, 20)], [ev(1, 15), ev(1, 40)],
+               [ev(99, 3000)], [ev(98, 4000)]]
+    inbox = str(tmp_path / "late_inbox")
+    os.makedirs(inbox)
+    for i, rows in enumerate(batches):
+        p = f"{inbox}/b{i}.parquet"
+        pq.write_table(
+            pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "ts": pa.array([r[1] for r in rows],
+                                     pa.timestamp("us"))}), p)
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(inbox))
+    q = (stateful_sessionize(stream, "user_id", "ts", gap_minutes=30)
+         .writeStream.format("memory").queryName("late_sessions")
+         .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {(r["user"], r["session_start_us"], r["session_end_us"],
+            r["n_events"])
+           for r in spark.table("late_sessions").collect()
+           if r["user"] == "1"}
+    # ONE session 10..40 with 4 events — not split at the late 15
+    assert got == {("1", us(10), us(40), 4)}, got
