@@ -60,7 +60,18 @@ def _word_token(word_col):
     return F.pmod(F.xxhash64(word_col), F.lit(2**31)).cast("int")
 
 
-_TOK_CACHE: dict[str, str] = {}
+def _cached_tmp(sf_dir: str, tag: str, write_fn) -> str:
+    """One materialize-once-per-(sf_dir, tag) tmp path: derives the path,
+    checks the _SUCCESS marker, calls ``write_fn(path)`` on a miss. The
+    single helper replaces four hand-rolled copies of this pattern (the
+    review flagged their digests/guards drifting apart)."""
+    import hashlib
+    import tempfile
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
+    path = os.path.join(tempfile.gettempdir(), f"sketchlib_{tag}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_fn(path)
+    return path
 
 
 def _token_table_path(spark: SparkSession, sf_dir: str) -> str:
@@ -69,21 +80,12 @@ def _token_table_path(spark: SparkSession, sf_dir: str) -> str:
     parquet. Downstream sketch builds then use the parquet-direct columnar
     source (spark_build.build_*_parquet) instead of bouncing every token
     through JVM rows — at 100 TB this is the ingest step that makes every
-    build a pruned columnar scan. Cached per sf_dir within the process."""
-    import hashlib
-    import tempfile
-    cached = _TOK_CACHE.get(sf_dir)
-    if cached and os.path.exists(os.path.join(cached, "_SUCCESS")):
-        return cached
-    key = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
-    path = os.path.join(tempfile.gettempdir(), f"sketchlib_tokens_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (_tokenized_docs(spark, sf_dir)
-         .withColumn("n_tok", F.size("tokens"))
-         .select("doc_id", "tokens", "n_tok", "source")
-         .write.mode("overwrite").parquet(path))
-    _TOK_CACHE[sf_dir] = path
-    return path
+    build a pruned columnar scan."""
+    return _cached_tmp(sf_dir, "tokens", lambda p: (
+        _tokenized_docs(spark, sf_dir)
+        .withColumn("n_tok", F.size("tokens"))
+        .select("doc_id", "tokens", "n_tok", "source")
+        .write.mode("overwrite").parquet(p)))
 
 
 # ---------------------------------------------------------------------------
@@ -636,8 +638,6 @@ def _q_ann_ivf_topk(spark, sf_dir):
     n_probe cells' files via parquet partition pruning — no per-query
     assignment pass. Returns (vec_id, rank) plus agreement with exact brute
     force at each rank (rows-only: centroids are seeded)."""
-    import hashlib
-    import tempfile
     from sketchlib.similarity import (ann_topk_bruteforce, ivf_topk_indexed,
                                       ivf_write_index, train_ivf_centroids)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -645,10 +645,8 @@ def _q_ann_ivf_topk(spark, sf_dir):
         "embedding", lambda x: x.cast("double")).alias("embedding"))
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     cents = train_ivf_centroids(emb, "embedding", n_cells=16, seed=7)
-    key = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
-    idx_path = os.path.join(tempfile.gettempdir(), f"sketchlib_ivf_{key}")
-    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
-        ivf_write_index(emb, "embedding", "vec_id", cents, idx_path)
+    idx_path = _cached_tmp(sf_dir, "ivf", lambda p: ivf_write_index(
+        emb, "embedding", "vec_id", cents, p))
     approx = ivf_topk_indexed(spark, idx_path, "embedding", "vec_id", q,
                               cents, k=10, n_probe=8).collect()
     exact = {r["vec_id"] for r in
@@ -897,26 +895,14 @@ def _q_clicks_no_purchase(spark, sf_dir):
             .agg(F.count("*").alias("n_abandoned_clicks")))
 
 
-_SRC_CACHE: dict[tuple, str] = {}
-
-
 def _materialized(spark, sf_dir, fmt):
     """documents re-shipped once per (sf_dir, fmt) as JSONL / CSV shards in
     tmp — the source-connector round-trip fixture."""
-    import hashlib
-    import tempfile
-    key = (sf_dir, fmt)
-    cached = _SRC_CACHE.get(key)
-    if cached and os.path.exists(os.path.join(cached, "_SUCCESS")):
-        return cached
-    h = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
-    path = os.path.join(tempfile.gettempdir(), f"sketchlib_{fmt}_{h}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def write(path):
         w = _docs(spark, sf_dir).write.mode("overwrite")
         (w.json(path) if fmt == "jsonl" else
          w.option("header", "true").csv(path))
-    _SRC_CACHE[key] = path
-    return path
+    return _cached_tmp(sf_dir, fmt, write)
 
 
 _DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
