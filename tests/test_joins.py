@@ -122,3 +122,38 @@ def test_as_of_join_ignores_null_right_timestamps(spark):
     ).select("k", F.to_timestamp("ts_s").alias("ts"), "val")
     row = as_of_join(left, right, "k", "ts", ["val"]).collect()[0]
     assert row["val_asof"] is None and row["ts_asof"] is None
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas merge_asof (the semantics the
+    operator restates distributively): 300 left x 200 right rows, 8 keys,
+    duplicate timestamps included."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 8, 300),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 300), unit="s"),
+        "lid": np.arange(300),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 8, 200),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 200), unit="s"),
+        "val": rng.integers(0, 1000, 200),
+    })
+    out = as_of_join(spark.createDataFrame(left_pd),
+                     spark.createDataFrame(right_pd),
+                     "k", "ts", ["val"]).collect()
+    got = {r["lid"]: (r["val_asof"], r["ts_asof"]) for r in out}
+
+    # pandas asof: sort by ts then stable by insertion; for equal right
+    # ts the LAST right row wins in both (running last over sorted rows)
+    ref = pd.merge_asof(
+        left_pd.sort_values(["ts", "lid"], kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward", suffixes=("", "_r"))
+    assert len(got) == 300
+    for _, row in ref.iterrows():
+        want = None if pd.isna(row["val"]) else int(row["val"])
+        assert got[row["lid"]][0] == want, (row["lid"], got[row["lid"]], want)
