@@ -645,7 +645,12 @@ def _q_ann_ivf_topk(spark, sf_dir):
         "embedding", lambda x: x.cast("double")).alias("embedding"))
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     cents = train_ivf_centroids(emb, "embedding", n_cells=16, seed=7)
-    idx_path = _cached_tmp(sf_dir, "ivf", lambda p: ivf_write_index(
+    # the index layout is only valid for THE centroids that wrote it —
+    # key the cache by their digest so a retrained set can never probe a
+    # stale layout
+    import hashlib
+    ctag = hashlib.blake2b(cents.tobytes(), digest_size=6).hexdigest()
+    idx_path = _cached_tmp(sf_dir, f"ivf_{ctag}", lambda p: ivf_write_index(
         emb, "embedding", "vec_id", cents, p))
     approx = ivf_topk_indexed(spark, idx_path, "embedding", "vec_id", q,
                               cents, k=10, n_probe=8).collect()

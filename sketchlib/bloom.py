@@ -98,8 +98,13 @@ class BloomFilter:
             "<4sHHqdqqq", buf[:hs])
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad BloomFilter serialization")
+        if len(buf) < hs + m_bits // 8:
+            raise ValueError("truncated BloomFilter blob")
         words = np.frombuffer(buf[hs:hs + m_bits // 8], dtype="<u8").astype(np.uint64)
         bf = BloomFilter(capacity=cap, fpr=fpr, seed=seed, words=words,
                          n_items=n_items)
-        assert bf.m_bits == m_bits and bf.k == k
+        if bf.m_bits != m_bits or bf.k != k:
+            raise ValueError(
+                "BloomFilter header inconsistent with derived shape "
+                f"(m_bits {m_bits} vs {bf.m_bits}, k {k} vs {bf.k})")
         return bf

@@ -50,6 +50,10 @@ class DDSketch:
         n = v.shape[0]
         if n == 0:
             return
+        if np.isnan(v).any():
+            # NaN is neither >0, <0 nor ==0: counting it as a zero would
+            # silently shift every low quantile toward 0
+            raise ValueError("DDSketch.update_batch received NaN values")
         self.n_items += n
         pos = v > 0
         neg = v < 0
@@ -124,6 +128,8 @@ class DDSketch:
         sk.zero_count = zc
         sk.n_items = n_items
         off = hs
+        if len(buf) < hs + 16 * (np_ + nn):
+            raise ValueError("truncated DDSketch blob")
         for store, cnt in ((sk.pos, np_), (sk.neg, nn)):
             ks = np.frombuffer(buf[off:off + 8 * cnt], dtype="<i8"); off += 8 * cnt
             cs = np.frombuffer(buf[off:off + 8 * cnt], dtype="<i8"); off += 8 * cnt

@@ -90,5 +90,9 @@ class HllSketch:
         magic, ver, p, seed, n_items = struct.unpack("<4sHHqq", buf[:hs])
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad HllSketch serialization")
+        if len(buf) < hs + (1 << p):
+            raise ValueError(
+                f"truncated HllSketch blob: {len(buf)} bytes, "
+                f"need {hs + (1 << p)}")
         regs = np.frombuffer(buf[hs:hs + (1 << p)], dtype=np.uint8).copy()
         return HllSketch(p=p, seed=seed, registers=regs, n_items=n_items)

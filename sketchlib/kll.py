@@ -138,6 +138,8 @@ class KllSketch:
         off = hs
         for _ in range(n_levels):
             comp, n = struct.unpack("<qq", buf[off:off + 16]); off += 16
+            if len(buf) < off + 8 * n:
+                raise ValueError("truncated KllSketch blob")
             sk.compactions.append(comp)
             sk.levels.append(np.frombuffer(buf[off:off + 8 * n], dtype="<f8").copy())
             off += 8 * n

@@ -23,18 +23,36 @@ def _lit_vec(vec) -> "F.Column":
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    return df.schema[id_col].dataType.simpleString()
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c) -> "F.Column":
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _cosine(a, b) -> "F.Column":
+    """Zero-safe cosine: NULL (not NaN, not a crash) when either vector
+    has zero norm — try_divide keeps ANSI mode from raising
+    DIVIDE_BY_ZERO, NULLs sort last in top-k and fail >= thresholds."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def cosine_to_query(df: DataFrame, vec_col: str, query_vec,
                     out_col: str = "cosine") -> DataFrame:
     """Append exact cosine similarity to a constant query vector — stays in
     whole-stage codegen (zip_with/aggregate), no Python."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
-    dot = F.aggregate(F.zip_with(F.col(vec_col), _lit_vec(q),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
-                              F.lit(0.0), lambda acc, x: acc + x))
-    return df.withColumn(out_col, dot / (norm * F.lit(qn)))
+    return df.withColumn(
+        out_col, F.try_divide(_dot(F.col(vec_col), _lit_vec(q)),
+                              _norm(F.col(vec_col)) * F.lit(qn)))
 
 
 def ann_topk_bruteforce(df: DataFrame, vec_col: str, id_col: str,
@@ -80,7 +98,7 @@ def lsh_fingerprints(df: DataFrame, vec_col: str, id_col: str, *,
             })
 
     return df.select(id_col, vec_col).mapInPandas(
-        fn, schema=f"{id_col} long, table int, bucket long")
+        fn, schema=f"{id_col} {_id_type(df, id_col)}, table int, bucket long")
 
 
 def lsh_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, *,
@@ -102,13 +120,8 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, *,
             .distinct())
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x), F.lit(0.0),
-        lambda acc, x: acc + x))
     return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cosine", dot / (norm("va") * norm("vb")))
+            .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -119,13 +132,8 @@ def cosine_pairs_exact(df: DataFrame, vec_col: str, id_col: str, *,
     only; lsh_cosine_pairs is the scale path). Returns (id_a, id_b)."""
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x), F.lit(0.0),
-        lambda acc, x: acc + x))
     return (va.join(vb, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", dot / (norm("va") * norm("vb")))
+            .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b"))
 
@@ -140,7 +148,12 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, *, n_cells: int = 16,
     """Deterministic mini k-means on a driver-side sample (k-means++ init,
     few Lloyd iterations). Centroid training is cheap and bounded; the
     expensive assignment stays distributed."""
-    rows = (df.select(vec_col).limit(sample).collect())
+    # deterministic sample regardless of partition layout: order by a
+    # content hash, then limit — a bare limit() takes whatever partitions
+    # answer first, so "seeded" centroids would still drift between runs
+    rows = (df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)))
+            .limit(sample).collect())
     X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     # k-means++ init
@@ -160,22 +173,30 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, *, n_cells: int = 16,
     return C
 
 
-def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
-               centroids: np.ndarray) -> DataFrame:
-    """(id, cell) — nearest-centroid assignment, one matmul per batch."""
+def ivf_cell_col(centroids: np.ndarray, vec_col):
+    """Column expression: nearest-centroid cell id for each vector — a
+    scalar pandas UDF (one matmul per Arrow batch), so the cell attaches
+    IN PLACE with zero shuffle (the previous assign-then-join-by-id shape
+    shuffled the whole vector table before every partitioned write)."""
+    from pyspark.sql.functions import pandas_udf
+
     C = np.asarray(centroids, dtype=np.float64)
 
-    def fn(pdf_iter):
-        for pdf in pdf_iter:
-            ids = pdf[id_col].to_numpy()
-            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            d = (np.square(X).sum(axis=1)[:, None]
-                 - 2 * X @ C.T + np.square(C).sum(axis=1)[None, :])
-            yield pd.DataFrame({id_col: ids,
-                                "cell": d.argmin(axis=1).astype(np.int32)})
+    @pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = (np.square(X).sum(axis=1)[:, None]
+             - 2 * X @ C.T + np.square(C).sum(axis=1)[None, :])
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
 
-    return df.select(id_col, vec_col).mapInPandas(
-        fn, schema=f"{id_col} long, cell int")
+    return cell(vec_col)
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               centroids: np.ndarray) -> DataFrame:
+    """(id, cell) — nearest-centroid assignment via ivf_cell_col."""
+    return df.select(id_col, ivf_cell_col(centroids, F.col(vec_col))
+                     .alias("cell"))
 
 
 def _probe_cells(query_vec, centroids: np.ndarray, n_probe: int) -> list[int]:
@@ -193,8 +214,7 @@ def ivf_write_index(df: DataFrame, vec_col: str, id_col: str,
     parquet partition pruning — no per-query assignment pass, no join. This
     is the 100 TB shape: query cost scales with n_probe/n_cells of the
     table, independent of total size."""
-    assigned = ivf_assign(df, vec_col, id_col, centroids)
-    (df.join(assigned, id_col)
+    (df.withColumn("cell", ivf_cell_col(centroids, F.col(vec_col)))
        .write.mode("overwrite").partitionBy("cell").parquet(path))
 
 
@@ -217,7 +237,6 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
     queries. The scale path is ivf_write_index + ivf_topk_indexed, where the
     cell filter prunes parquet partitions instead."""
     cells = _probe_cells(query_vec, centroids, n_probe)
-    assigned = ivf_assign(df, vec_col, id_col, centroids)
-    pruned = (df.join(assigned, id_col)
+    pruned = (df.withColumn("cell", ivf_cell_col(centroids, F.col(vec_col)))
               .filter(F.col("cell").isin(cells)))
     return ann_topk_bruteforce(pruned, vec_col, id_col, query_vec, k=k)

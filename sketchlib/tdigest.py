@@ -19,7 +19,7 @@ _VERSION = 1
 
 
 class TDigest:
-    __slots__ = ("delta", "means", "weights", "_buf", "n_items", "_min", "_max")
+    __slots__ = ("delta", "means", "weights", "_buf", "n_items", "_min", "_max", "_dirty")
 
     def __init__(self, delta: float = 200.0) -> None:
         if delta < 10:
@@ -28,6 +28,7 @@ class TDigest:
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
         self._buf: list[np.ndarray] = []
+        self._dirty = True
         self.n_items = 0
         self._min = math.inf
         self._max = -math.inf
@@ -45,11 +46,18 @@ class TDigest:
         self._min = min(self._min, float(v.min()))
         self._max = max(self._max, float(v.max()))
         self._buf.append(v)
+        self._dirty = True
         if sum(b.shape[0] for b in self._buf) >= 10 * self.delta:
             self._compress()
 
     def _compress(self) -> None:
+        # short-circuit when already compacted: quantile()/to_bytes() call
+        # _compress defensively, and re-running the greedy pass per call
+        # was the dominant cost of repeated quantile queries
+        if not self._buf and not self._dirty:
+            return
         if not self._buf and self.means.shape[0] == 0:
+            self._dirty = False
             return
         ms = [self.means] + self._buf
         ws = [self.weights] + [np.ones(b.shape[0]) for b in self._buf]
@@ -81,6 +89,7 @@ class TDigest:
         out_w.append(cur_w)
         self.means = np.array(out_m)
         self.weights = np.array(out_w)
+        self._dirty = False
 
     def quantile(self, q: float) -> float:
         if not 0 <= q <= 1:
@@ -115,6 +124,7 @@ class TDigest:
             self._compress()
             self.means = np.concatenate([self.means, other.means])
             self.weights = np.concatenate([self.weights, other.weights])
+            self._dirty = True
         self.n_items += other.n_items
         self._min = min(self._min, other._min)
         self._max = max(self._max, other._max)
@@ -140,7 +150,10 @@ class TDigest:
         td.n_items = n_items
         td._min, td._max = mn, mx
         off = hs
+        if len(buf) < off + 16 * n_c:
+            raise ValueError("truncated TDigest blob")
         td.means = np.frombuffer(buf[off:off + 8 * n_c], dtype="<f8").copy()
         off += 8 * n_c
         td.weights = np.frombuffer(buf[off:off + 8 * n_c], dtype="<f8").copy()
+        td._dirty = False   # to_bytes compressed immediately before writing
         return td

@@ -200,3 +200,40 @@ def test_tdigest_merge_preserves_accuracy():
     back = loads(acc.to_bytes())
     assert isinstance(back, TDigest)
     assert abs(back.quantile(0.5) - acc.quantile(0.5)) < 1e-9
+
+
+def test_from_bytes_rejects_truncated_blobs():
+    """Every companion sketch must refuse truncated blobs loudly instead of
+    loading structurally broken state (CountMin already did)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sketchlib.bloom import BloomFilter
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.hll import HllSketch
+    from sketchlib.kll import KllSketch
+    from sketchlib.tdigest import TDigest
+
+    vals = np.arange(1, 5001, dtype=np.float64)
+    keys = np.arange(5000, dtype=np.int64)
+    sketches = []
+    h = HllSketch(p=10); h.update_batch(keys); sketches.append(h)
+    b = BloomFilter(capacity=10_000, fpr=0.01); b.update_batch(keys)
+    sketches.append(b)
+    k = KllSketch(k=100); k.update_batch(vals); sketches.append(k)
+    t = TDigest(delta=100); t.update_batch(vals); sketches.append(t)
+    d = DDSketch(alpha=0.01); d.update_batch(vals); sketches.append(d)
+    for sk in sketches:
+        blob = sk.to_bytes()
+        with _pytest.raises(ValueError):
+            type(sk).from_bytes(blob[:len(blob) - 40])
+
+
+def test_ddsketch_rejects_nan():
+    import numpy as np
+    import pytest as _pytest
+
+    from sketchlib.ddsketch import DDSketch
+    sk = DDSketch(alpha=0.01)
+    with _pytest.raises(ValueError, match="NaN"):
+        sk.update_batch(np.array([1.0, float("nan")]))

@@ -320,3 +320,21 @@ def test_ngram_udtf(spark, docs):
     assert spark.sql("""
         SELECT * FROM udtf_docs, LATERAL ngrams_t(text, 3) AS g
         WHERE doc_id = 5""").count() == 0
+
+
+def test_cosine_zero_vector_safe(spark):
+    """Zero-norm vectors must neither crash (ANSI DIVIDE_BY_ZERO) nor rank
+    first as NaN: cosine is NULL, so they drop from thresholds and sort
+    last in top-k."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    top = S.ann_topk_bruteforce(df, "embedding", "vec_id",
+                                [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 2]
+    assert top[-1]["cosine"] is None          # the zero vector, last
+    pairs = S.cosine_pairs_exact(df, "embedding", "vec_id",
+                                 threshold=0.5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in ids
+    assert all(1 not in p for p in ids)       # zero vector never matches
