@@ -65,11 +65,24 @@ class CMConfig:
 
     @staticmethod
     def for_shape(width: int, depth: int, seed: int = 1337) -> "CMConfig":
-        """Config from an explicit (w, d) — eps/delta back-derived."""
+        """Config from an explicit (w, d) — eps/delta back-derived.
+
+        eps = e/width does not always round-trip through ceil(e/eps)
+        (float division can land just above the integer, e.g. width=39 ->
+        ceil = 40), so nudge eps upward by ULPs until it does; then
+        validate with a real raise (an assert vanishes under python -O
+        and a silently-wrong width breaks mergeability)."""
         eps = math.e / width
         delta = math.exp(-depth)
-        cfg = CMConfig(eps=eps, delta=delta, seed=seed)
-        assert cfg.width == width and cfg.depth == depth
+        for _ in range(4):
+            cfg = CMConfig(eps=eps, delta=delta, seed=seed)
+            if cfg.width == width:
+                break
+            eps = math.nextafter(eps, math.inf)
+        if cfg.width != width or cfg.depth != depth:
+            raise ValueError(
+                f"cannot derive eps/delta for shape ({width}, {depth}): "
+                f"got ({cfg.width}, {cfg.depth})")
         return cfg
 
 
@@ -246,8 +259,21 @@ class CountMinSketch:
         """min over rows of per-row dot products (cm.h:810-815) — estimates
         the equi-join size |R ⋈ S| of the two underlying streams."""
         self._check_mergeable(other)
-        dots = np.einsum("dw,dw->d", self.table, other.table)
-        return int(dots.min())
+        # int64 einsum wraps silently once per-row dots pass 2^63 (reached
+        # around total_count ~ 10^12 at headline eps); detect via a float64
+        # pass and fall back to exact Python-int accumulation there
+        approx = np.einsum("dw,dw->d", self.table.astype(np.float64),
+                           other.table.astype(np.float64))
+        if approx.max(initial=0.0) < 2.0**62:
+            dots = np.einsum("dw,dw->d", self.table, other.table)
+            return int(dots.min())
+        best = None
+        for j in range(self.cfg.depth):
+            s = sum(int(a) * int(b)
+                    for a, b in zip(self.table[j].tolist(),
+                                    other.table[j].tolist()))
+            best = s if best is None else min(best, s)
+        return int(best)
 
     # -- algebra ------------------------------------------------------------
     def _check_mergeable(self, other: "CountMinSketch") -> None:

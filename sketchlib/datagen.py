@@ -78,10 +78,16 @@ def _chunk(seed: int, chunk_idx: int, rows: int, start_row: int,
 def generate_token_table(path: str, rows: int, seed: int = 1337,
                          dist: str = "zipf", compression: str = "zstd") -> str:
     """Write a deterministic token table to ``path`` (parquet). Idempotent:
-    an existing file with matching row count is left in place."""
+    an existing file whose parquet metadata records the SAME generation
+    params is reused; a row-count-only check would silently serve a file
+    generated with a different seed/dist to every downstream benchmark."""
+    params = f"rows={rows};seed={seed};dist={dist};v=1"
     if os.path.exists(path):
         try:
-            if pq.read_metadata(path).num_rows == rows:
+            md = pq.read_metadata(path)
+            meta = md.metadata or {}
+            if (md.num_rows == rows
+                    and meta.get(b"sketchlib_gen") == params.encode()):
                 return path
         except Exception:
             pass
@@ -89,7 +95,8 @@ def generate_token_table(path: str, rows: int, seed: int = 1337,
     tmp = path + ".tmp"
     # small row groups (~12.5k rows ≈ 3.2M tokens ≈ 13 MB) so Spark's
     # file-split planning yields real parallelism from a single file
-    with pq.ParquetWriter(tmp, SCHEMA, compression=compression) as writer:
+    schema = SCHEMA.with_metadata({b"sketchlib_gen": params.encode()})
+    with pq.ParquetWriter(tmp, schema, compression=compression) as writer:
         start = 0
         chunk_idx = 0
         while start < rows:

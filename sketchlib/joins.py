@@ -36,7 +36,8 @@ def as_of_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
 
     Returns the left rows plus ``{c}{suffix}`` for each requested right
     column and ``{ts_col}{suffix}`` (the matched right timestamp; all NULL
-    when no right row precedes). One shuffle (the key), one sort — the
+    when no right row precedes). Duplicate (key, ts) right rows tie-break
+    deterministically: the greatest (right_cols..., ts) struct wins. One shuffle (the key), one sort — the
     window's running ``last(..., ignorenulls=True)`` carries the latest
     right values forward into the left rows.
     """
@@ -68,8 +69,11 @@ def as_of_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
              F.struct(*[F.col(c).alias(c) for c in right_cols],
                       F.col(ts_col).alias("__ts")).alias("_rrow")))
     u = l.unionByName(r)
+    # tertiary sort on the right-row struct makes duplicate (key, ts)
+    # right rows deterministic: the greatest struct wins the tie (without
+    # it, last() picks whichever the shuffle delivered last)
     w = (Window.partitionBy(key_col)
-         .orderBy(_us(F.col(ts_col)), F.col("_side"))
+         .orderBy(_us(F.col(ts_col)), F.col("_side"), F.col("_rrow"))
          .rowsBetween(Window.unboundedPreceding, 0))
     out = u.select(
         *lcols, "_side",

@@ -289,16 +289,29 @@ def simhash64(df: DataFrame, text_col: str = "text",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", *,
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
-    4x16-bit block LSH (a pair within distance 3 must agree on >= 1 block)."""
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, via
+    block LSH with max_hamming+1 blocks: by pigeonhole, a pair within
+    distance h must agree EXACTLY on at least one of h+1 disjoint blocks
+    — a fixed 4-block split would silently lose recall for h > 3."""
+    if not 0 <= max_hamming <= 15:
+        # 16+ blocks of a 64-bit hash = <4-bit blocks: everything collides
+        raise ValueError("max_hamming must be in [0, 15]")
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks            # leftover high bits join the last block
     fps = simhash64(df, text_col, id_col).cache()
+
+    def block(i):
+        shift = i * width
+        nbits = 64 - shift if i == n_blocks - 1 else width
+        mask = (1 << nbits) - 1
+        return F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned("simhash", shift).bitwiseAND(F.lit(mask))
+            .alias("bv"))
+
     blocks = fps.select(
         id_col, "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("bv"))
-            for i in range(4)])).alias("b")
+        F.explode(F.array(*[block(i) for i in range(n_blocks)])).alias("b")
     ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
     a = blocks.alias("a")
     b = blocks.alias("b")

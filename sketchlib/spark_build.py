@@ -276,13 +276,25 @@ def build_sketch_from_counts(df: DataFrame, key_col: str, count_col: str,
 
 
 def _list_row_groups(path: str) -> list[tuple[str, int, int]]:
-    """[(file, row_group_idx, n_rows)] for a parquet file or directory."""
+    """[(file, row_group_idx, n_rows)] for a parquet file or directory
+    (recursive). Hive-partitioned layouts (key=val dirs) are REFUSED: their
+    partition columns live in directory names, not the files, so a raw
+    row-group scan would silently drop them — route those through
+    ``build_sketch(spark.read.parquet(path), ...)`` instead."""
     import pyarrow.parquet as pq
     files = []
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            if name.endswith(".parquet"):
-                files.append(os.path.join(path, name))
+        for root, dirs, names in os.walk(path):
+            dirs.sort()
+            for d in dirs:
+                if "=" in d:
+                    raise ValueError(
+                        f"{path} is a hive-partitioned dataset ({d}/): "
+                        "partition-column values are not inside the files; "
+                        "use build_sketch(spark.read.parquet(path), ...)")
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    files.append(os.path.join(root, name))
     else:
         files = [path]
     out = []
@@ -496,10 +508,15 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
                 sketch = _tree_merge(fresh, fanout, len(lineage))
             finally:
                 fresh.unpersist()
-    else:
+    elif ckpt_path is not None:
         partials = spark.read.parquet(ckpt_path)
         lineage = partials.select(*lineage_cols).toPandas()
         sketch = _tree_merge(partials, fanout, len(lineage))
+    else:
+        # zero row groups and no checkpoint: an empty table builds an
+        # empty sketch instead of crashing on read.parquet(None)
+        lineage = pd.DataFrame(columns=lineage_cols)
+        sketch = None
 
     if sketch is None:
         sketch = CountMinSketch(cfg)
@@ -556,16 +573,42 @@ def _ingest_grouped(sketches: dict, rows: dict, keys: np.ndarray,
     never a token-count-sized sort/repeat: those ~n_tokens×8-byte
     temporaries were the dominant cost per batch and fault badly on
     long-lived workers with fragmented heaps."""
+    import pyarrow.compute as pc
     is_list = pa.types.is_list(values_col.type) or pa.types.is_large_list(values_col.type)
     if is_list:
+        # flatten() skips NULL list slots, so a null slot must contribute
+        # length 0 — value_lengths() yields null there, and a bare
+        # astype(int64) of its NaN would produce INT64_MIN and wreck the
+        # offsets cumsum (silent wrong grouping)
         flat = values_col.flatten().to_numpy(zero_copy_only=False)
-        lens = np.asarray(values_col.value_lengths()
+        lens = np.asarray(pc.fill_null(values_col.value_lengths(), 0)
                           .to_numpy(zero_copy_only=False)).astype(np.int64)
     else:
         flat = values_col.to_numpy(zero_copy_only=False)
         lens = np.ones(len(keys), dtype=np.int64)
     offsets = np.zeros(len(keys) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    # a NULL group key is its own group (Spark groupBy semantics); np.unique
+    # cannot order None against str, so peel those rows off first
+    null_keys = np.array([k is None for k in keys.tolist()], dtype=bool)
+    if null_keys.any():
+        starts_n = offsets[:-1][null_keys]
+        lens_n = lens[null_keys]
+        sk = sketches.get(None)
+        if sk is None:
+            sk = sketches[None] = make_sketch()
+            rows[None] = 0
+        seg = _ragged_take(flat, starts_n, lens_n)
+        (sk.update_batch_cu if cu else sk.update_batch)(seg)
+        rows[None] += int(null_keys.sum())
+        keep = ~null_keys
+        keys = keys[keep]
+        lens = lens[keep]
+        off_starts = offsets[:-1][keep]
+    else:
+        off_starts = offsets[:-1]
+    if keys.shape[0] == 0:
+        return
     uniq, inv = np.unique(keys, return_inverse=True)
     row_counts = np.bincount(inv, minlength=len(uniq))
     # one stable argsort of the group ids replaces a per-group `inv == g`
@@ -574,7 +617,7 @@ def _ingest_grouped(sketches: dict, rows: dict, keys: np.ndarray,
     order = np.argsort(inv, kind="stable")
     bounds = np.zeros(len(uniq) + 1, dtype=np.int64)
     np.cumsum(row_counts, out=bounds[1:])
-    starts_all = offsets[:-1]
+    starts_all = off_starts
     for g, key in enumerate(uniq.tolist()):
         sk = sketches.get(key)
         if sk is None:
@@ -604,7 +647,7 @@ def _grouped_partial_builder(cfg: CMConfig, key_col: str, tokens_col: str, cu: b
             _ingest_grouped(sketches, rows, keys, batch.column(ti),
                             lambda: CountMinSketch(cfg), cu)
         if sketches:
-            ordered = sorted(sketches)
+            ordered = sorted(sketches, key=lambda k: (k is not None, k))
             yield pa.RecordBatch.from_pydict({
                 "key": ordered,
                 "pid": [pid] * len(ordered),
@@ -704,33 +747,10 @@ def _cached_sketch(digest: str, blob: bytes):
     return sk
 
 
-def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
-    """Column expression estimating the frequency of every key in ``key_col``
-    against a broadcast ``sketch`` — vectorized, one deserialize per task."""
-    from pyspark.sql.functions import pandas_udf
-
-    blob = sketch.to_bytes()
-    digest = hashlib.blake2b(blob, digest_size=16).hexdigest()
-    bc = spark.sparkContext.broadcast(blob)
-
-    @pandas_udf("long")
-    def est(keys: pd.Series) -> pd.Series:
-        cm = _cached_sketch(digest, bc.value)
-        return pd.Series(cm.point_query_batch(keys.to_numpy()))
-
-    return est(key_col)
-
-
-def sketch_probe_col(spark: SparkSession, sketch, key_col, *,
-                     method: str = "point_query_batch",
-                     rtype: str = "long"):
-    """Generalized broadcast probe: a column expression applying any
-    sketchlib sketch's batch probe (CM ``point_query_batch``, Bloom
-    ``contains_batch``, ...) to every key of ``key_col`` — Arrow-vectorized,
-    digest-cached one deserialize per worker, nothing collected to the
-    driver. The membership/estimate verdicts then aggregate distributively
-    (sum/count on the probed column), which is the 100 TB shape: the
-    driver never sees per-key rows."""
+def _probe_udf(spark: SparkSession, sketch, method: str, rtype: str):
+    """Broadcast + digest-cached deserialize + Arrow-vectorized probe — the
+    ONE implementation behind point_query_col / sketch_probe_col /
+    register_sql_udfs (previously three drifting copies)."""
     from pyspark.sql.functions import pandas_udf
 
     blob = sketch.to_bytes()
@@ -743,7 +763,26 @@ def sketch_probe_col(spark: SparkSession, sketch, key_col, *,
         out = getattr(sk, method)(keys.to_numpy())
         return pd.Series(np.asarray(out))
 
-    return probe(key_col)
+    return probe
+
+
+def point_query_col(spark: SparkSession, sketch: CountMinSketch, key_col):
+    """Column expression estimating the frequency of every key in ``key_col``
+    against a broadcast ``sketch`` — vectorized, one deserialize per task."""
+    return _probe_udf(spark, sketch, "point_query_batch", "long")(key_col)
+
+
+def sketch_probe_col(spark: SparkSession, sketch, key_col, *,
+                     method: str = "point_query_batch",
+                     rtype: str = "long"):
+    """Generalized broadcast probe: a column expression applying any
+    sketchlib sketch's batch probe (CM ``point_query_batch``, Bloom
+    ``contains_batch``, ...) to every key of ``key_col`` — Arrow-vectorized,
+    digest-cached one deserialize per worker, nothing collected to the
+    driver. The membership/estimate verdicts then aggregate distributively
+    (sum/count on the probed column), which is the 100 TB shape: the
+    driver never sees per-key rows."""
+    return _probe_udf(spark, sketch, method, rtype)(key_col)
 
 
 def register_sql_udfs(spark: SparkSession, sketches: dict) -> None:
@@ -753,20 +792,9 @@ def register_sql_udfs(spark: SparkSession, sketches: dict) -> None:
     with the same digest-cached, Arrow-vectorized path as point_query_col.
     Any sketchlib sketch with ``point_query_batch`` works (CM standard or
     conservative-update)."""
-    from pyspark.sql.functions import pandas_udf
-
-    def make_probe(digest: str, bc):
-        @pandas_udf("long")
-        def est(keys: pd.Series) -> pd.Series:
-            cm = _cached_sketch(digest, bc.value)
-            return pd.Series(cm.point_query_batch(keys.to_numpy()))
-        return est
-
     for name, sketch in sketches.items():
-        blob = sketch.to_bytes()
-        digest = hashlib.blake2b(blob, digest_size=16).hexdigest()
         spark.udf.register(
-            name, make_probe(digest, spark.sparkContext.broadcast(blob)))
+            name, _probe_udf(spark, sketch, "point_query_batch", "long"))
 
 
 def inner_product_rawlog(spark: SparkSession, sketch: CountMinSketch,
@@ -808,10 +836,13 @@ def inner_product_rawlog(spark: SparkSession, sketch: CountMinSketch,
     rows = src.mapInArrow(fn, schema="sums array<long>").collect()
     if not rows:
         return 0
-    total = np.zeros(depth, dtype=np.int64)
+    # Python-int accumulation: per-slice partials are safely int64, but
+    # their grand total passes 2^63 around 10^12-update streams
+    total = [0] * depth
     for r in rows:
-        total += np.asarray(r["sums"], dtype=np.int64)
-    return int(total.min())
+        for j, v in enumerate(r["sums"]):
+            total[j] += int(v)
+    return int(min(total))
 
 
 def inner_product_rawlog_parquet(spark: SparkSession, sketch: CountMinSketch,
@@ -853,16 +884,21 @@ def inner_product_rawlog_parquet(spark: SparkSession, sketch: CountMinSketch,
         if seen:
             yield pd.DataFrame({"sums": [sums.tolist()]})
 
+    if not rows_assign:
+        return 0      # empty table: inner product with anything is 0
     assign = spark.createDataFrame(
         rows_assign, "slice_id int, file string, rgs array<int>")
     assign = assign.repartition(min(n_slices, len(rows_assign)))
     rows = assign.mapInPandas(fn, schema="sums array<long>").collect()
     if not rows:
         return 0
-    total = np.zeros(depth, dtype=np.int64)
+    # Python-int accumulation: per-slice partials are safely int64, but
+    # their grand total passes 2^63 around 10^12-update streams
+    total = [0] * depth
     for r in rows:
-        total += np.asarray(r["sums"], dtype=np.int64)
-    return int(total.min())
+        for j, v in enumerate(r["sums"]):
+            total[j] += int(v)
+    return int(min(total))
 
 
 # ---------------------------------------------------------------------------
@@ -950,7 +986,7 @@ def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
                 col = col.combine_chunks()
             _ingest_grouped(sketches, rows, keys, col, factory, False)
         if sketches:
-            ordered = sorted(sketches)
+            ordered = sorted(sketches, key=lambda k: (k is not None, k))
             yield pa.RecordBatch.from_pydict({
                 "key": ordered,
                 "pid": [pid] * len(ordered),
@@ -1008,7 +1044,7 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
                         vcol = vcol.combine_chunks()
                     _ingest_grouped(sketches, rows, keys, vcol, factory, cu)
             if sketches:
-                ordered = sorted(sketches)
+                ordered = sorted(sketches, key=lambda k: (k is not None, k))
                 yield pd.DataFrame({
                     "key": ordered,
                     "pid": [slice_id] * len(ordered),
@@ -1019,6 +1055,9 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
                                     for k in ordered],
                 })
 
+    if not rows_assign:
+        # empty table: zero groups, an empty grouped frame
+        return spark.createDataFrame([], _GROUPED_MERGED_SCHEMA)
     assign = spark.createDataFrame(
         rows_assign, "slice_id int, file string, rgs array<int>")
     assign = assign.repartition(min(n_slices, len(rows_assign)))

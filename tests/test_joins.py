@@ -141,7 +141,9 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
         "k": rng.integers(0, 8, 200),
         "ts": pd.to_datetime(rng.integers(0, 10_000, 200), unit="s"),
         "val": rng.integers(0, 1000, 200),
-    })
+    }).drop_duplicates(["k", "ts"])  # tie rule differs: pandas keeps input
+    # order, the distributed operator deterministically takes the greatest
+    # right-row struct — dedup (k, ts) so both agree on every row
     out = as_of_join(spark.createDataFrame(left_pd),
                      spark.createDataFrame(right_pd),
                      "k", "ts", ["val"]).collect()
