@@ -111,6 +111,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC: the temporal queries reinterpret
+    TIMESTAMP_NTZ wall clocks via timestamp_ltz casts, and every DuckDB
+    oracle (epoch_us/epoch) is UTC-fixed — on a non-UTC driver JVM the
+    hashes would shift by the zone offset and the gate would fail on
+    correct logic."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _q_word_freq_exact(spark, sf_dir):
     return (_words(spark, sf_dir)
             .groupBy("word").agg(F.count("*").alias("cnt")))
@@ -627,6 +637,7 @@ def _q_cm_conservative_update(spark, sf_dir):
 def _q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min) over events: per-user session
     stats. Window functions (lag + conditional cumsum) — oracle-checkable."""
+    _utc(spark)
     from sketchlib.pipeline import session_stats
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return session_stats(ev, "user_id", "ts", gap_minutes=30)
@@ -753,6 +764,7 @@ def _q_asof_click_purchase(spark, sf_dir):
     the same user (union + ordered-window trick: one shuffle, no per-key
     cross product). Oracle: DuckDB ASOF LEFT JOIN. -1 encodes 'no prior
     purchase' for a null-free hash."""
+    _utc(spark)
     from sketchlib.joins import as_of_join
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = (ev.filter(F.col("event_type") == "click")
@@ -774,6 +786,7 @@ def _q_purchases_within_30m(spark, sf_dir):
     """Bounded range join: (click, purchase) pairs of one user with the
     purchase 0-30 minutes AFTER the click — banded time-bucket join, no
     per-key cross product. Oracle: plain BETWEEN join."""
+    _utc(spark)
     from sketchlib.joins import range_join
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = (ev.filter(F.col("event_type") == "click")
@@ -792,6 +805,7 @@ def _q_windowed_event_counts(spark, sf_dir):
     streaming operator's exact semantics, oracle-checkable because the
     batch plan is identical (watermark is a no-op without late streams).
     Window bounds cast to epoch seconds for a stable cross-engine hash."""
+    _utc(spark)
     from sketchlib.streaming import windowed_counts
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     wc = windowed_counts(ev, "ts", "event_type",
@@ -886,6 +900,7 @@ def _q_clicks_no_purchase(spark, sf_dir):
     """Left-anti join with a range predicate: clicks NOT followed by a
     purchase from the same user within 30 minutes (abandoned-click funnel
     — the anti flavor of purchases_within_30m), counted per user."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     clicks = (ev.filter(F.col("event_type") == "click")
@@ -947,15 +962,24 @@ def _q_bucketed_join_agg(spark, sf_dir):
     import hashlib
     import tempfile
     from sketchlib.sinks import bucketed_join, write_bucketed
-    h = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
     base = os.path.join(tempfile.gettempdir(), f"sketchlib_buckets_{h}")
     ta, tb = f"bk_orders_{h}", f"bk_lineitem_{h}"
-    if not spark.catalog.tableExists(ta):
+    # guard checks BOTH tables' catalog entries AND their on-disk data —
+    # a failure between the two writes, or a tmp reaper removing files
+    # under a surviving catalog entry, must trigger a rewrite
+    ready = all(
+        spark.catalog.tableExists(t)
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        for t, d in ((ta, "orders"), (tb, "lineitem")))
+    if not ready:
         orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
                   .withColumnRenamed("o_orderkey", "orderkey"))
         li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
               .withColumnRenamed("l_orderkey", "orderkey")
               .select("orderkey", "l_quantity"))
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
         write_bucketed(orders, ta, "orderkey", n_buckets=8,
                        path=os.path.join(base, "orders"))
         write_bucketed(li, tb, "orderkey", n_buckets=8,
@@ -971,6 +995,7 @@ def _q_streaming_sessions(spark, sf_dir):
     timeout) must agree with batch sessionization once the watermark
     closes the sessions (rows-only; exercises engine-managed session
     state + late-group handling)."""
+    _utc(spark)
     import datetime as dt
     import shutil
     import tempfile

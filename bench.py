@@ -44,6 +44,7 @@ def get_spark(cpus: int):
         .appName("sketchlib-bench")
         .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         # token row groups are ~6 MB zstd; small splits keep all cores busy
         .config("spark.sql.files.maxPartitionBytes", "8m")
         # large-allocation reuse in Python workers (page-fault churn kills
@@ -146,7 +147,6 @@ def main() -> None:
           lambda: inner_product_rawlog_parquet(spark, res.sketch, tok_path,
                                                "tokens"))
 
-    from pyspark.sql import functions as F
     probe_keys = toks.select(F.explode("tokens").alias("t")).limit(100_000)
     timed("cm_point_queries_100k",
           lambda: probe_keys.withColumn(

@@ -93,10 +93,25 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 
 def read_csv(spark: SparkSession, path: str, schema: str, *,
-             header: bool = True) -> DataFrame:
+             header: bool = True, multi_line: bool = True,
+             escape: str = "\\") -> DataFrame:
     """CSV source with a pinned schema (same rationale as read_jsonl:
-    inference is a full extra pass at scale; quoted fields with embedded
-    commas/newlines parse correctly only in multiLine-free well-formed
-    shards, which is what Spark's own csv writer emits)."""
+    inference is a full extra pass at scale).
+
+    ``multi_line=True`` (default) parses quoted fields containing
+    embedded newlines correctly — Spark's own csv writer emits such
+    records as physically multi-line, so a line-oriented read would split
+    text mid-record into type-coerced garbage. The cost: multiLine files
+    are not splittable, so the shard count becomes the parallelism floor
+    (same trade as gzip JSONL). Pass ``multi_line=False`` only for
+    corpora known to be newline-free.
+
+    ``escape`` defaults to backslash — the convention Spark's own csv
+    writer uses for embedded quotes — so writer output round-trips.
+    RFC-4180 corpora (Excel/pandas exports) double the quote char
+    instead: pass ``escape='"'`` for those."""
     return (spark.read.schema(schema)
-            .option("header", "true" if header else "false").csv(path))
+            .option("header", "true" if header else "false")
+            .option("multiLine", "true" if multi_line else "false")
+            .option("escape", escape)
+            .csv(path))

@@ -13,7 +13,8 @@ SCHEMA = "doc_id bigint, text string, source string"
 def docs(spark):
     return spark.createDataFrame(
         [(0, "alpha beta, gamma", "s0"), (1, "with \"quotes\" in it", "s1"),
-         (2, "", "s1"), (3, "plain", "s0")],
+         (2, "", "s1"), (3, "plain", "s0"),
+         (4, "line one\nline two", "s0")],
         SCHEMA)
 
 
@@ -35,6 +36,23 @@ def test_csv_roundtrip_quoting(spark, docs, tmp_path):
     assert rows[1]["text"] == 'with "quotes" in it'
     # CSV cannot distinguish empty string from null — documented lossiness
     assert rows[2]["text"] in ("", None)
+    # embedded newline: the writer quotes it across physical lines;
+    # multiLine=True (default) reassembles the record
+    assert rows[4]["text"] == "line one\nline two"
+
+
+def test_csv_rfc4180_escape(spark, tmp_path):
+    """External RFC-4180 corpora double the quote char instead of
+    backslash-escaping; escape='\"' parses them."""
+    p = tmp_path / "rfc"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        'doc_id,text,source\n'
+        '7,"she said ""hi"", then left",s9\n')
+    back = read_csv(spark, str(p), SCHEMA, escape='"')
+    [r] = back.collect()
+    assert r["doc_id"] == 7
+    assert r["text"] == 'she said "hi", then left'
 
 
 def test_jsonl_corrupt_record_surfaced(spark, tmp_path):

@@ -166,6 +166,10 @@ def main(rows: int = 8_000_000, rounds_8_32: int = 5, rounds_4_16: int = 3) -> N
     print(f"closed-loop kernel: 8 procs {k8:.0f} M/s, 32 procs {k32:.0f} M/s,"
           f" eff {keff:.3f}", flush=True)
 
+    if not p832 and not p416:
+        print("no paired rounds requested; kernel numbers above are the "
+              "only output")
+        return
     ref = (p832 or p416)[0]
     tokens = ref["low"]["tokens"]
     best832 = max(p832, key=lambda r: r["eff"]) if p832 else None

@@ -48,6 +48,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,9 +63,13 @@ def main(sf_dir="/root/testdata/sf0.01"):
     df = entry_mod.entry(spark)
     rows = df.collect()
     print(f"entry: {len(rows)} rows, schema: {df.columns}")
-    assert len(rows) >= 0
     bad = [r for r in rows if r["cm_est"] < r["exact_cnt"]]
     print(f"entry cm_est >= exact_cnt violations: {len(bad)}")
+    if not rows or bad:
+        # the gate must FAIL on a broken flagship, not just narrate it
+        print("FAILURES: entry() flagship (empty result or one-sided "
+              "guarantee violated)")
+        sys.exit(1)
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -43,20 +43,26 @@ def main(rows: int = 100_000, q: int = 100_000) -> None:
     path = os.path.join(REPO, "data", f"token_sequences_{rows}.parquet")
     generate_token_table(path, rows=rows, seed=1337, dist="zipf")
 
-    # the reference uses eps = e/(10*n): tie eps to the table's token count
+    # eps = e/(10*rows), the error_bench parameter shape (the reference
+    # keys eps off its stream-length argument n, which maps to rows here)
     toks = spark.read.parquet(path)
-    n_tokens = toks.agg(F.sum(F.size("tokens"))).collect()[0][0]
     cfg = CMConfig(eps=math.e / (10 * rows), delta=math.exp(-3), seed=1337)
     res = build_sketch_parquet(spark, path, "tokens", cfg)
     sk = res.sketch
+    n_tokens = sk.n_items     # the build already counted every token
 
     exact = (toks.select(F.explode("tokens").alias("t"))
              .groupBy("t").agg(F.count("*").alias("cnt")))
-    # probe q keys: the hottest + a seeded sample (reference probes random
-    # update keys; the exact table IS the key population here)
-    probes = exact.orderBy(F.desc("cnt"), "t").limit(q).collect()
-    keys = np.array([r["t"] for r in probes], dtype=np.int64)
-    truth = np.array([r["cnt"] for r in probes], dtype=np.int64)
+    # probe q keys drawn across the whole frequency range: half the
+    # hottest + half a seeded uniform sample of distinct keys (probing
+    # only the head would measure a systematically easier population)
+    hot = exact.orderBy(F.desc("cnt"), "t").limit(q // 2).collect()
+    rest = (exact.orderBy(F.xxhash64(F.col("t") + 1337))
+            .limit(q - len(hot)).collect())
+    by_key = {r["t"]: r["cnt"] for r in hot}
+    by_key.update({r["t"]: r["cnt"] for r in rest})
+    keys = np.array(sorted(by_key), dtype=np.int64)
+    truth = np.array([by_key[k] for k in sorted(by_key)], dtype=np.int64)
     est = sk.point_query_batch(keys)
 
     err = est - truth
