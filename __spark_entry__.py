@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sketchlib.countmin import CMConfig
+from sketchlib.pipeline import words_col
 from sketchlib.spark_build import (
     build_sketch,
     collect_grouped,
@@ -50,7 +51,7 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents mapped to the input-hint shape: (doc_id, tokens array<int>, source)."""
-    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    words = words_col(F.col("text"))
     tokens = F.transform(words, lambda x: F.pmod(F.xxhash64(x), F.lit(2**31)).cast("int"))
     return (_docs(spark, sf_dir)
             .select("doc_id", "source", tokens.alias("tokens")))
@@ -145,14 +146,14 @@ def _q_exact_dedup(spark, sf_dir):
 
 def _q_token_count(spark, sf_dir):
     """Whitespace token counting per document."""
-    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    n_words = F.size(words_col(F.col("text")))
     return _docs(spark, sf_dir).select("doc_id", n_words.alias("n_words"))
 
 
 def _q_doc_quality(spark, sf_dir):
     """Quality heuristics: word count, distinct-word ratio denominator parts,
     stopword hits — integer-valued so the oracle hash is stable."""
-    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    words = words_col(F.col("text"))
     stop = F.size(F.filter(words, lambda x: x.isin("the", "a", "of", "and", "to")))
     return (_docs(spark, sf_dir)
             .select("doc_id",
@@ -695,7 +696,7 @@ def _q_word_doc_freq(spark, sf_dir):
 def _q_top_bigrams(spark, sf_dir):
     """Top-25 word bigrams by exact count (deterministic tie-break on the
     bigram string) — the n=2 shingle domain the dedup operators build on."""
-    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ws = words_col(F.col("text"))
     bigrams = F.when(
         F.size(ws) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
