@@ -1047,6 +1047,59 @@ def _q_streaming_sessions(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+_SIJ_SEQ = [0]
+
+
+def _q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join, run as a REAL stream
+    (availableNow replay of events.parquet into two filtered streams,
+    memory sink): clicks paired with a purchase by the same user 0-30 min
+    later. The watermark exceeds the table's total time span, so nothing
+    is late and the emitted pairs are EXACTLY the batch range-join answer
+    — oracle: the same plain BETWEEN join as purchases_within_30m."""
+    _utc(spark)
+    import shutil
+    import tempfile
+    schema = "event_id long, ts timestamp_ntz, user_id long, " \
+             "event_type string, value double, props string"
+    # the file-stream source wants a DIRECTORY of arriving files;
+    # events.parquet is a single file — expose it via a symlinked inbox
+    inbox = tempfile.mkdtemp(prefix="sketchlib_sij_in_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(inbox, "events.parquet"))
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(inbox)
+
+    from sketchlib.streaming import stream_interval_join
+    # watermarks require TIMESTAMP (LTZ); NTZ -> LTZ is a wall-clock
+    # reinterpretation in the UTC session, matching the oracle's epoch_us
+    ts_ltz = F.col("ts").cast("timestamp").alias("ts")
+    clicks = (stream().filter(F.col("event_type") == "click")
+              .select("user_id", ts_ltz, "event_id"))
+    purch = (stream().filter(F.col("event_type") == "purchase")
+             .select("user_id", ts_ltz, "event_id"))
+    joined = stream_interval_join(
+        clicks, purch, "user_id", "ts",
+        lower_us=0, upper_us=30 * 60 * 1_000_000, watermark="3650 days")
+    _SIJ_SEQ[0] += 1
+    qname = f"sij_drv_{_SIJ_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="sketchlib_sij_")
+    try:
+        q = (joined.writeStream.format("memory").queryName(qname)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        rows = [(r["user_id"], r["l_event_id"], r["r_event_id"])
+                for r in spark.table(qname).collect()]
+        return spark.createDataFrame(
+            rows, "user_id bigint, click_event_id bigint, "
+                  "purchase_event_id bigint")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(inbox, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_freq_exact": _q_word_freq_exact,
@@ -1097,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_set_ops": _q_word_set_ops,
         "asof_click_purchase": _q_asof_click_purchase,
         "purchases_within_30m": _q_purchases_within_30m,
+        "streaming_interval_join": _q_streaming_interval_join,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,
@@ -1370,6 +1424,20 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "purchases_within_30m": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id,
+                   c.event_id AS click_event_id,
+                   p.event_id AS purchase_event_id
+            FROM clicks c JOIN purch p ON c.user_id = p.user_id
+             AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+        """,
+        "streaming_interval_join": """
             WITH clicks AS (
                 SELECT user_id, ts, event_id FROM events
                 WHERE event_type = 'click'

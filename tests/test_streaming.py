@@ -240,3 +240,56 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert sorted(texts) == ["alpha beta", "delta", "gamma"]  # one each
     batch_fps = {r["text"] for r in dedup_exact(static).collect()}
     assert set(texts) == batch_fps
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """stream_interval_join: watermarked stream-stream inner join over
+    multi-file arrival (out-of-order across files) emits exactly the batch
+    range_join pairs once the watermark exceeds total skew."""
+    from pyspark.sql import functions as F
+    from sketchlib.joins import range_join
+    from sketchlib.streaming import stream_interval_join
+
+    def mk(rows, name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        # two files, deliberately splitting pairs across arrival order
+        half = len(rows) // 2
+        for i, chunk in enumerate((rows[half:], rows[:half])):
+            (spark.createDataFrame(chunk, "user_id long, ts_s string, event_id long")
+             .select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+             .coalesce(1).write.mode("append").parquet(d))
+        return d
+
+    clicks = [(1, "2024-01-01 10:00:00", 100), (1, "2024-01-01 12:00:00", 101),
+              (2, "2024-01-01 10:05:00", 102), (3, "2024-01-01 09:00:00", 103)]
+    purch = [(1, "2024-01-01 10:20:00", 200),  # pairs with 100 (20 min)
+             (1, "2024-01-01 12:29:59", 201),  # pairs with 101
+             (2, "2024-01-01 10:36:00", 202),  # 31 min: no pair
+             (3, "2024-01-01 09:00:00", 203),  # 0 min: pairs with 103
+             (4, "2024-01-01 10:00:00", 204)]  # no click key
+    cd, pd_ = mk(clicks, "clicks"), mk(purch, "purch")
+
+    schema = "user_id long, ts timestamp, event_id long"
+    cs = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(cd))
+    ps = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(pd_))
+    joined = stream_interval_join(
+        cs, ps, "user_id", "ts",
+        lower_us=0, upper_us=30 * 60 * 1_000_000, watermark="10 days")
+    q = (joined.writeStream.format("memory").queryName("sij_q")
+         .option("checkpointLocation", str(tmp_path / "sij_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["l_event_id"], r["r_event_id"])
+           for r in spark.table("sij_q").collect()}
+    bc = spark.read.parquet(cd)
+    bp = spark.read.parquet(pd_)
+    exp = {(r["user_id"], r["l_event_id"], r["r_event_id"])
+           for r in range_join(bc, bp, "user_id", "ts",
+                               lower_us=0,
+                               upper_us=30 * 60 * 1_000_000).collect()}
+    assert got == exp
+    assert (1, 100, 200) in got and (2, 102, 202) not in got
