@@ -1047,6 +1047,20 @@ def _q_streaming_sessions(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components (alternating
+    large-star/small-star) over the exact n-gram-Jaccard pair graph, with
+    singletons mapped to themselves — (doc_id, cluster_id) where
+    cluster_id is the component min, so doc_id == cluster_id keeps one
+    canonical doc per cluster. Oracle: DuckDB recursive-CTE transitive
+    closure over the same pairs."""
+    from sketchlib.pipeline import dedup_clusters, ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir)
+    pairs = (ngram_jaccard_pairs(docs, output="ints")
+             .select("id_a", "id_b"))
+    return dedup_clusters(docs, pairs)
+
+
 _SIJ_SEQ = [0]
 
 
@@ -1151,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_purchase": _q_asof_click_purchase,
         "purchases_within_30m": _q_purchases_within_30m,
         "streaming_interval_join": _q_streaming_interval_join,
+        "dedup_clusters": _q_dedup_clusters,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,
@@ -1245,6 +1260,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN n na ON na.doc_id = id_a
             JOIN n nb ON nb.doc_id = id_b
             WHERE 3 * common >= na.n_grams + nb.n_grams
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE ws AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM ws WHERE len(w) >= 3)
+            ),
+            n AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+            pairs2 AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            kept AS (
+                SELECT id_a, id_b FROM pairs2
+                JOIN n na ON na.doc_id = id_a
+                JOIN n nb ON nb.doc_id = id_b
+                WHERE 3 * common >= na.n_grams + nb.n_grams
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM kept
+                UNION SELECT id_b, id_a FROM kept
+            ),
+            reach(node, root) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, r.root
+                FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, MIN(root) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "language_id": """
             WITH s AS (

@@ -579,3 +579,98 @@ def register_ngram_udtf(spark, name: str = "ngrams"):
 
     spark.udtf.register(name, NgramUdtf)
     return NgramUdtf
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", *,
+                         max_iter: int = 30) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a candidate
+    -pair edge list, by alternating large-star / small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    This is the step every dedup pipeline needs AFTER pair generation
+    (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs emit pairs;
+    keeping one doc per duplicate CLUSTER requires the transitive
+    closure). Returns ``(node, cluster)`` for every node incident to an
+    edge, where ``cluster`` is the component's minimum node id — the
+    canonical-representative convention. Singletons (nodes with no edges)
+    are absent; callers union them back with ``cluster = node``.
+
+    Scale shape: each round is two groupBy-min + join passes over the
+    edge list — no collect_list (hot nodes never materialize their
+    neighborhood in one task), no driver-side graph. The edge list
+    CONTRACTS geometrically (O(log n) rounds to star-convergence vs
+    O(diameter) for naive label propagation — duplicate clusters are
+    near-cliques, so typically 2-3 rounds). Each round ends in an eager
+    localCheckpoint to truncate lineage: without it the iterated plan
+    doubles per round and the optimizer re-derives the whole chain (on a
+    multi-node cluster prefer reliable ``checkpoint()`` — localCheckpoint
+    blobs die with an executor).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    def _fingerprint(df):
+        # bit_xor, not sum: the edge list is distinct, so xor is a sound
+        # set fingerprint and cannot overflow under ANSI arithmetic
+        r = df.agg(F.count("*").alias("n"),
+                   F.expr("bit_xor(xxhash64(a, b))").alias("h")).collect()[0]
+        return r["n"], r["h"]
+
+    def large_star(e):
+        # u's star: neighbors of u (both directions) + u; min m; connect
+        # every STRICTLY LARGER neighbor to m
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (sym.groupBy("a").agg(F.min("b").alias("mb"))
+                .select("a", F.least("a", "mb").alias("m")))
+        return (sym.filter(F.col("b") > F.col("a"))
+                .join(mins, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+
+    def small_star(e):
+        # direct every edge from max to min endpoint; connect u and all
+        # its (smaller) neighbors to the smallest neighbor
+        d = e.select(F.greatest("a", "b").alias("a"),
+                     F.least("a", "b").alias("b"))
+        mins = d.groupBy("a").agg(F.min("b").alias("m"))
+        nbrs = (d.join(mins, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        own = mins.select(F.col("a"), F.col("m").alias("b"))
+        return (nbrs.union(own)
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(f"connected_components: no convergence in "
+                           f"{max_iter} rounds")
+    # converged edge list is a star forest: (node, component min)
+    roots = e.select(F.col("b").alias("node")).distinct() \
+             .select("node", F.col("node").alias("cluster"))
+    members = e.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", *,
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """(id, cluster_id) for EVERY row of ``df``: connected components over
+    ``pairs`` with singletons mapped to themselves. ``cluster_id`` is the
+    min id of the duplicate cluster, so ``filter(id == cluster_id)``
+    keeps exactly one canonical document per cluster."""
+    cc = connected_components(pairs, src, dst)
+    ids = df.select(F.col(id_col).cast("long").alias("node"))
+    return (ids.join(cc, "node", "left")
+            .select(F.col("node").alias(id_col),
+                    F.coalesce("cluster", "node").alias("cluster_id")))

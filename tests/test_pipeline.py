@@ -363,3 +363,61 @@ def test_simhash_block_count_guarantees_recall(spark):
     assert (100, 101) in got, (d, got)
     with pytest.raises(ValueError):
         P2.simhash_near_pairs(docs, max_hamming=16)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: large-star/small-star CC equals a
+    driver-side union-find on graphs with chains, cliques, singleton
+    endpoints and shuffled ids."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 60
+        edges = set()
+        # random chains + a clique + random noise edges
+        perm = rng.permutation(n * 10)[:n]
+        for i in range(0, 20, 2):
+            edges.add((int(perm[i]), int(perm[i + 1])))
+        for i in range(20, 26):
+            for j in range(i + 1, 26):
+                edges.add((int(perm[i]), int(perm[j])))
+        for _ in range(15):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((int(perm[a]), int(perm[b])))
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        expected = {}
+        for x in parent:
+            expected.setdefault(find(x), []).append(x)
+        exp_map = {x: min(members) for members in expected.values()
+                   for x in members}
+
+        df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        got = {r["node"]: r["cluster"]
+               for r in P.connected_components(df).collect()}
+        assert got == exp_map, f"trial {trial}"
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in P.dedup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 1, 5: 1, 9: 1, 2: 2, 3: 2,
+                   4: 4, 6: 6, 7: 7, 8: 8}
+    keepers = sorted(k for k, v in out.items() if k == v)
+    assert keepers == [0, 1, 2, 4, 6, 7, 8]
