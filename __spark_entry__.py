@@ -1061,6 +1061,25 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+def _q_event_type_pivot(spark, sf_dir):
+    """PIVOT: per-user event counts spread into one column per event
+    type. The value list is EXPLICIT — pivot without one runs a full
+    extra distinct pass over the fact table to discover columns, and an
+    unbounded type domain would make the schema data-dependent; at scale
+    you always pin it. Oracle: conditional-count CASE aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = (ev.groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(F.count(F.lit(1)))
+          .select("user_id",
+                  *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                    for t in types]))
+    return pv.filter(
+        (F.col("n_click") + F.col("n_error") + F.col("n_purchase")
+         + F.col("n_signup") + F.col("n_view")) >= 10)
+
+
 _SIJ_SEQ = [0]
 
 
@@ -1166,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchases_within_30m": _q_purchases_within_30m,
         "streaming_interval_join": _q_streaming_interval_join,
         "dedup_clusters": _q_dedup_clusters,
+        "event_type_pivot": _q_event_type_pivot,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,
@@ -1298,6 +1318,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(root) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view')     AS n_view
+            FROM events
+            GROUP BY user_id
+            HAVING COUNT(*) >= 10
         """,
         "language_id": """
             WITH s AS (
