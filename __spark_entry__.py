@@ -1047,6 +1047,40 @@ def _q_streaming_sessions(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_mg_topk_words(spark, sf_dir):
+    """Misra-Gries frequent-items summary (deterministic counterpart of
+    the CM top-k): top-20 exact words vs MG lower-bound estimates. Self-
+    asserts the certain guarantee per row — never overestimates, within
+    the n/(k+1) error bound, and every phi-heavy word present (rows-only:
+    surviving counter values are merge-order specific)."""
+    import functools
+    from sketchlib.mg import MisraGries
+    from sketchlib.spark_build import build_aggregator
+    # k=16 < the ~31-word test vocabulary, so decrements actually occur
+    # and the bound is exercised non-trivially (k would be 10^4-10^6 in
+    # a real corpus run)
+    toks = _tokenized_docs(spark, sf_dir)
+    res = build_aggregator(toks, "tokens",
+                           functools.partial(MisraGries, k=16))
+    mg = res.sketch
+    bound = mg.error_bound()
+    top = (_words(spark, sf_dir).groupBy("word")
+           .agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), "word").limit(20)
+           .withColumn("tok", _word_token(F.col("word"))).collect())
+    rows = []
+    for r in top:
+        est = mg.point_query(r["tok"])
+        heavy = r["exact_cnt"] > mg.n_items // (mg.k + 1)
+        rows.append((r["word"], int(r["exact_cnt"]), int(est), int(bound),
+                     bool(est <= r["exact_cnt"]
+                          and r["exact_cnt"] - est <= bound
+                          and (est > 0 or not heavy))))
+    return spark.createDataFrame(
+        rows, "word string, exact_cnt bigint, mg_est bigint, "
+              "error_bound bigint, guarantee_holds boolean")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components (alternating
     large-star/small-star) over the exact n-gram-Jaccard pair graph, with
@@ -1186,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": _q_streaming_interval_join,
         "dedup_clusters": _q_dedup_clusters,
         "event_type_pivot": _q_event_type_pivot,
+        "mg_topk_words": _q_mg_topk_words,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

@@ -9,6 +9,7 @@ from .countmin import CountMinSketch
 from .ddsketch import DDSketch
 from .hll import HllSketch
 from .kll import KllSketch
+from .mg import MisraGries
 from .tdigest import TDigest
 
 _REGISTRY = {
@@ -19,6 +20,7 @@ _REGISTRY = {
     b"DDS1": DDSketch,
     b"KLL1": KllSketch,
     b"TDG1": TDigest,
+    b"MGK1": MisraGries,
 }
 
 
