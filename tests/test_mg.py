@@ -2,6 +2,8 @@
 (underestimate + certain n/(k+1) error bound + guaranteed presence of
 heavy keys) must hold for every stream, partitioning and merge order."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -126,3 +128,36 @@ def test_distributed_build_guarantees(spark):
         assert est <= f and f - est <= bound
         if f > n // (mg.k + 1):
             assert est > 0
+
+
+def test_streaming_mg_keeps_guarantees(spark, tmp_path):
+    """MisraGries composes with the streaming builder (factory-based, like
+    every sketchlib sketch): incremental fold over arriving files keeps
+    the certain guarantee vs the exact count of everything arrived."""
+    import os
+    from pyspark.sql import functions as F
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.streaming import stream_build_from_files
+
+    inbox = str(tmp_path / "mg_inbox")
+    os.makedirs(inbox)
+    for i in range(3):
+        generate_token_table(f"{inbox}/part{i}.parquet", rows=300,
+                             seed=200 + i, dist="zipf")
+    builder, query = stream_build_from_files(
+        spark, inbox, "tokens", functools.partial(MisraGries, k=32),
+        work_dir=str(tmp_path / "mg_work"))
+    query.awaitTermination(120)
+
+    mg = builder.sketch
+    exact = {r["t"]: r["c"] for r in
+             spark.read.parquet(inbox)
+             .select(F.explode("tokens").alias("t"))
+             .groupBy("t").agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    assert mg.n_items == n
+    bound = mg.error_bound()
+    assert bound <= n // (mg.k + 1)
+    for key, f in exact.items():
+        est = mg.point_query(key)
+        assert est <= f and f - est <= bound
