@@ -1156,7 +1156,14 @@ def _q_streaming_interval_join(spark, sf_dir):
         q = (joined.writeStream.format("memory").queryName(qname)
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # fail loudly on timeout: collecting the memory sink now would
+            # return a PARTIAL table and surface as an opaque oracle-hash
+            # mismatch (and the finally would delete the live query's
+            # checkpoint from under it)
+            q.stop()
+            raise TimeoutError("streaming_interval_join: availableNow "
+                               "replay did not finish in 300 s")
         rows = [(r["user_id"], r["l_event_id"], r["r_event_id"])
                 for r in spark.table(qname).collect()]
         return spark.createDataFrame(
@@ -1363,7 +1370,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'view')     AS n_view
             FROM events
             GROUP BY user_id
-            HAVING COUNT(*) >= 10
+            HAVING COUNT(*) FILTER (event_type IN
+                ('click', 'error', 'purchase', 'signup', 'view')) >= 10
         """,
         "language_id": """
             WITH s AS (

@@ -71,6 +71,16 @@ def main(sf_dir="/root/testdata/sf0.01"):
               "guarantee violated)")
         sys.exit(1)
 
+    # self-assertion columns: rows-only sketch queries encode their own
+    # guarantee as a boolean per row (the whole point of the flag); the
+    # gate must FAIL when any is false, else a broken estimator still
+    # passes as "N rows". Recall-style flags (in_exact_topk) are NOT here
+    # — those are legitimately false for approximate answers.
+    ASSERT_COLS = {"est_ge_exact", "within_bound", "guarantee_holds",
+                   "matches_batch", "byte_identical",
+                   "rawlog_equals_two_sketch", "tables_equal",
+                   "equals_dense", "exact_recovery"}
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
@@ -78,8 +88,19 @@ def main(sf_dir="/root/testdata/sf0.01"):
         sdf = fn(spark, sf_dir)
         srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
         scols = sdf.columns
+        acols = [c for c in scols if c in ASSERT_COLS]
+        bad_flags = sum(
+            1 for r in srows
+            for c in acols if r[scols.index(c)] is False)
+        if bad_flags:
+            print(f"{name:28s} FAIL self-assert: {bad_flags} false "
+                  f"{acols} rows")
+            failures.append(name)
+            continue
         if name not in oracles:
-            print(f"{name:28s} rows-only: {len(srows)} rows  cols={scols}")
+            tag = f" self-assert {acols} all-true" if acols else ""
+            print(f"{name:28s} rows-only: {len(srows)} rows  "
+                  f"cols={scols}{tag}")
             continue
         ores = con.execute(oracles[name])
         ocols = [d[0] for d in ores.description]

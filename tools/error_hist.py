@@ -37,6 +37,10 @@ def main(rows: int = 100_000, q: int = 100_000) -> None:
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "16")
+             # eps = e/(10*rows) means ~24 MB dense partials (w = 10*rows
+             # at rows=1e5); 8 concurrent tasks of those through Arrow
+             # OOM the default 1g local JVM heap
+             .config("spark.driver.memory", "6g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,7 +61,14 @@ def main(rows: int = 100_000, q: int = 100_000) -> None:
     # hottest + half a seeded uniform sample of distinct keys (probing
     # only the head would measure a systematically easier population)
     hot = exact.orderBy(F.desc("cnt"), "t").limit(q // 2).collect()
-    rest = (exact.orderBy(F.xxhash64(F.col("t") + 1337))
+    # draw the uniform half from keys NOT already in the head (otherwise
+    # the two populations overlap, fewer than q keys get probed, and the
+    # tail half shrinks by the overlap); anti-join, not a 50k-literal IN
+    hot_df = spark.createDataFrame([(r["t"],) for r in hot], "t long")
+    # seed as an extra hash column, not `t + 1337` — ANSI mode overflows
+    # int32 addition for tokens near INT32_MAX
+    rest = (exact.join(F.broadcast(hot_df), "t", "left_anti")
+            .orderBy(F.xxhash64(F.col("t"), F.lit(1337)))
             .limit(q - len(hot)).collect())
     by_key = {r["t"]: r["cnt"] for r in hot}
     by_key.update({r["t"]: r["cnt"] for r in rest})
