@@ -1047,6 +1047,47 @@ def _q_streaming_sessions(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_stream_static_enrich(spark, sf_dir):
+    """Stream-static join: a stream of orders enriched against the STATIC
+    customer dim (the third Structured Streaming join flavor next to
+    stream-stream and batch): per (mktsegment, orderpriority) counts over
+    the streamed side. The static side is re-read per micro-batch by the
+    engine (no watermark needed for inner stream-static). availableNow
+    replay of a bounded table == the batch join — oracle: plain join SQL."""
+    import shutil
+    import tempfile
+    orders_schema = ("o_orderkey long, o_custkey long, o_orderstatus string,"
+                     " o_totalprice double, o_orderdate timestamp_ntz,"
+                     " o_orderpriority string")
+    inbox = tempfile.mkdtemp(prefix="sketchlib_sse_in_")
+    os.symlink(os.path.abspath(f"{sf_dir}/orders.parquet"),
+               os.path.join(inbox, "orders.parquet"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    stream = (spark.readStream.schema(orders_schema).parquet(inbox)
+              .select("o_custkey", "o_orderpriority"))
+    joined = (stream.join(cust,
+                          stream["o_custkey"] == cust["c_custkey"])
+              .select("c_mktsegment", "o_orderpriority"))
+    _SIJ_SEQ[0] += 1
+    qname = f"sse_drv_{_SIJ_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="sketchlib_sse_")
+    try:
+        q = (joined.writeStream.format("memory").queryName(qname)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_static_enrich: availableNow replay "
+                               "did not finish in 300 s")
+        return (spark.table(qname)
+                .groupBy("c_mktsegment", "o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(inbox, ignore_errors=True)
+
+
 def _q_mg_topk_words(spark, sf_dir):
     """Misra-Gries frequent-items summary (deterministic counterpart of
     the CM top-k): top-20 exact words vs MG lower-bound estimates. Self-
@@ -1228,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "event_type_pivot": _q_event_type_pivot,
         "mg_topk_words": _q_mg_topk_words,
+        "stream_static_enrich": _q_stream_static_enrich,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,
@@ -1372,6 +1414,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING COUNT(*) FILTER (event_type IN
                 ('click', 'error', 'purchase', 'signup', 'view')) >= 10
+        """,
+        "stream_static_enrich": """
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
         """,
         "language_id": """
             WITH s AS (
