@@ -1088,6 +1088,50 @@ def _q_stream_static_enrich(spark, sf_dir):
         shutil.rmtree(inbox, ignore_errors=True)
 
 
+def _q_pysource_token_table(spark, sf_dir):
+    """Spark 4 custom Python DataSource (`sketchlib_tokens`,
+    sketchlib/pysource.py): the deterministic input-hint token table as an
+    engine-native FORMAT — zero storage, one InputPartition per chunk, one
+    Arrow batch per partition. Proves bit-identity to the parquet
+    generator's output for the same (rows, seed, dist) via per-source
+    aggregate + content-signature equality (tables_equal self-asserts;
+    rows-only — the source isn't visible to the DuckDB oracle)."""
+    from sketchlib import pysource
+    from sketchlib.datagen import generate_token_table
+    pysource.register(spark)
+    rows, seed = 5000, 424
+
+    def write(path):
+        os.makedirs(path, exist_ok=True)
+        generate_token_table(os.path.join(path, "ref.parquet"),
+                             rows=rows, seed=seed, dist="zipf")
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    ref_dir = _cached_tmp(sf_dir, "pysrc_ref", write)
+    via_file = spark.read.parquet(os.path.join(ref_dir, "ref.parquet"))
+    via_src = (spark.read.format("sketchlib_tokens")
+               .option("rows", rows).option("seed", seed)
+               .option("dist", "zipf").load())
+
+    def sig(df, prefix):
+        # full-content signature, bounded so the ANSI-mode sum can't
+        # overflow: xxhash64 over every column, folded mod a prime
+        h = (F.xxhash64("doc_id", "tokens", "n_tok", "source")
+             % F.lit(1_000_000_007)).cast("long")
+        return df.groupBy("source").agg(
+            F.count("*").alias(f"{prefix}_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias(f"{prefix}_toks"),
+            F.sum(h).alias(f"{prefix}_sig"))
+
+    a, b = sig(via_src, "src"), sig(via_file, "file")
+    return (a.join(b, "source", "full_outer")
+            .withColumn("tables_equal",
+                        (F.col("src_docs") == F.col("file_docs"))
+                        & (F.col("src_toks") == F.col("file_toks"))
+                        & (F.col("src_sig") == F.col("file_sig")))
+            .orderBy("source"))
+
+
 def _q_mg_topk_words(spark, sf_dir):
     """Misra-Gries frequent-items summary (deterministic counterpart of
     the CM top-k): top-20 exact words vs MG lower-bound estimates. Self-
@@ -1270,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": _q_event_type_pivot,
         "mg_topk_words": _q_mg_topk_words,
         "stream_static_enrich": _q_stream_static_enrich,
+        "pysource_token_table": _q_pysource_token_table,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

@@ -1,0 +1,76 @@
+"""Custom Python DataSource (`sketchlib_tokens`): batch reads must be
+bit-identical to datagen's parquet output for the same params; streaming
+reads must replay the same chunks deterministically."""
+
+import pytest
+
+from sketchlib import pysource
+from sketchlib.pysource import _chunk_bounds, _TokenTableReader
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pysource.register(spark)
+
+
+def test_batch_matches_generated_parquet(spark, tmp_path):
+    from sketchlib.datagen import generate_token_table
+    p = str(tmp_path / "tok.parquet")
+    generate_token_table(p, rows=1500, seed=99, dist="zipf")
+    via_file = spark.read.parquet(p)
+    via_src = (spark.read.format("sketchlib_tokens")
+               .option("rows", 1500).option("seed", 99)
+               .option("dist", "zipf").load())
+    assert via_src.schema == via_file.schema
+    a = sorted(map(tuple, via_file.collect()))
+    b = sorted(map(tuple, via_src.collect()))
+    assert a == b
+
+
+def test_uniform_dist_and_defaults(spark):
+    df = (spark.read.format("sketchlib_tokens")
+          .option("rows", 200).option("dist", "uniform").load())
+    rows = df.collect()
+    assert len(rows) == 200
+    assert all(8 <= r["n_tok"] <= 512 for r in rows)
+    assert all(len(r["tokens"]) == r["n_tok"] for r in rows)
+
+
+def test_partitions_one_per_chunk():
+    r = _TokenTableReader({"rows": "250000"})
+    parts = r.partitions()
+    assert [(p.chunk_idx, p.start_row, p.rows) for p in parts] == [
+        (0, 0, 100_000), (1, 100_000, 100_000), (2, 200_000, 50_000)]
+    assert list(_chunk_bounds(0)) == []
+
+
+def test_bad_options_rejected():
+    with pytest.raises(ValueError):
+        _TokenTableReader({"rows": "-1"})
+    with pytest.raises(ValueError):
+        _TokenTableReader({"dist": "pareto"})
+
+
+def test_stream_replays_batch_content(spark, tmp_path):
+    """availableNow-style bounded drain: the stream over (rows, seed) must
+    produce exactly the batch table's rows, then stop advancing."""
+    import time
+    batch = (spark.read.format("sketchlib_tokens")
+             .option("rows", 400).option("seed", 7).load())
+    want = sorted(map(tuple, batch.collect()))
+    q = (spark.readStream.format("sketchlib_tokens")
+         .option("rows", 400).option("seed", 7).load()
+         .writeStream.format("memory").queryName("pysource_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.table("pysource_stream").count()
+            if got >= 400:
+                break
+            time.sleep(0.5)
+        got_rows = sorted(map(tuple, spark.table("pysource_stream").collect()))
+        assert got_rows == want
+    finally:
+        q.stop()
