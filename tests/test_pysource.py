@@ -51,6 +51,28 @@ def test_bad_options_rejected():
         _TokenTableReader({"dist": "pareto"})
 
 
+def test_stream_feeds_incremental_sketch_build(spark, tmp_path):
+    """The engine-native stream drives the foreachBatch incremental sketch
+    builder; the result must be byte-identical to the batch build over the
+    batch read of the same (rows, seed) — the replay-determinism the
+    DataSource gets structurally, observed end-to-end."""
+    from sketchlib.countmin import CMConfig, CountMinSketch
+    from sketchlib.spark_build import build_sketch
+    from sketchlib.streaming import StreamingSketchBuilder
+    cfg = CMConfig(eps=0.005, delta=0.1, seed=11)
+    stream = (spark.readStream.format("sketchlib_tokens")
+              .option("rows", 300).option("seed", 21).load())
+    builder = StreamingSketchBuilder(lambda: CountMinSketch(cfg), "tokens",
+                                     str(tmp_path / "snap"))
+    q = builder.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    batch = (spark.read.format("sketchlib_tokens")
+             .option("rows", 300).option("seed", 21).load())
+    want = build_sketch(batch, "tokens", cfg).sketch
+    assert builder.sketch.n_items == want.n_items > 0
+    assert builder.sketch.to_bytes() == want.to_bytes()
+
+
 def test_stream_replays_batch_content(spark, tmp_path):
     """availableNow-style bounded drain: the stream over (rows, seed) must
     produce exactly the batch table's rows, then stop advancing."""
