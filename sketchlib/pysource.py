@@ -138,5 +138,24 @@ class TokenTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration: spark.read.format('sketchlib_tokens')."""
+    """Idempotent registration: spark.read.format('sketchlib_tokens').
+
+    SQL surface: ``CREATE TABLE t USING sketchlib_tokens`` works, but (as
+    of Spark 4.1) DDL ``OPTIONS`` are NOT forwarded to the Python source's
+    reader — a DDL-created table always reads the defaults. To parameterize
+    for SQL, load through the read API and register a view::
+
+        sql_view(spark, "tok", rows=10_000, seed=5)
+    """
     spark.dataSource.register(TokenTableDataSource)
+
+
+def sql_view(spark, name: str, *, rows: int = 100_000, seed: int = 1337,
+             dist: str = "zipf") -> None:
+    """Expose a parameterized token table to SQL as a temp view (the
+    options-carrying route around the DDL limitation noted in
+    :func:`register`)."""
+    register(spark)
+    (spark.read.format("sketchlib_tokens")
+     .option("rows", rows).option("seed", seed).option("dist", dist)
+     .load().createOrReplaceTempView(name))

@@ -44,6 +44,22 @@ def test_partitions_one_per_chunk():
     assert list(_chunk_bounds(0)) == []
 
 
+def test_sql_surface(spark):
+    """DDL CREATE TABLE works (defaults only — Spark 4.1 drops Python-source
+    DDL OPTIONS, documented in register()); sql_view carries parameters."""
+    pysource.sql_view(spark, "tok_v", rows=700, seed=3)
+    n, toks = spark.sql(
+        "SELECT count(*) AS n, sum(n_tok) AS t FROM tok_v").first()
+    assert n == 700 and toks > 0
+    spark.sql("DROP TABLE IF EXISTS tok_ddl")
+    spark.sql("CREATE TABLE tok_ddl USING sketchlib_tokens")
+    try:
+        # defaults: rows=100000 — proves the catalog table scans the source
+        assert spark.table("tok_ddl").count() == 100_000
+    finally:
+        spark.sql("DROP TABLE tok_ddl")
+
+
 def test_bad_options_rejected():
     with pytest.raises(ValueError):
         _TokenTableReader({"rows": "-1"})
