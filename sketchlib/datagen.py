@@ -46,6 +46,52 @@ def _zipf_ranks(rng: np.random.Generator, n: int, theta: float = 0.99,
     return np.maximum(ranks, np.uint64(1))
 
 
+# Cache-blocked zipf token generation. The naive chain (random -> pow ->
+# ceil -> astype -> murmur -> astype) streams five full-chunk arrays
+# (~100 B of DRAM traffic per token at 26 M tokens/chunk): fine for one
+# process, but 32 concurrent generators saturate the VM's memory bandwidth
+# and per-chunk wall inflates ~7-14x (measured — see BENCH/BASELINE.md
+# Session E). Blocking the chain at 64k elements keeps every temporary
+# cache-resident; only the final int32 token write (4 B/token) and the
+# uniform draws touch DRAM. Bit-identical to the naive chain: PCG64
+# random() is block-splittable (tested), every other op is elementwise.
+_GEN_BLOCK = 1 << 16
+_gen_ws = None
+
+
+def _gen_workspace():
+    global _gen_ws
+    if _gen_ws is None:
+        _gen_ws = (np.empty(_GEN_BLOCK, np.float64),
+                   np.empty(_GEN_BLOCK, np.uint64),
+                   np.empty(_GEN_BLOCK, np.uint64))
+    return _gen_ws
+
+
+def _zipf_tokens_blocked(rng: np.random.Generator, total: int,
+                        theta: float = 0.99,
+                        space: float = float(2**32)) -> np.ndarray:
+    expo = 1.0 / (1.0 - theta)
+    u_ws, r_ws, h_ws = _gen_workspace()
+    tokens = np.empty(total, dtype=np.int32)
+    one = np.uint64(1)
+    for st in range(0, total, _GEN_BLOCK):
+        m = min(st + _GEN_BLOCK, total) - st
+        u = u_ws[:m]
+        rng.random(out=u)
+        np.power(u, expo, out=u)
+        np.multiply(u, space, out=u)
+        np.ceil(u, out=u)
+        r = r_ws[:m]
+        np.copyto(r, u, casting="unsafe")  # same C double->uint64 cast as astype
+        np.maximum(r, one, out=r)
+        h = h_ws[:m]
+        murmur_h2_into(r, 9001, h)
+        np.bitwise_and(h, _TOKEN_MASK, out=h)
+        tokens[st:st + m] = h
+    return tokens
+
+
 def _chunk(seed: int, chunk_idx: int, rows: int, start_row: int,
            dist: str) -> pa.RecordBatch:
     rng = np.random.default_rng([seed, chunk_idx])
@@ -54,14 +100,11 @@ def _chunk(seed: int, chunk_idx: int, rows: int, start_row: int,
     if dist == "uniform":
         tokens = rng.integers(0, 2**31 - 1, size=total, dtype=np.int64).astype(np.int32)
     elif dist == "zipf":
-        ranks = _zipf_ranks(rng, total)
-        # scramble ranks through murmur so hot keys are spread over the
-        # token domain (totaltest.cpp:45-53 pattern); workspace-chunked hash
-        # (bit-identical to hash_u64) to avoid ~2 GB of ufunc temporaries
-        h = np.empty(total, dtype=np.uint64)
-        murmur_h2_into(ranks, 9001, h)
-        h &= _TOKEN_MASK
-        tokens = h.astype(np.int32)
+        # ranks scrambled through murmur so hot keys are spread over the
+        # token domain (totaltest.cpp:45-53 pattern); the whole
+        # rank->hash->mask chain is cache-blocked (bit-identical to
+        # _zipf_ranks + hash, pinned by test_blocked_zipf_bit_identity)
+        tokens = _zipf_tokens_blocked(rng, total)
     else:
         raise ValueError(f"unknown dist {dist!r}")
     offsets = np.zeros(rows + 1, dtype=np.int32)

@@ -526,6 +526,85 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
                        n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
 
 
+def build_sketch_generated(spark: SparkSession, rows: int, cfg: CMConfig, *,
+                           seed: int = 1337, dist: str = "zipf",
+                           cu: bool = False,
+                           fanout: int | None = None) -> BuildResult:
+    """CM build over the deterministic token table WITHOUT materializing it.
+
+    ``spark.read.format("sketchlib_tokens")`` is the convenient route to the
+    generated table, but its physical plan pays the Python-source double hop
+    (generate in a Python worker -> Arrow -> JVM rows -> re-encode Arrow for
+    mapInArrow): measured ~1.5 M tok/s per busy core vs 28 M tok/s for bare
+    generation — ~95% of CPU in serialization. Here each task instead
+    receives only a ``(chunk_idx, start_row, rows)`` assignment, regenerates
+    its chunks from (seed, chunk_idx) and folds them straight into a partial
+    sketch in-process; tokens never cross a process boundary and only
+    KB-sized sketch blobs shuffle. Byte-identical to building from the
+    DataSource DataFrame (tested) — merge order is irrelevant.
+
+    Task granularity is one 100k-row chunk (~26 M tokens, ~1 s): chunk
+    content is a single RNG stream, so a chunk is the smallest independently
+    regenerable unit. This is also the zero-IO closed loop for the
+    compute-scaling A/B in BASELINE.md (no storage, no page cache).
+    """
+    from .datagen import CHUNK_ROWS, _chunk
+
+    t0 = time.perf_counter()
+    assigns = []
+    start = 0
+    idx = 0
+    while start < rows:
+        n = min(CHUNK_ROWS, rows - start)
+        assigns.append((idx, start, n))
+        start += n
+        idx += 1
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():  # tiny: one row per chunk
+                t1 = time.perf_counter()
+                cm = CountMinSketch(cfg)
+                batch = _chunk(int(seed), int(row["chunk"]), int(row["n"]),
+                               int(row["start"]), dist)
+                flat = batch.column(1).flatten()
+                try:
+                    toks = flat.to_numpy(zero_copy_only=True)
+                except pa.ArrowInvalid:
+                    toks = flat.to_numpy(zero_copy_only=False)
+                if cu:
+                    cm.update_batch_cu(toks)
+                else:
+                    cm.update_batch(toks)
+                ms = (time.perf_counter() - t1) * 1e3
+                yield pd.DataFrame({
+                    "pid": [int(row["chunk"])], "sketch": [cm.to_bytes()],
+                    "n_rows": [int(row["n"])], "n_items": [cm.n_items],
+                    "total_count": [cm.total_count], "build_ms": [ms],
+                })
+
+    lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
+    if not assigns:
+        return BuildResult(sketch=CountMinSketch(cfg),
+                           lineage=pd.DataFrame(columns=lineage_cols),
+                           n_rows=0, wall_s=time.perf_counter() - t0)
+    assign = spark.createDataFrame(
+        assigns, "chunk int, start bigint, n int")
+    assign = assign.repartition(len(assigns))
+    partials = assign.mapInPandas(fn, schema=_PARTIAL_SCHEMA).persist()
+    try:
+        lineage = partials.select(*lineage_cols).toPandas()
+        sketch = _tree_merge(partials, fanout, len(lineage))
+    finally:
+        partials.unpersist()
+    if sketch is None:
+        sketch = CountMinSketch(cfg)
+    wall = time.perf_counter() - t0
+    lineage = lineage.sort_values("pid").reset_index(drop=True)
+    return BuildResult(sketch=sketch, lineage=lineage,
+                       n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
+
+
 # ---------------------------------------------------------------------------
 # grouped build: one sketch per key (e.g. per source), map-side combined
 # ---------------------------------------------------------------------------

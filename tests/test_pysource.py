@@ -112,3 +112,49 @@ def test_stream_replays_batch_content(spark, tmp_path):
         assert got_rows == want
     finally:
         q.stop()
+
+
+def test_build_sketch_generated_byte_identical(spark):
+    """The zero-IO in-task generator build must produce the SAME sketch
+    bytes as building from the DataSource DataFrame (which pays the
+    Python-source double hop) — multi-chunk, so the (seed, chunk_idx)
+    keying and per-chunk partials are both exercised."""
+    import math
+    from sketchlib.countmin import CMConfig
+    from sketchlib.spark_build import build_sketch, build_sketch_generated
+
+    cfg = CMConfig(eps=1e-3, delta=math.exp(-3), seed=7)
+    rows = 120_000  # 2 chunks: 100k + 20k
+    df = (spark.read.format("sketchlib_tokens")
+          .option("rows", rows).option("seed", 5).load())
+    via_df = build_sketch(df, "tokens", cfg)
+    gen = build_sketch_generated(spark, rows, cfg, seed=5)
+    assert gen.sketch.to_bytes() == via_df.sketch.to_bytes()
+    assert gen.n_rows == via_df.n_rows == rows
+    assert len(gen.lineage) == 2  # one partial per 100k-row chunk
+    empty = build_sketch_generated(spark, 0, cfg, seed=5)
+    assert empty.sketch.n_items == 0 and empty.n_rows == 0
+
+
+def test_blocked_zipf_bit_identity():
+    """The cache-blocked zipf chain must be bit-identical to the naive
+    full-array chain AND leave the RNG in the same state (so the
+    downstream source-choice draws in _chunk are unchanged) — otherwise
+    every previously generated table silently changes content."""
+    import numpy as np
+    from sketchlib.datagen import (_TOKEN_MASK, _zipf_ranks,
+                                   _zipf_tokens_blocked)
+    from sketchlib.hashing import murmur_h2_into
+
+    for total in (0, 1, 65_535, 65_536, 65_537, 200_001):
+        rng_a = np.random.default_rng([11, 3])
+        ranks = _zipf_ranks(rng_a, total)
+        h = np.empty(total, dtype=np.uint64)
+        murmur_h2_into(ranks, 9001, h)
+        h &= _TOKEN_MASK
+        want = h.astype(np.int32)
+        rng_b = np.random.default_rng([11, 3])
+        got = _zipf_tokens_blocked(rng_b, total)
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, want)
+        assert rng_a.random() == rng_b.random()
