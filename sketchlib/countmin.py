@@ -43,6 +43,60 @@ _MAGIC = b"CMSK"
 _MAGIC_SPARSE = b"CMSP"
 _VERSION = 1
 
+# Persistent per-process workspaces for duplicate pre-aggregation. np.unique
+# on a ~26 M-token chunk allocates a ~100 MB sort copy (always mmap-served:
+# glibc caps the mmap threshold at 32 MB) plus O(unique) outputs — freed and
+# refaulted every call. Under 32 concurrent workers that fault/zeroing storm
+# collapses aggregate throughput ~2x (88 -> 158 M tok/s measured at 32
+# procs, BENCH/BASELINE.md Session E). Workspaces grow geometrically, keyed
+# by key dtype; one set per process. NOT thread-safe within a process —
+# Spark Python workers and the driver are single-threaded through this path.
+_UC_WS: dict[str, list] = {}
+
+
+def _unique_counts(arr: np.ndarray):
+    """``np.unique(arr, return_counts=True)`` with persistent workspaces.
+
+    Returns ``(values, counts)`` where values is a view into a reused
+    buffer (valid until the next call from this process) and counts is
+    float64 (exact for counts < 2^53 — what ``accumulate_into`` converts
+    weights to anyway, so no further copy downstream). Identical values
+    and counts to np.unique (pinned by test).
+    """
+    n = arr.shape[0]
+    key = arr.dtype.str
+    ws = _UC_WS.get(key)
+    if ws is None:
+        ws = [np.empty(0, arr.dtype), np.empty(0, bool),
+              np.empty(0, arr.dtype), np.empty(0, np.float64)]
+        _UC_WS[key] = ws
+    if ws[0].shape[0] < n:
+        cap = max(n, 2 * ws[0].shape[0])
+        ws[0] = np.empty(cap, arr.dtype)
+        ws[1] = np.empty(cap, bool)
+    a = ws[0][:n]
+    np.copyto(a, arr)
+    a.sort()
+    m = ws[1][: n - 1]
+    np.not_equal(a[1:], a[:-1], out=m)
+    idx = np.flatnonzero(m)  # O(unique) — the one unavoidable allocation
+    u = idx.shape[0] + 1
+    if ws[2].shape[0] < u:
+        cap = max(u, 2 * ws[2].shape[0])
+        ws[2] = np.empty(cap, arr.dtype)
+        ws[3] = np.empty(cap, np.float64)
+    vals = ws[2][:u]
+    vals[0] = a[0]
+    cnts = ws[3][:u]
+    if u > 1:
+        np.take(a, idx + 1, out=vals[1:])
+        cnts[0] = idx[0] + 1
+        np.subtract(idx[1:], idx[:-1], out=cnts[1 : u - 1], casting="unsafe")
+        cnts[u - 1] = n - 1 - idx[-1]
+    else:
+        cnts[0] = n
+    return vals, cnts
+
 
 @dataclass(frozen=True)
 class CMConfig:
@@ -139,7 +193,7 @@ class CountMinSketch:
             preaggregate and n > 1)
         if counts is None:
             if do_agg:
-                arr, agg = np.unique(arr, return_counts=True)
+                arr, agg = _unique_counts(arr)
             else:
                 agg = None
             self.total_count += n

@@ -47,14 +47,15 @@ def _zipf_ranks(rng: np.random.Generator, n: int, theta: float = 0.99,
 
 
 # Cache-blocked zipf token generation. The naive chain (random -> pow ->
-# ceil -> astype -> murmur -> astype) streams five full-chunk arrays
-# (~100 B of DRAM traffic per token at 26 M tokens/chunk): fine for one
-# process, but 32 concurrent generators saturate the VM's memory bandwidth
-# and per-chunk wall inflates ~7-14x (measured — see BENCH/BASELINE.md
-# Session E). Blocking the chain at 64k elements keeps every temporary
-# cache-resident; only the final int32 token write (4 B/token) and the
-# uniform draws touch DRAM. Bit-identical to the naive chain: PCG64
-# random() is block-splittable (tested), every other op is elementwise.
+# ceil -> astype -> murmur -> astype) allocates and streams five
+# full-chunk arrays (~100 B of traffic per token at 26 M tokens/chunk,
+# every temporary mmap-served and refaulted per chunk): fine for one
+# process, collapses ~6x under 32 concurrent generators (measured — see
+# BENCH/BASELINE.md Session E). Blocking the chain at 64k elements keeps
+# every temporary cache-resident and allocation-free; only the final
+# int32 token write (4 B/token) touches DRAM. Bit-identical to the naive
+# chain: PCG64 random() is block-splittable (tested), every other op is
+# elementwise.
 _GEN_BLOCK = 1 << 16
 _gen_ws = None
 
@@ -70,10 +71,18 @@ def _gen_workspace():
 
 def _zipf_tokens_blocked(rng: np.random.Generator, total: int,
                         theta: float = 0.99,
-                        space: float = float(2**32)) -> np.ndarray:
+                        space: float = float(2**32),
+                        out: np.ndarray | None = None) -> np.ndarray:
     expo = 1.0 / (1.0 - theta)
     u_ws, r_ws, h_ws = _gen_workspace()
-    tokens = np.empty(total, dtype=np.int32)
+    # A ~100 MB np.empty here is above glibc's mmap-threshold cap, so every
+    # chunk would munmap on free and refault ~26k pages on the next alloc;
+    # at 32 concurrent generators the kernel's fault/zeroing path contends
+    # and aggregate throughput COLLAPSES (measured 141 vs 821 M tok/s —
+    # BENCH/BASELINE.md Session E). Callers on the hot path pass a
+    # persistent ``out`` buffer; ``None`` keeps a fresh allocation for
+    # callers that hand the array to zero-copy Arrow (no aliasing).
+    tokens = np.empty(total, dtype=np.int32) if out is None else out[:total]
     one = np.uint64(1)
     for st in range(0, total, _GEN_BLOCK):
         m = min(st + _GEN_BLOCK, total) - st
@@ -92,21 +101,50 @@ def _zipf_tokens_blocked(rng: np.random.Generator, total: int,
     return tokens
 
 
-def _chunk(seed: int, chunk_idx: int, rows: int, start_row: int,
-           dist: str) -> pa.RecordBatch:
+def chunk_tokens(seed: int, chunk_idx: int, rows: int, dist: str = "zipf",
+                 out: np.ndarray | None = None):
+    """Token stream of chunk ``(seed, chunk_idx)`` WITHOUT the Arrow batch.
+
+    Returns ``(n_tok, tokens, rng)`` where ``tokens`` is bit-identical to
+    the flattened ``tokens`` column of ``_chunk`` for the same params (the
+    doc-id/source draws happen after the token draws, so the prefix of the
+    RNG stream is shared) and ``rng`` is positioned exactly where ``_chunk``
+    would be before the source draw. ``out`` (capacity >= rows*512 int32)
+    lets hot-path callers reuse one persistent buffer — see
+    ``_zipf_tokens_blocked`` for why that matters under concurrency;
+    the returned ``tokens`` is then a VIEW that the next call overwrites.
+    """
     rng = np.random.default_rng([seed, chunk_idx])
     n_tok = rng.integers(8, 513, size=rows).astype(np.int32)
     total = int(n_tok.sum())
     if dist == "uniform":
-        tokens = rng.integers(0, 2**31 - 1, size=total, dtype=np.int64).astype(np.int32)
+        if out is None:
+            tokens = rng.integers(0, 2**31 - 1, size=total,
+                                  dtype=np.int64).astype(np.int32)
+        else:
+            # blocked draws are stream-identical: bounded integers() is
+            # per-element sequential (pinned by test)
+            tokens = out[:total]
+            for st in range(0, total, _GEN_BLOCK):
+                m = min(st + _GEN_BLOCK, total) - st
+                tokens[st:st + m] = rng.integers(0, 2**31 - 1, size=m,
+                                                 dtype=np.int64)
     elif dist == "zipf":
         # ranks scrambled through murmur so hot keys are spread over the
         # token domain (totaltest.cpp:45-53 pattern); the whole
         # rank->hash->mask chain is cache-blocked (bit-identical to
         # _zipf_ranks + hash, pinned by test_blocked_zipf_bit_identity)
-        tokens = _zipf_tokens_blocked(rng, total)
+        tokens = _zipf_tokens_blocked(rng, total, out=out)
     else:
         raise ValueError(f"unknown dist {dist!r}")
+    return n_tok, tokens, rng
+
+
+def _chunk(seed: int, chunk_idx: int, rows: int, start_row: int,
+           dist: str) -> pa.RecordBatch:
+    # fresh token allocation (out=None): pa.array(tokens) is zero-copy, so
+    # the batch must own memory no later call mutates
+    n_tok, tokens, rng = chunk_tokens(seed, chunk_idx, rows, dist)
     offsets = np.zeros(rows + 1, dtype=np.int32)
     np.cumsum(n_tok, out=offsets[1:])
     token_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tokens))

@@ -526,6 +526,9 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
                        n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
 
 
+_GEN_TOKBUF = None  # per-worker persistent token buffer (see fn below)
+
+
 def build_sketch_generated(spark: SparkSession, rows: int, cfg: CMConfig, *,
                            seed: int = 1337, dist: str = "zipf",
                            cu: bool = False,
@@ -548,7 +551,7 @@ def build_sketch_generated(spark: SparkSession, rows: int, cfg: CMConfig, *,
     regenerable unit. This is also the zero-IO closed loop for the
     compute-scaling A/B in BASELINE.md (no storage, no page cache).
     """
-    from .datagen import CHUNK_ROWS, _chunk
+    from .datagen import CHUNK_ROWS, chunk_tokens
 
     t0 = time.perf_counter()
     assigns = []
@@ -561,21 +564,31 @@ def build_sketch_generated(spark: SparkSession, rows: int, cfg: CMConfig, *,
         idx += 1
 
     def fn(pdf_iter):
+        # one persistent token buffer per (reused) Python worker — module
+        # global, NOT per task: a fresh ~200 MB allocation per chunk
+        # munmaps on free and refaults every page on the next one; at 32
+        # concurrent workers the kernel fault path contends and generation
+        # collapses ~6x (measured, BENCH/BASELINE.md Session E). Workers
+        # are single-threaded, and the buffer is fully overwritten by each
+        # chunk before use.
+        global _GEN_TOKBUF
+        if _GEN_TOKBUF is None or _GEN_TOKBUF.shape[0] < CHUNK_ROWS * 512:
+            _GEN_TOKBUF = np.empty(CHUNK_ROWS * 512, dtype=np.int32)
+        buf = _GEN_TOKBUF
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():  # tiny: one row per chunk
                 t1 = time.perf_counter()
                 cm = CountMinSketch(cfg)
-                batch = _chunk(int(seed), int(row["chunk"]), int(row["n"]),
-                               int(row["start"]), dist)
-                flat = batch.column(1).flatten()
-                try:
-                    toks = flat.to_numpy(zero_copy_only=True)
-                except pa.ArrowInvalid:
-                    toks = flat.to_numpy(zero_copy_only=False)
+                _, toks, _ = chunk_tokens(int(seed), int(row["chunk"]),
+                                          int(row["n"]), dist, out=buf)
                 if cu:
                     cm.update_batch_cu(toks)
                 else:
-                    cm.update_batch(toks)
+                    # preagg OFF: the sort-based dedup is DRAM-bound at 32
+                    # concurrent zero-IO workers (266 vs 158 M tok/s
+                    # measured — Session E); with IO/decode interleaved
+                    # (parquet path) the heuristic default still wins
+                    cm.update_batch(toks, preaggregate=False)
                 ms = (time.perf_counter() - t1) * 1e3
                 yield pd.DataFrame({
                     "pid": [int(row["chunk"])], "sketch": [cm.to_bytes()],

@@ -260,3 +260,27 @@ def test_cu_chunked_equals_sequential():
             np.maximum(cur, new, out=cur)
             ref.table[rows, ci] = cur
         assert np.array_equal(cm.table, ref.table), eps
+
+
+def test_unique_counts_matches_np_unique():
+    """_unique_counts (persistent-workspace preaggregation) must return the
+    same values and counts as np.unique(return_counts=True), across
+    dtypes, duplicate structures, and repeated calls (workspace reuse)."""
+    import numpy as np
+    from sketchlib.countmin import _unique_counts
+
+    rng = np.random.default_rng(3)
+    cases = [
+        np.array([5, 5], dtype=np.int32),
+        np.array([3, 1], dtype=np.int32),
+        np.full(1000, 7, dtype=np.int32),
+        rng.integers(0, 50, size=10_000).astype(np.int32),
+        rng.integers(0, 2**31 - 1, size=100_000, dtype=np.int64),
+        rng.zipf(1.3, 200_000).astype(np.int64),
+    ]
+    for arr in cases:
+        want_v, want_c = np.unique(arr, return_counts=True)
+        got_v, got_c = _unique_counts(arr)
+        np.testing.assert_array_equal(np.asarray(got_v), want_v)
+        np.testing.assert_array_equal(np.asarray(got_c, dtype=np.int64), want_c)
+        assert got_c.dtype == np.float64

@@ -158,3 +158,19 @@ def test_blocked_zipf_bit_identity():
         assert got.dtype == np.int32
         np.testing.assert_array_equal(got, want)
         assert rng_a.random() == rng_b.random()
+
+
+def test_chunk_tokens_out_buffer_bit_identity():
+    """chunk_tokens(out=buf) must return the same tokens and the same RNG
+    position as the allocating path, for both dists (the uniform path
+    draws blockwise when a buffer is supplied)."""
+    import numpy as np
+    from sketchlib.datagen import chunk_tokens
+
+    buf = np.empty(3000 * 512, dtype=np.int32)
+    for dist in ("zipf", "uniform"):
+        n_a, t_a, rng_a = chunk_tokens(42, 5, 3000, dist)
+        n_b, t_b, rng_b = chunk_tokens(42, 5, 3000, dist, out=buf)
+        np.testing.assert_array_equal(n_a, n_b)
+        np.testing.assert_array_equal(t_a, t_b)
+        assert rng_a.random() == rng_b.random()
