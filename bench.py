@@ -141,6 +141,19 @@ def main() -> None:
           lambda: build_grouped_parquet(spark, tok_path, "source",
                                         "tokens", cfg).collect())
 
+    # zero-IO generated build: tasks regenerate their chunks in-process
+    # (no storage, no page cache) — the engine-native source path; byte-
+    # identity to the parquet build is test-pinned at equal params. Task
+    # granularity is one 100k-row chunk, so use >= cpus chunks (one full
+    # wave) — BENCH_ROWS/100k would leave most cores idle.
+    from sketchlib.spark_build import build_sketch_generated
+    gen_rows = max(BENCH_ROWS, cpus * 100_000)
+    gen = timed("cm_build_generated",
+                lambda: build_sketch_generated(spark, gen_rows, cfg))
+    extra["cm_generated_tokens_per_sec"] = round(
+        gen.sketch.n_items / timings["cm_build_generated"], 1)
+    extra["cm_generated_total_tokens"] = gen.sketch.n_items
+
     # sketch × raw-log inner product: one columnar pass over the table,
     # probing the built sketch (reference cm.h:723-785 semantics)
     timed("cm_inner_product_rawlog",
