@@ -1132,6 +1132,60 @@ def _q_pysource_token_table(spark, sf_dir):
             .orderBy("source"))
 
 
+def _q_sketch_store_roundtrip(spark, sf_dir):
+    """Durable sketch store (sketchlib/store.py): the distributed CM build
+    and an HLL are PUBLISHED to a parquet-backed store and reloaded —
+    byte-identity of blobs, probe equality through the reload, lineage
+    row preservation, and latest-wins versioning all self-assert
+    (rows-only: store round-trips aren't SQL-expressible)."""
+    import functools
+    import shutil
+    import tempfile
+    from sketchlib.hll import HllSketch
+    from sketchlib.spark_build import build_aggregator
+    from sketchlib.store import (list_sketches, load_lineage, load_sketch,
+                                 save_sketch)
+
+    toks = _tokenized_docs(spark, sf_dir)
+    cm_res = build_sketch(toks, "tokens", CM_CFG)
+    hll_res = build_aggregator(toks, "tokens", functools.partial(HllSketch, p=14))
+
+    store = tempfile.mkdtemp(prefix="sketchlib_store_")
+    try:
+        save_sketch(spark, store, "cm_words", cm_res.sketch,
+                    lineage=cm_res.lineage, n_rows=cm_res.n_rows)
+        save_sketch(spark, store, "hll_words", hll_res.sketch,
+                    n_rows=hll_res.n_rows)
+        # re-save the CM under the same name: load must resolve the NEW seq
+        save_sketch(spark, store, "cm_words", cm_res.sketch,
+                    lineage=cm_res.lineage, n_rows=cm_res.n_rows)
+        cm2 = load_sketch(spark, store, "cm_words")
+        hll2 = load_sketch(spark, store, "hll_words")
+        probe = (spark.range(1).select(_word_token(F.lit("data")).alias("t"))
+                 .collect()[0]["t"])
+        listing = {r["name"]: r for r in
+                   list_sketches(spark, store).collect()}
+        lin_rows = load_lineage(spark, store, "cm_words").count()
+        rows = [
+            ("cm_words", int(listing["cm_words"]["seq"]),
+             int(listing["cm_words"]["bytes"]),
+             bool(cm2.to_bytes() == cm_res.sketch.to_bytes()),
+             bool(cm2.point_query(probe) == cm_res.sketch.point_query(probe)),
+             int(lin_rows), bool(lin_rows == len(cm_res.lineage))),
+            ("hll_words", int(listing["hll_words"]["seq"]),
+             int(listing["hll_words"]["bytes"]),
+             bool(hll2.to_bytes() == hll_res.sketch.to_bytes()),
+             bool(hll2.estimate() == hll_res.sketch.estimate()),
+             0, True),
+        ]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "name string, latest_seq int, blob_bytes int, "
+              "roundtrip_identical boolean, probe_equal boolean, "
+              "lineage_partials int, lineage_match boolean").orderBy("name")
+
+
 def _q_mg_topk_words(spark, sf_dir):
     """Misra-Gries frequent-items summary (deterministic counterpart of
     the CM top-k): top-20 exact words vs MG lower-bound estimates. Self-
@@ -1315,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_topk_words": _q_mg_topk_words,
         "stream_static_enrich": _q_stream_static_enrich,
         "pysource_token_table": _q_pysource_token_table,
+        "sketch_store_roundtrip": _q_sketch_store_roundtrip,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

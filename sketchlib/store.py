@@ -1,0 +1,121 @@
+"""Durable store for FINAL sketches — build once, probe in any later session.
+
+A build over the full table is the expensive artifact (at 10^12 sequences
+it is hours of cluster time); the sketch itself is KBs. The store persists
+named sketches of ANY sketchlib type (magic-dispatched — serde.loads) as a
+plain parquet TABLE, so it is listable/joinable from Spark, DuckDB or
+pyarrow, travels on any Hadoop-compatible filesystem path, and keeps the
+byte-identity contract: ``load_sketch(save_sketch(s)) .to_bytes() ==
+s.to_bytes()`` exactly.
+
+Layout under ``<path>/``:
+
+- ``sketches/``  parquet rows ``(name, seq, kind, blob, sha256, n_rows,
+  meta_json)`` — append-only; a re-save of ``name`` appends a higher
+  ``seq`` and loads resolve latest-wins (object-store friendly: no
+  read-modify-write of existing files).
+- ``lineage/``   parquet rows ``(name, seq, pid, n_rows, n_items,
+  total_count, build_ms)`` — the per-partition build lineage of each
+  saved sketch, queryable for audit ("which slice contributed what").
+
+Integrity: blobs carry their sha256; ``load_sketch`` re-hashes and
+refuses corrupt rows.
+
+Checkpoints (spark_build.checkpoint_dir) are the RESUME mechanism for
+in-flight builds — partial blobs keyed by slice. The store is the
+PUBLISH mechanism for finished ones; they intentionally do not share a
+format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import serde
+
+_SKETCH_SCHEMA = ("name string, seq long, kind string, blob binary, "
+                  "sha256 string, n_rows long, meta_json string")
+_LINEAGE_SCHEMA = ("name string, seq long, pid long, n_rows long, "
+                   "n_items long, total_count long, build_ms double")
+
+
+def _next_seq(spark: SparkSession, path: str, name: str) -> int:
+    try:
+        df = spark.read.parquet(path + "/sketches")
+    except Exception:
+        return 0
+    row = (df.filter(F.col("name") == name)
+           .agg(F.max("seq").alias("m")).collect()[0])
+    return 0 if row["m"] is None else int(row["m"]) + 1
+
+
+def save_sketch(spark: SparkSession, path: str, name: str, sketch, *,
+                lineage=None, n_rows: int = -1, meta: dict | None = None) -> int:
+    """Persist ``sketch`` under ``name``; returns the assigned seq.
+
+    ``lineage`` is an optional pandas DataFrame with columns
+    (pid, n_rows, n_items, total_count, build_ms) — pass
+    ``BuildResult.lineage`` to keep the per-partition audit trail with
+    the published sketch.
+    """
+    blob = sketch.to_bytes()
+    seq = _next_seq(spark, path, name)
+    kind = bytes(blob[:4]).decode("ascii", "replace")
+    row = [(name, seq, kind, blob, hashlib.sha256(blob).hexdigest(),
+            int(n_rows), json.dumps(meta or {}, sort_keys=True))]
+    (spark.createDataFrame(row, _SKETCH_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(path + "/sketches"))
+    if lineage is not None and len(lineage):
+        lrows = [(name, seq, int(r["pid"]), int(r["n_rows"]),
+                  int(r["n_items"]), int(r["total_count"]),
+                  float(r["build_ms"])) for _, r in lineage.iterrows()]
+        (spark.createDataFrame(lrows, _LINEAGE_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(path + "/lineage"))
+    return seq
+
+
+def load_sketch(spark: SparkSession, path: str, name: str,
+                seq: int | None = None):
+    """Load a sketch by name (latest seq unless pinned); integrity-checked."""
+    df = spark.read.parquet(path + "/sketches").filter(F.col("name") == name)
+    if seq is None:
+        row = df.orderBy(F.col("seq").desc()).limit(1).collect()
+    else:
+        row = df.filter(F.col("seq") == seq).limit(1).collect()
+    if not row:
+        raise KeyError(f"no sketch named {name!r}"
+                       + (f" at seq {seq}" if seq is not None else ""))
+    r = row[0]
+    blob = bytes(r["blob"])
+    digest = hashlib.sha256(blob).hexdigest()
+    if digest != r["sha256"]:
+        raise IOError(f"sketch {name!r} seq {r['seq']} corrupt: "
+                      f"sha {digest[:16]} != recorded {r['sha256'][:16]}")
+    return serde.loads(blob)
+
+
+def list_sketches(spark: SparkSession, path: str) -> DataFrame:
+    """One row per (name, latest seq): kind, size, n_rows, meta_json."""
+    df = spark.read.parquet(path + "/sketches")
+    latest = df.groupBy("name").agg(F.max("seq").alias("seq"))
+    return (df.join(latest, ["name", "seq"])
+            .select("name", "seq", "kind",
+                    F.length("blob").alias("bytes"),
+                    "sha256", "n_rows", "meta_json"))
+
+
+def load_lineage(spark: SparkSession, path: str, name: str,
+                 seq: int | None = None) -> DataFrame:
+    """Per-partition build lineage of a saved sketch (latest unless pinned)."""
+    df = spark.read.parquet(path + "/lineage").filter(F.col("name") == name)
+    if seq is None:
+        latest = df.groupBy("name").agg(F.max("seq").alias("seq"))
+        df = df.join(latest, ["name", "seq"])
+    else:
+        df = df.filter(F.col("seq") == seq)
+    return df.select("name", "seq", "pid", "n_rows", "n_items",
+                     "total_count", "build_ms")

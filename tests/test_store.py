@@ -1,0 +1,120 @@
+"""Sketch store: parquet-backed publish/load of final sketches.
+
+Byte-identity round trip for every sketch type, latest-wins versioning,
+integrity rejection of corrupt blobs, and lineage preserved alongside.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from sketchlib.store import (list_sketches, load_lineage, load_sketch,
+                             save_sketch)
+
+
+def _all_sketches():
+    from sketchlib.bloom import BloomFilter
+    from sketchlib.countmin import CMConfig, CountMinSketch
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.hll import HllSketch
+    from sketchlib.kll import KllSketch
+    from sketchlib.mg import MisraGries
+    from sketchlib.tdigest import TDigest
+
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 1000, size=5000).astype(np.int64)
+    vals = rng.normal(100.0, 15.0, size=5000)
+
+    cm = CountMinSketch(CMConfig(eps=1e-3, delta=math.exp(-3), seed=7))
+    cm.update_batch(toks)
+    hll = HllSketch(p=12)
+    hll.update_batch(toks)
+    bf = BloomFilter(capacity=5000, fpr=0.01, seed=3)
+    bf.update_batch(toks)
+    dd = DDSketch(alpha=0.01)
+    dd.update_batch(vals)
+    kll = KllSketch(k=200)
+    kll.update_batch(vals)
+    td = TDigest(delta=100.0)
+    td.update_batch(vals)
+    mg = MisraGries(k=64)
+    mg.update_batch(toks)
+    return {"cm": cm, "hll": hll, "bloom": bf, "dd": dd,
+            "kll": kll, "td": td, "mg": mg}
+
+
+def test_roundtrip_all_types_byte_identical(spark, tmp_path):
+    store = str(tmp_path / "store")
+    sks = _all_sketches()
+    for name, sk in sks.items():
+        seq = save_sketch(spark, store, name, sk, n_rows=5000,
+                          meta={"eps": "test"})
+        assert seq == 0
+    for name, sk in sks.items():
+        got = load_sketch(spark, store, name)
+        assert type(got) is type(sk)
+        assert got.to_bytes() == sk.to_bytes()
+    listing = {r["name"]: r for r in list_sketches(spark, store).collect()}
+    assert set(listing) == set(sks)
+    assert all(r["n_rows"] == 5000 for r in listing.values())
+
+
+def test_latest_wins_and_seq_pinning(spark, tmp_path):
+    from sketchlib.countmin import CMConfig, CountMinSketch
+
+    store = str(tmp_path / "store")
+    cfg = CMConfig(eps=1e-2, delta=0.1, seed=1)
+    a, b = CountMinSketch(cfg), CountMinSketch(cfg)
+    a.update_batch(np.array([1, 2, 3], dtype=np.int64))
+    b.update_batch(np.array([7, 8, 9, 9], dtype=np.int64))
+    assert save_sketch(spark, store, "x", a) == 0
+    assert save_sketch(spark, store, "x", b) == 1
+    assert load_sketch(spark, store, "x").to_bytes() == b.to_bytes()
+    assert load_sketch(spark, store, "x", seq=0).to_bytes() == a.to_bytes()
+    assert list_sketches(spark, store).count() == 1  # latest only
+    with pytest.raises(KeyError):
+        load_sketch(spark, store, "nope")
+
+
+def test_corrupt_blob_rejected(spark, tmp_path):
+    import glob
+    import os
+
+    from sketchlib.countmin import CMConfig, CountMinSketch
+
+    store = str(tmp_path / "store")
+    cm = CountMinSketch(CMConfig(eps=1e-2, delta=0.1, seed=1))
+    cm.update_batch(np.array([4, 4, 5], dtype=np.int64))
+    save_sketch(spark, store, "x", cm)
+    # flip bytes in the stored blob by rewriting the parquet with a
+    # corrupted copy (simulates storage rot; sha no longer matches)
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    f = glob.glob(store + "/sketches/*.parquet")[0]
+    t = pq.read_table(f)
+    blob = bytearray(t.column("blob")[0].as_py())
+    blob[-1] ^= 0xFF
+    cols = {c: t.column(c) for c in t.column_names}
+    cols["blob"] = pa.array([bytes(blob)], type=pa.binary())
+    pq.write_table(pa.table(cols), f)
+    for crc in glob.glob(store + "/sketches/.*.crc"):
+        os.remove(crc)  # drop Hadoop's CRC sidecars: OUR sha must catch it
+    with pytest.raises(IOError):
+        load_sketch(spark, store, "x")
+
+
+def test_lineage_roundtrip_with_build(spark, tmp_path):
+    from sketchlib.countmin import CMConfig
+    from sketchlib.spark_build import build_sketch_generated
+
+    store = str(tmp_path / "store")
+    cfg = CMConfig(eps=1e-2, delta=0.1, seed=2)
+    res = build_sketch_generated(spark, 120_000, cfg, seed=5)
+    save_sketch(spark, store, "gen", res.sketch, lineage=res.lineage,
+                n_rows=res.n_rows)
+    lin = load_lineage(spark, store, "gen").orderBy("pid").collect()
+    assert len(lin) == len(res.lineage) == 2
+    assert sum(r["n_rows"] for r in lin) == 120_000
+    assert (load_sketch(spark, store, "gen").to_bytes()
+            == res.sketch.to_bytes())
