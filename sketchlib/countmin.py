@@ -44,13 +44,15 @@ _MAGIC_SPARSE = b"CMSP"
 _VERSION = 1
 
 # Persistent per-process workspaces for duplicate pre-aggregation. np.unique
-# on a ~26 M-token chunk allocates a ~100 MB sort copy (always mmap-served:
-# glibc caps the mmap threshold at 32 MB) plus O(unique) outputs — freed and
-# refaulted every call. Under 32 concurrent workers that fault/zeroing storm
-# collapses aggregate throughput ~2x (88 -> 158 M tok/s measured at 32
-# procs, BENCH/BASELINE.md Session E). Workspaces grow geometrically, keyed
-# by key dtype; one set per process. NOT thread-safe within a process —
-# Spark Python workers and the driver are single-threaded through this path.
+# on a ~26 M-token chunk allocates a ~100 MB sort copy plus O(unique)
+# outputs per call; ephemeral allocations of that size with overlapping
+# lifetimes and varying sizes defeat glibc hole reuse, so their pages are
+# released and re-faulted call after call (~25k minor faults each — see
+# BENCH/BASELINE.md Session E). Under 32 concurrent workers that
+# fault/zeroing storm collapses aggregate throughput ~2x (88 -> 158 M tok/s
+# measured at 32 procs). Workspaces grow geometrically, keyed by key dtype;
+# one set per process. NOT thread-safe within a process — Spark Python
+# workers and the driver are single-threaded through this path.
 _UC_WS: dict[str, list] = {}
 
 

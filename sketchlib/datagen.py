@@ -49,9 +49,10 @@ def _zipf_ranks(rng: np.random.Generator, n: int, theta: float = 0.99,
 # Cache-blocked zipf token generation. The naive chain (random -> pow ->
 # ceil -> astype -> murmur -> astype) allocates and streams five
 # full-chunk arrays (~100 B of traffic per token at 26 M tokens/chunk,
-# every temporary mmap-served and refaulted per chunk): fine for one
-# process, collapses ~6x under 32 concurrent generators (measured — see
-# BENCH/BASELINE.md Session E). Blocking the chain at 64k elements keeps
+# with ephemeral ~100-200 MB buffers whose pages are released and
+# re-faulted chunk after chunk): fine for one process, collapses ~6x
+# under 32 concurrent generators (measured — see BENCH/BASELINE.md
+# Session E). Blocking the chain at 64k elements keeps
 # every temporary cache-resident and allocation-free; only the final
 # int32 token write (4 B/token) touches DRAM. Bit-identical to the naive
 # chain: PCG64 random() is block-splittable (tested), every other op is
@@ -75,10 +76,11 @@ def _zipf_tokens_blocked(rng: np.random.Generator, total: int,
                         out: np.ndarray | None = None) -> np.ndarray:
     expo = 1.0 / (1.0 - theta)
     u_ws, r_ws, h_ws = _gen_workspace()
-    # A ~100 MB np.empty here is above glibc's mmap-threshold cap, so every
-    # chunk would munmap on free and refault ~26k pages on the next alloc;
-    # at 32 concurrent generators the kernel's fault/zeroing path contends
-    # and aggregate throughput COLLAPSES (measured 141 vs 821 M tok/s —
+    # A fresh ~100 MB np.empty per chunk re-faults ~26k pages chunk after
+    # chunk (overlapping lifetimes + varying sizes defeat glibc hole
+    # reuse; pages get released and re-zeroed); at 32 concurrent
+    # generators the kernel's fault/zeroing path contends and aggregate
+    # throughput COLLAPSES (measured 141 vs 821 M tok/s —
     # BENCH/BASELINE.md Session E). Callers on the hot path pass a
     # persistent ``out`` buffer; ``None`` keeps a fresh allocation for
     # callers that hand the array to zero-copy Arrow (no aliasing).

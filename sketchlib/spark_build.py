@@ -566,11 +566,11 @@ def build_sketch_generated(spark: SparkSession, rows: int, cfg: CMConfig, *,
     def fn(pdf_iter):
         # one persistent token buffer per (reused) Python worker — module
         # global, NOT per task: a fresh ~200 MB allocation per chunk
-        # munmaps on free and refaults every page on the next one; at 32
-        # concurrent workers the kernel fault path contends and generation
-        # collapses ~6x (measured, BENCH/BASELINE.md Session E). Workers
-        # are single-threaded, and the buffer is fully overwritten by each
-        # chunk before use.
+        # re-faults every page on the next one (released pages re-zeroed
+        # by the kernel); at 32 concurrent workers the fault path
+        # contends and generation collapses ~6x (measured,
+        # BENCH/BASELINE.md Session E). Workers are single-threaded, and
+        # the buffer is fully overwritten by each chunk before use.
         global _GEN_TOKBUF
         if _GEN_TOKBUF is None or _GEN_TOKBUF.shape[0] < CHUNK_ROWS * 512:
             _GEN_TOKBUF = np.empty(CHUNK_ROWS * 512, dtype=np.int32)
