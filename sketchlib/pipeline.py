@@ -85,10 +85,25 @@ def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     n = flat.shape[0]
     if n < k:
         return np.empty(0, np.uint64), np.zeros(len(bufs) + 1, np.int64)
-    # pack k bytes into uint64 via sliding windows
-    win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
-    powers = np.uint64(256) ** np.arange(k, dtype=np.uint64)
-    packed = win @ powers  # uint64 wraps; deterministic
+    # pack k bytes into uint64: packed[i] = sum_j flat[i+j] << 8j — k
+    # shifted multiply-adds over the flat buffer, blocked so temporaries
+    # stay cache-resident. (The obvious sliding_window_view(...).astype
+    # @ powers materializes an n*k u64 matrix — 40 B per text byte at
+    # k=5, i.e. ~100 MB-class per-batch temporaries, the Session E
+    # anti-pattern.) Identical values: 8j <= 56 bits, no wrap.
+    m = n - k + 1
+    packed = np.empty(m, np.uint64)
+    _B = 1 << 16
+    tmp = np.empty(min(_B, m), np.uint64)
+    for st in range(0, m, _B):
+        en = min(st + _B, m)
+        seg = packed[st:en]
+        np.copyto(seg, flat[st:en])
+        t = tmp[: en - st]
+        for j in range(1, k):
+            np.copyto(t, flat[st + j : en + j])
+            t <<= np.uint64(8 * j)
+            seg += t
     # valid windows: fully inside one document
     ends = np.cumsum(lens)
     starts = ends - lens
@@ -116,8 +131,11 @@ def _signatures_batch(texts: pd.Series, n_hashes: int, k: int) -> np.ndarray:
     a, b = _perm_params(n_hashes)
     nonempty = np.flatnonzero(np.diff(offsets) > 0)
     starts = offsets[nonempty]
+    perm = np.empty(hashed.shape[0], np.uint64)  # reused across all hashes
     for i in range(n_hashes):
-        perm = a[i] * hashed + b[i]  # uint64 wrap = mod 2^64 permutation family
+        # uint64 wrap = mod 2^64 permutation family
+        np.multiply(hashed, a[i], out=perm)
+        perm += b[i]
         mins = np.minimum.reduceat(perm, starts)
         sig[nonempty, i] = mins
     return sig

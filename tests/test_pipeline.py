@@ -421,3 +421,36 @@ def test_dedup_clusters_singletons_and_canonical(spark):
                    4: 4, 6: 6, 7: 7, 8: 8}
     keepers = sorted(k for k, v in out.items() if k == v)
     assert keepers == [0, 1, 2, 4, 6, 7, 8]
+
+
+def test_shingle_packing_blocked_identity():
+    """The blocked shifted-multiply-add shingle packing must equal the
+    straightforward sliding-window matmul formulation bit-for-bit,
+    across batch shapes, doc-length edge cases, and block boundaries."""
+    import numpy as np
+    import pandas as pd
+    from sketchlib.pipeline import _shingle_hashes
+    from sketchlib.hashing import murmur_h2_into
+
+    rng = np.random.default_rng(9)
+    texts = ["", "ab", "abcd", "abcde",
+             "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 70_000)),
+             "x" * 5, "hello world " * 40]
+    k = 5
+    got_h, got_off = _shingle_hashes(pd.Series(texts), k)
+
+    # reference formulation (the pre-rewrite implementation)
+    bufs = [t.encode() for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    n = flat.shape[0]
+    win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
+    powers = np.uint64(256) ** np.arange(k, dtype=np.uint64)
+    packed = win @ powers
+    ends = np.cumsum(lens)
+    doc_of = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+    valid = doc_of[: n - k + 1] == doc_of[k - 1:]
+    want = np.empty(int(valid.sum()), np.uint64)
+    murmur_h2_into(packed[valid], 0xC0FFEE, want)
+    np.testing.assert_array_equal(got_h, want)
+    assert got_off[-1] == want.shape[0]
