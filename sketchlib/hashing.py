@@ -210,10 +210,17 @@ def accumulate_into(keys: np.ndarray, seeds, width: int, table: np.ndarray,
     scatter = width > 4 * _CHUNK
     if weights is not None:
         # float64 weight sums are exact for |sum| < 2^53 (bincount path);
-        # counts are integral so the int64 cast is exact (scatter path)
+        # the scatter path casts to int64, which is only exact for
+        # integral counts — reject non-integral weights there rather than
+        # silently truncating (the two paths must agree for any width)
         fweights = np.asarray(weights, dtype=np.float64)
         if scatter:
             iweights = fweights.astype(np.int64)
+            if not np.array_equal(iweights, fweights):
+                raise ValueError(
+                    "accumulate_into requires integral weights (counts); "
+                    "non-integral weights would truncate on the wide-"
+                    "sketch scatter path")
     for st in range(0, n, _CHUNK):
         en = min(st + _CHUNK, n)
         m = en - st

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .hashing import murmur_h2_into
+from .lshjoin import bucket_candidate_pairs
 
 # deterministic 64-bit odd multipliers / offsets for minhash permutations
 _PERM_SEED = 0x5EED5EED
@@ -78,7 +79,10 @@ def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     hashed with the library murmur. Fully vectorized: one flat byte buffer,
     sliding windows validated against document boundaries.
     """
-    assert 1 <= k <= 8
+    if not 1 <= k <= 8:
+        # a bare assert vanishes under python -O, after which k > 8 runs
+        # uint64 shifts >= 64 bits (platform-dependent UB in the packer)
+        raise ValueError("shingle width k must be in [1, 8]")
     bufs = [t.encode("utf-8") for t in texts]
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
@@ -163,15 +167,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *, n_hashes: int = 64,
                       bands: int = 16, k: int = 5,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      bucket_cap: int = 256) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, refined by estimated
     Jaccard (fraction of equal signature components) >= threshold.
 
     Scale path: only (band_id, band_hash, doc_id) rows are shuffled; the
     band-bucket self-join touches candidate buckets, never the full cross
-    product. Returns (id_a, id_b, est_jaccard).
+    product, and buckets larger than ``bucket_cap`` degrade to linear
+    star pairs (sketchlib.lshjoin — a corpus of N identical docs would
+    otherwise make one bucket O(N^2)). Returns (id_a, id_b, est_jaccard).
     """
-    assert n_hashes % bands == 0
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col,
                               n_hashes=n_hashes, k=k).cache()
@@ -184,14 +192,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                .select(id_col, F.col("bb.band").alias("band"),
                        F.col("bb.bh").alias("bh")))
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    cand = (left.join(right, [F.col(f"l.band") == F.col("r.band"),
-                              F.col("l.bh") == F.col("r.bh"),
-                              F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+    cand = bucket_candidate_pairs(buckets, ["band", "bh"], id_col,
+                                  cap=bucket_cap)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (cand.join(sa, "id_a").join(sb, "id_b")
@@ -306,11 +308,14 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", *,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bucket_cap: int = 256) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, via
     block LSH with max_hamming+1 blocks: by pigeonhole, a pair within
     distance h must agree EXACTLY on at least one of h+1 disjoint blocks
-    — a fixed 4-block split would silently lose recall for h > 3."""
+    — a fixed 4-block split would silently lose recall for h > 3.
+    Blocks larger than ``bucket_cap`` degrade to linear star pairs
+    (sketchlib.lshjoin skew cap)."""
     if not 0 <= max_hamming <= 15:
         # 16+ blocks of a 64-bit hash = <4-bit blocks: everything collides
         raise ValueError("max_hamming must be in [0, 15]")
@@ -321,27 +326,25 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     def block(i):
         shift = i * width
         nbits = 64 - shift if i == n_blocks - 1 else width
-        mask = (1 << nbits) - 1
-        return F.struct(
-            F.lit(i).alias("blk"),
-            F.shiftrightunsigned("simhash", shift).bitwiseAND(F.lit(mask))
-            .alias("bv"))
+        if nbits >= 64:
+            # max_hamming=0: the single "block" is the whole hash; a
+            # (1<<64)-1 mask won't fit in a LongType literal, and no
+            # masking is needed — exact simhash equality is the bucket.
+            bv = F.col("simhash")
+        else:
+            bv = (F.shiftrightunsigned("simhash", shift)
+                  .bitwiseAND(F.lit((1 << nbits) - 1)))
+        return F.struct(F.lit(i).alias("blk"), bv.alias("bv"))
 
     blocks = fps.select(
-        id_col, "simhash",
-        F.explode(F.array(*[block(i) for i in range(n_blocks)])).alias("b")
-    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    cand = (a.join(b, [F.col("a.blk") == F.col("b.blk"),
-                       F.col("a.bv") == F.col("b.bv"),
-                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.simhash").alias("ha"),
-                    F.col("b.simhash").alias("hb"))
-            .distinct())
-    return (cand.withColumn(
+        id_col, F.explode(F.array(*[block(i) for i in range(n_blocks)])).alias("b")
+    ).select(id_col, F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    cand = bucket_candidate_pairs(blocks, ["blk", "bv"], id_col,
+                                  cap=bucket_cap)
+    ha = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
+    hb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .withColumn(
                 "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

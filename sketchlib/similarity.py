@@ -104,20 +104,21 @@ def lsh_fingerprints(df: DataFrame, vec_col: str, id_col: str, *,
 def lsh_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, *,
                      threshold: float = 0.85, nbits: int = 16,
                      n_tables: int = 4, dim: int = 64,
-                     seed: int = 1337) -> DataFrame:
+                     seed: int = 1337, bucket_cap: int = 256) -> DataFrame:
     """Near-duplicate embedding pairs: LSH bucket candidates -> exact cosine
     verify. Only (id, table, bucket) rows shuffle; exact cosine runs on the
-    candidate pairs' vectors via a bucket-scoped join."""
+    candidate pairs' vectors via a bucket-scoped join. Buckets larger than
+    ``bucket_cap`` degrade to linear star pairs (sketchlib.lshjoin skew
+    cap), so a corpus of N identical vectors cannot make one bucket
+    O(N^2). Exact duplicates always share every bucket, so recall on
+    exact-dup pairs is 1.0 by construction; near-threshold pairs carry the
+    usual LSH recall curve (raise n_tables / lower nbits to push it up)."""
+    from .lshjoin import bucket_candidate_pairs
+
     fp = lsh_fingerprints(df, vec_col, id_col, nbits=nbits,
                           n_tables=n_tables, dim=dim, seed=seed)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    cand = (a.join(b, [F.col("a.table") == F.col("b.table"),
-                       F.col("a.bucket") == F.col("b.bucket"),
-                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+    cand = bucket_candidate_pairs(fp, ["table", "bucket"], id_col,
+                                  cap=bucket_cap)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (cand.join(va, "id_a").join(vb, "id_b")

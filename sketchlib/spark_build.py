@@ -1174,13 +1174,46 @@ _TRIPLE_PA_SCHEMA = pa.schema([
     ("row", pa.int32()), ("col", pa.int64()), ("cnt", pa.int64())])
 
 
-def _triple_builder(cfg: CMConfig, tokens_col: str):
+def _triple_builder(cfg: CMConfig, tokens_col: str,
+                    flush_triples: int = 1 << 22):
+    """Per-partition (row, col, cnt) triple emitter with a HARD accumulator
+    bound: once the backlog reaches ``flush_triples`` entries (per depth
+    row), the compacted triples are yielded as an Arrow batch and the
+    accumulator resets — the downstream groupBy(row, col).sum folds the
+    flush epochs together. Per-task memory is therefore
+    O(depth * flush_triples), independent of partition size AND of ε —
+    this is what makes the table build the small-ε path (a dense partial
+    at ε=1e-8 is ~2 GB; triples never materialize the width)."""
     depth = cfg.depth
 
     def fn(batches):
         acc_cols = [[] for _ in range(depth)]
         acc_cnts = [[] for _ in range(depth)]
+        acc_n = 0
         col_idx = None
+
+        def drain():
+            rows_o, cols_o, cnts_o = [], [], []
+            for j in range(depth):
+                if not acc_cols[j]:
+                    continue
+                c = np.concatenate(acc_cols[j])
+                w = np.concatenate(acc_cnts[j])
+                uc, inv = np.unique(c, return_inverse=True)
+                agg = np.bincount(inv, weights=w).astype(np.int64)
+                rows_o.append(np.full(uc.shape[0], j, dtype=np.int32))
+                cols_o.append(uc)
+                cnts_o.append(agg)
+                acc_cols[j].clear()
+                acc_cnts[j].clear()
+            if not rows_o:
+                return None
+            return pa.RecordBatch.from_pydict({
+                "row": np.concatenate(rows_o),
+                "col": np.concatenate(cols_o),
+                "cnt": np.concatenate(cnts_o),
+            }, schema=_TRIPLE_PA_SCHEMA)
+
         for batch in batches:
             if col_idx is None:
                 col_idx = batch.schema.get_field_index(tokens_col)
@@ -1194,41 +1227,60 @@ def _triple_builder(cfg: CMConfig, tokens_col: str):
                 columns_into(u64, s, cfg.width, cols)
                 acc_cols[j].append(cols)
                 acc_cnts[j].append(cnt.astype(np.int64))
-        rows_o, cols_o, cnts_o = [], [], []
-        for j in range(depth):
-            if not acc_cols[j]:
-                continue
-            c = np.concatenate(acc_cols[j])
-            w = np.concatenate(acc_cnts[j])
-            uc, inv = np.unique(c, return_inverse=True)
-            agg = np.bincount(inv, weights=w).astype(np.int64)
-            rows_o.append(np.full(uc.shape[0], j, dtype=np.int32))
-            cols_o.append(uc)
-            cnts_o.append(agg)
-        if rows_o:
-            yield pa.RecordBatch.from_pydict({
-                "row": np.concatenate(rows_o),
-                "col": np.concatenate(cols_o),
-                "cnt": np.concatenate(cnts_o),
-            }, schema=_TRIPLE_PA_SCHEMA)
+            acc_n += uniq.shape[0]
+            if acc_n >= flush_triples:
+                out = drain()
+                acc_n = 0
+                if out is not None:
+                    yield out
+        out = drain()
+        if out is not None:
+            yield out
     return fn
 
 
-def build_sketch_table(df: DataFrame, tokens_col: str,
-                       cfg: CMConfig) -> DataFrame:
+def build_sketch_table(df: DataFrame, tokens_col: str, cfg: CMConfig, *,
+                       flush_triples: int = 1 << 22) -> DataFrame:
     """Count-Min build whose RESULT is a distributed counter table
-    (row, col, cnt) instead of a dense blob — for configs where d×w×8 bytes
-    exceeds executor memory. Stage 1 pre-aggregates (row, col) hits per
-    input partition (map-side combine: at most d × distinct_tokens triples
-    shuffle per partition, never raw tokens); the groupBy-sum is Spark's
-    hash shuffle playing the reference's block-partitioned layout. The
-    counter values are IDENTICAL to the dense build's table (same
-    placement, same addition), verified in tests."""
+    (row, col, cnt) instead of a dense blob — THE build path for configs
+    where d×w×8 bytes exceeds executor memory (ε below ~1e-8; the dense
+    partial topology caps there, SCALE.md). Stage 1 pre-aggregates
+    (row, col) hits per input partition with a hard accumulator bound
+    (``flush_triples`` entries per task — see _triple_builder; map-side
+    combine: triples shuffle, never raw tokens and never the width); the
+    groupBy-sum is Spark's hash shuffle playing the reference's
+    block-partitioned layout (cm.h:440-467). The counter values are
+    IDENTICAL to the dense build's table (same placement, same addition),
+    verified byte-for-byte in tests via sketch_from_table."""
     src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
-    triples = src.mapInArrow(_triple_builder(cfg, tokens_col),
-                             schema=_TRIPLE_SCHEMA)
+    triples = src.mapInArrow(
+        _triple_builder(cfg, tokens_col, flush_triples=flush_triples),
+        schema=_TRIPLE_SCHEMA)
     return (triples.groupBy("row", "col")
             .agg(F.sum("cnt").alias("cnt")))
+
+
+def sketch_from_table(sketch_table: DataFrame, cfg: CMConfig, *,
+                      n_items: int | None = None) -> CountMinSketch:
+    """Collect a build_sketch_table result into a dense CountMinSketch —
+    byte-identical to a dense build over the same stream (tested). Only
+    for widths where d*w*8 fits in driver memory; its purpose is (a) the
+    byte-identity bridge in tests and (b) exporting a table-built sketch
+    for local probing at feasible ε. ``total_count`` is recovered from
+    the table itself (every update hits each depth row exactly once, so
+    Σcnt over row 0 = ||f||₁); ``n_items`` equals that for unit-count
+    streams (the token-table case) — pass it explicitly for weighted
+    builds."""
+    cm = CountMinSketch(cfg)
+    pdf = sketch_table.toPandas()
+    rows = pdf["row"].to_numpy(np.int64)
+    cols = pdf["col"].to_numpy(np.int64)
+    cnts = pdf["cnt"].to_numpy(np.int64)
+    cm.table[rows, cols] = cnts          # (row, col) unique post-groupBy
+    total = int(cnts[rows == 0].sum())
+    cm.total_count = total
+    cm.n_items = total if n_items is None else int(n_items)
+    return cm
 
 
 def point_query_table(sketch_table: DataFrame, keys_df: DataFrame,
@@ -1280,21 +1332,46 @@ def heavy_hitters(df: DataFrame, tokens_col: str, phi: float) -> DataFrame:
         raise ValueError("phi in (0, 1]")
 
     def candidates_fn(batches):
-        counts: dict[int, int] = {}
+        # fold per-batch (unique, count) runs fully vectorized: append
+        # sorted runs, compact by sort + add.reduceat when the backlog
+        # outgrows the compacted head (same idiom as countmin
+        # _unique_counts) — no per-unique Python loop
+        acc_k: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
+        acc_n = 0
         total = 0
+
+        def compact():
+            nonlocal acc_k, acc_c, acc_n
+            k = np.concatenate(acc_k)
+            c = np.concatenate(acc_c)
+            order = np.argsort(k, kind="stable")
+            k = k[order]
+            c = c[order]
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            uk = k[starts]
+            uc = np.add.reduceat(c, starts)
+            acc_k, acc_c, acc_n = [uk], [uc], uk.shape[0]
+            return uk, uc
+
         for batch in batches:
             toks = _flat_tokens(batch, 0)
             total += toks.shape[0]
+            if not toks.shape[0]:
+                continue
             uniq, cnt = np.unique(toks, return_counts=True)
-            for t, c in zip(uniq.tolist(), cnt.tolist()):
-                counts[t] = counts.get(t, 0) + c
-        if not total:
+            acc_k.append(uniq)
+            acc_c.append(cnt.astype(np.int64))
+            acc_n += uniq.shape[0]
+            if len(acc_k) > 1 and acc_n >= 4 * acc_k[0].shape[0] + 65536:
+                compact()
+        if not total or not acc_k:
             return
-        thresh = phi * total
-        cand = [t for t, c in counts.items() if c >= thresh]
-        if cand:
+        uk, uc = compact()
+        cand = uk[uc >= phi * total]
+        if cand.size:
             yield pa.RecordBatch.from_pydict(
-                {"token": cand}, schema=pa.schema([("token", pa.int32())]))
+                {"token": pa.array(cand.astype(np.int32), type=pa.int32())})
 
     src = df.select(tokens_col).filter(F.col(tokens_col).isNotNull())
     cand_df = (src.mapInArrow(candidates_fn, schema="token int").distinct())

@@ -44,10 +44,16 @@ _LINEAGE_SCHEMA = ("name string, seq long, pid long, n_rows long, "
 
 
 def _next_seq(spark: SparkSession, path: str, name: str) -> int:
+    # Only "table does not exist yet" maps to seq 0; any other read
+    # failure (permissions, corrupt footer, transient FS error) must
+    # surface, not silently restart the sequence.
+    from pyspark.errors import AnalysisException
     try:
         df = spark.read.parquet(path + "/sketches")
-    except Exception:
-        return 0
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return 0
+        raise
     row = (df.filter(F.col("name") == name)
            .agg(F.max("seq").alias("m")).collect()[0])
     return 0 if row["m"] is None else int(row["m"]) + 1
@@ -56,6 +62,13 @@ def _next_seq(spark: SparkSession, path: str, name: str) -> int:
 def save_sketch(spark: SparkSession, path: str, name: str, sketch, *,
                 lineage=None, n_rows: int = -1, meta: dict | None = None) -> int:
     """Persist ``sketch`` under ``name``; returns the assigned seq.
+
+    Concurrency contract: ONE writer per name. ``seq`` is assigned by a
+    read-then-append, so two simultaneous writers of the same name can
+    both claim the same seq; loads still resolve deterministically —
+    ties break on blob sha256 (content-addressed, see ``load_sketch``) —
+    but one of the two writes is shadowed. Different names never
+    interfere (appends are independent files).
 
     ``lineage`` is an optional pandas DataFrame with columns
     (pid, n_rows, n_items, total_count, build_ms) — pass
@@ -82,10 +95,14 @@ def load_sketch(spark: SparkSession, path: str, name: str,
                 seq: int | None = None):
     """Load a sketch by name (latest seq unless pinned); integrity-checked."""
     df = spark.read.parquet(path + "/sketches").filter(F.col("name") == name)
+    # sha256 tie-break makes latest-wins deterministic even if two
+    # concurrent writers claimed the same seq (see save_sketch contract)
     if seq is None:
-        row = df.orderBy(F.col("seq").desc()).limit(1).collect()
+        row = (df.orderBy(F.col("seq").desc(), F.col("sha256").desc())
+               .limit(1).collect())
     else:
-        row = df.filter(F.col("seq") == seq).limit(1).collect()
+        row = (df.filter(F.col("seq") == seq)
+               .orderBy(F.col("sha256").desc()).limit(1).collect())
     if not row:
         raise KeyError(f"no sketch named {name!r}"
                        + (f" at seq {seq}" if seq is not None else ""))

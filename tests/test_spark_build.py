@@ -304,6 +304,51 @@ def test_sketch_table_equals_dense(spark, tokens_df):
     assert all(est[int(k)] == e for k, e in zip(keys, dense_est))
 
 
+def test_sketch_table_flushes_byte_identical(spark, tokens_df):
+    """The table build's HARD per-task memory bound (flush_triples) must
+    not change the result: a tiny flush budget forces many flush epochs
+    per task, and the reassembled dense sketch must be BYTE-identical
+    (header included) to the ordinary dense build."""
+    from sketchlib.spark_build import build_sketch_table, sketch_from_table
+    cfg = CMConfig(eps=1e-2, delta=0.05, seed=1337)
+    dense = build_sketch(tokens_df, "tokens", cfg)
+    tbl = build_sketch_table(tokens_df, "tokens", cfg, flush_triples=257)
+    cm = sketch_from_table(tbl, cfg)
+    assert cm.to_bytes() == dense.sketch.to_bytes()
+
+
+def test_small_eps_build_via_table_path(spark, tokens_df, exact_counts):
+    """ε=1e-7/δ=e⁻³ (w≈2.7e7 → ~650 MB dense — past the comfort zone for
+    per-task dense partials at real parallelism): the table path builds it
+    with per-task memory bounded by flush_triples (here 1<<15 entries ≈
+    1 MB), never materializing the width anywhere on an executor. Point
+    queries through the probe join must exactly equal a dense reference
+    build at the same config, and hold the one-sided CM guarantee."""
+    from sketchlib.spark_build import build_sketch_table, point_query_table
+    cfg = CMConfig(eps=1e-7, delta=math.exp(-3), seed=1337)
+    tbl = build_sketch_table(tokens_df, "tokens", cfg,
+                             flush_triples=1 << 15).cache()
+    try:
+        some = (tokens_df.select(F.explode("tokens").alias("t"))
+                .distinct().limit(100))
+        est = {r["t"]: r["est"]
+               for r in point_query_table(tbl, some, "t", cfg).collect()}
+        # dense reference build of the same stream, driver-local (the
+        # feasible-scale byte-level comparator; at cluster scale this
+        # sketch is exactly what the table path exists to avoid)
+        toks = np.concatenate([np.asarray(r["tokens"], dtype=np.int32)
+                               for r in tokens_df.select("tokens").collect()])
+        ref = CountMinSketch(cfg)
+        ref.update_batch(toks)
+        keys = np.fromiter(est.keys(), dtype=np.int64)
+        ref_est = ref.point_query_batch(keys)
+        assert all(est[int(k)] == int(e) for k, e in zip(keys, ref_est))
+        for k in keys:
+            assert est[int(k)] >= exact_counts[int(k)]
+    finally:
+        tbl.unpersist()
+
+
 def test_sources_resolution(spark, token_table_path, tmp_path):
     """Source adapter: parquet passes through; an Iceberg-shaped directory
     without the Iceberg runtime is refused loudly (reading its data files
