@@ -78,21 +78,14 @@ def _cpu_jiffies():
         return 0, 0, 0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    j0 = _cpu_jiffies()
-
+def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
+    """One pass over the headline suite; returns (timings, extra)."""
     import __spark_entry__ as entry_mod
     from sketchlib.countmin import CMConfig
     from sketchlib.spark_build import (build_grouped_parquet,
                                        build_sketch_parquet,
                                        inner_product_rawlog_parquet,
                                        point_query_col)
-
-    spark = get_spark(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -165,21 +158,50 @@ def main() -> None:
           lambda: probe_keys.withColumn(
               "est", point_query_col(spark, res.sketch, F.col("t"))).collect())
 
-    j1 = _cpu_jiffies()
-    if j1[0] > j0[0]:
-        extra["host_steal_pct"] = round(100.0 * (j1[1] - j0[1])
-                                        / (j1[0] - j0[0]), 2)
-        extra["host_busy_pct"] = round(100.0 * (j1[2] - j0[2])
-                                       / (j1[0] - j0[0]), 2)
+    return timings, extra
 
-    total = round(sum(timings.values()), 4)
+
+def main() -> None:
+    """Median-of-n suite (VERDICT r2 #8): this host is a shared VM whose
+    throughput drifts 2-4x with co-tenant load, so a single wall number
+    invites misreading. The suite runs n>=3 times in one Spark session;
+    the reported value/queries are the MEDIAN-total run's, and every run's
+    total + its own steal/busy weather is published under "runs"."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    runs = []
+    for i in range(n_runs):
+        j0 = _cpu_jiffies()
+        timings, extra = run_suite(spark, sf_dir, cpus)
+        j1 = _cpu_jiffies()
+        if j1[0] > j0[0]:
+            extra["host_steal_pct"] = round(100.0 * (j1[1] - j0[1])
+                                            / (j1[0] - j0[0]), 2)
+            extra["host_busy_pct"] = round(100.0 * (j1[2] - j0[2])
+                                           / (j1[0] - j0[0]), 2)
+        runs.append({"total": round(sum(timings.values()), 4),
+                     "timings": timings, "extra": extra})
+
+    med = sorted(runs, key=lambda r: r["total"])[len(runs) // 2]
     print(json.dumps({
-        "metric": "sketchlib headline suite wall time",
-        "value": total,
+        "metric": "sketchlib headline suite wall time (median of "
+                  f"{n_runs})",
+        "value": med["total"],
         "unit": "sec",
-        "queries": timings,
+        "queries": med["timings"],
         "sf": sf,
-        **extra,
+        "n_runs": n_runs,
+        "runs": [{"total": r["total"],
+                  "host_steal_pct": r["extra"].get("host_steal_pct"),
+                  "host_busy_pct": r["extra"].get("host_busy_pct")}
+                 for r in runs],
+        **med["extra"],
     }))
 
 

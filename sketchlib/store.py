@@ -115,6 +115,25 @@ def load_sketch(spark: SparkSession, path: str, name: str,
     return serde.loads(blob)
 
 
+def latest_entry(spark: SparkSession, path: str,
+                 name: str) -> tuple[int, dict] | None:
+    """(seq, meta) of the latest saved version of ``name``; None when the
+    store or the name doesn't exist yet. Used by streaming late-data
+    folds to make load-merge-save idempotent across foreachBatch replays
+    (the meta carries the folding batch_id)."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(path + "/sketches")
+    except AnalysisException:
+        return None
+    rows = (df.filter(F.col("name") == name)
+            .orderBy(F.col("seq").desc(), F.col("sha256").desc()).limit(1)
+            .select("seq", "meta_json").collect())
+    if not rows:
+        return None
+    return int(rows[0]["seq"]), json.loads(rows[0]["meta_json"])
+
+
 def list_sketches(spark: SparkSession, path: str) -> DataFrame:
     """One row per (name, latest seq): kind, size, n_rows, meta_json."""
     df = spark.read.parquet(path + "/sketches")

@@ -150,22 +150,42 @@ class WindowedSketchBuilder:
     max seen are finalized and evicted from the live set (the sketch
     analogue of watermark state cleanup); late data for an
     already-finalized window merges INTO the finalized sketch (never
-    replaces it)."""
+    replaces it).
+
+    Driver-state boundedness: with ``store_path`` set, finalized windows
+    SPILL to the durable sketch store (store.py) instead of accumulating
+    in driver dicts — the driver holds only the live windows (bounded by
+    ``retention_windows``) plus a set of finalized window-start ints, so
+    a long-running stream's driver RSS stays flat while every finalized
+    window remains loadable (``load_finalized``) and byte-identical.
+    Late data for a spilled window folds via load-merge-save with the
+    folding ``batch_id`` recorded in the store meta, so foreachBatch
+    replays after a crash between store append and snapshot commit fold
+    exactly once. Without ``store_path`` the driver-dict behavior is
+    kept (fine for bounded backfills)."""
 
     def __init__(self, factory, time_col: str, values_col: str,
                  snapshot_dir: str, *, window_seconds: int = 600,
-                 retention_windows: int = 64) -> None:
+                 retention_windows: int = 64,
+                 store_path: str | None = None,
+                 store_prefix: str = "win") -> None:
         self.factory = factory
         self.time_col = time_col
         self.values_col = values_col
         self.window_seconds = window_seconds
         self.retention_windows = retention_windows
         self.snapshot_dir = snapshot_dir
+        self.store_path = store_path
+        self.store_prefix = store_prefix
         os.makedirs(snapshot_dir, exist_ok=True)
         self.sketches: dict[int, object] = {}
         self.finalized: dict[int, bytes] = {}
+        self.finalized_ws: set[int] = set()   # store mode: ints, not blobs
         self.last_batch_id = -1
         self._load()
+
+    def _store_name(self, ws: int) -> str:
+        return f"{self.store_prefix}:{ws}"
 
     def _load(self) -> None:
         vdir = _snapshot_load_dir(self.snapshot_dir)
@@ -180,6 +200,7 @@ class WindowedSketchBuilder:
         for ws in man.get("finalized", []):
             with open(os.path.join(vdir, f"f{ws}.bin"), "rb") as f:
                 self.finalized[int(ws)] = f.read()
+        self.finalized_ws = set(man.get("finalized_ws", []))
 
     def _save(self) -> None:
         def write_fn(tmpdir):
@@ -193,12 +214,43 @@ class WindowedSketchBuilder:
                 json.dump({"last_batch_id": self.last_batch_id,
                            "windows": sorted(self.sketches),
                            "finalized": sorted(self.finalized),
+                           "finalized_ws": sorted(self.finalized_ws),
                            "window_seconds": self.window_seconds}, f)
         _snapshot_commit(self.snapshot_dir, self.last_batch_id, write_fn)
+
+    def _spill_finalized(self, spark, ws: int, sketch, batch_id: int) -> None:
+        from . import store
+        store.save_sketch(spark, self.store_path, self._store_name(ws),
+                          sketch, meta={"batch_id": batch_id,
+                                        "window_start": ws})
+        self.finalized_ws.add(ws)
+
+    def _late_merge_store(self, spark, ws: int, sk, batch_id: int) -> None:
+        """Fold a late slice into a spilled window, exactly once: the store
+        meta records which batch last folded — a replayed batch (crash
+        after store append, before snapshot commit) is skipped."""
+        from . import store
+        name = self._store_name(ws)
+        ent = store.latest_entry(spark, self.store_path, name)
+        if ent is not None and ent[1].get("batch_id", -1) >= batch_id:
+            return                      # this batch's fold already landed
+        cur = store.load_sketch(spark, self.store_path, name)
+        store.save_sketch(spark, self.store_path, name, cur.merge(sk),
+                          meta={"batch_id": batch_id, "window_start": ws})
+
+    def load_finalized(self, spark, ws: int):
+        """The finalized sketch for window-start ``ws`` wherever it lives
+        (durable store in spill mode, snapshot dict otherwise)."""
+        if self.store_path is not None:
+            from . import store
+            return store.load_sketch(spark, self.store_path,
+                                     self._store_name(ws))
+        return serde.loads(self.finalized[ws])
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id:
             return
+        spark = batch_df.sparkSession
         win = ((F.unix_timestamp(F.col(self.time_col)) / self.window_seconds)
                .cast("long") * self.window_seconds)
         keyed = batch_df.withColumn("_win", win.cast("string"))
@@ -207,6 +259,9 @@ class WindowedSketchBuilder:
         for r in grouped.collect():
             ws = int(r["key"])
             sk = serde.loads(bytes(r["sketch"]))
+            if ws in self.finalized_ws:
+                self._late_merge_store(spark, ws, sk, batch_id)
+                continue
             if ws in self.finalized:
                 # late slice for a finalized window: fold into the full
                 # finalized sketch (a fresh live sketch here would later
@@ -220,7 +275,11 @@ class WindowedSketchBuilder:
             horizon = max(self.sketches) - \
                 self.retention_windows * self.window_seconds
             for ws in [w for w in self.sketches if w < horizon]:
-                self.finalized[ws] = self.sketches.pop(ws).to_bytes()
+                done = self.sketches.pop(ws)
+                if self.store_path is not None:
+                    self._spill_finalized(spark, ws, done, batch_id)
+                else:
+                    self.finalized[ws] = done.to_bytes()
         self.last_batch_id = batch_id
         self._save()
 
