@@ -138,3 +138,21 @@ def test_accumulate_into_scatter_equals_bincount():
             w2[j] += np.bincount(cols, weights=wts.astype(np.float64),
                                  minlength=width).astype(np.int64)
         assert np.array_equal(w1, w2), width
+
+
+def test_accumulate_into_rejects_nonintegral_weights_on_scatter():
+    """ADVICE r2: float weights would silently truncate on the wide-sketch
+    scatter path (width-dependent semantics) — must raise instead."""
+    import pytest
+    from sketchlib import hashing as H
+
+    keys = np.arange(100, dtype=np.int64)
+    wide = 5 * H._CHUNK
+    table = np.zeros((2, wide), np.int64)
+    with pytest.raises(ValueError, match="integral"):
+        H.accumulate_into(keys, [1, 2], wide, table,
+                          weights=np.full(100, 1.5))
+    # integral-valued floats are fine (exact on both paths)
+    H.accumulate_into(keys, [1, 2], wide, table,
+                      weights=np.full(100, 2.0))
+    assert table.sum() == 2 * 2 * 100

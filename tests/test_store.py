@@ -118,3 +118,38 @@ def test_lineage_roundtrip_with_build(spark, tmp_path):
     assert sum(r["n_rows"] for r in lin) == 120_000
     assert (load_sketch(spark, store, "gen").to_bytes()
             == res.sketch.to_bytes())
+
+
+def test_latest_entry_and_same_seq_tiebreak(spark, tmp_path):
+    """ADVICE r2: two writers that raced to the same seq must resolve
+    deterministically (sha256 tie-break), and latest_entry surfaces the
+    winning version's meta."""
+    import pyarrow.parquet as pq
+    from sketchlib.countmin import CMConfig, CountMinSketch
+    from sketchlib import store
+    import numpy as np
+
+    path = str(tmp_path / "race_store")
+    cfg = CMConfig(eps=1e-2, delta=0.05, seed=1)
+    a = CountMinSketch(cfg)
+    a.update_batch(np.arange(10, dtype=np.int64))
+    b = CountMinSketch(cfg)
+    b.update_batch(np.arange(20, dtype=np.int64))
+    store.save_sketch(spark, path, "raced", a, meta={"writer": "a"})
+    # simulate the race: second writer appends the SAME seq 0
+    row = [("raced", 0, "CM01", b.to_bytes(),
+            __import__("hashlib").sha256(b.to_bytes()).hexdigest(),
+            -1, '{"writer": "b"}')]
+    (spark.createDataFrame(row, store._SKETCH_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(path + "/sketches"))
+
+    expect = max([(a, "a"), (b, "b")],
+                 key=lambda t: __import__("hashlib")
+                 .sha256(t[0].to_bytes()).hexdigest())
+    got = store.load_sketch(spark, path, "raced")
+    assert got.to_bytes() == expect[0].to_bytes()
+    ent = store.latest_entry(spark, path, "raced")
+    assert ent is not None and ent[0] == 0
+    assert ent[1]["writer"] == expect[1]
+    assert store.latest_entry(spark, path, "nope") is None
+    assert store.latest_entry(spark, str(tmp_path / "absent"), "x") is None
