@@ -523,19 +523,33 @@ def _q_ann_topk(spark, sf_dir):
         "vec_id long, rank int")
 
 
+def _augmented_embeddings(spark, sf_dir):
+    """Embeddings table with deterministic planted duplicates: every 50th
+    vector is re-inserted under vec_id + 1_000_000. The fixture's organic
+    max pairwise cosine is ~0.6 at every SF, so without planting a 0.85
+    threshold is vacuously satisfiable (0 == 0 oracle match proves
+    nothing); the planted exact dups are the pairs the query must
+    recover. The same augmentation is expressed in the DuckDB oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform("embedding",
+                                           lambda x: x.cast("double")).alias("embedding"))
+    planted = (emb.filter(F.col("vec_id") % 50 == 0)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    return emb.unionByName(planted)
+
+
 def _q_embedding_dup_pairs(spark, sf_dir):
     """Cosine >= 0.85 near-duplicate embedding pairs via the scale path:
     hyperplane-LSH bucket candidates + exact cosine verify on candidates
     only — no all-pairs join anywhere in the plan (asserted in
-    tests/test_plans.py). Output equals the exact all-pairs computation
-    (cosine_pairs_exact stays as the test-side oracle: exact dups share
-    every bucket so recall on them is 1.0 by construction, and the exact
-    verify admits no false positives); the DuckDB oracle here IS the
+    tests/test_plans.py). Runs over _augmented_embeddings (planted exact
+    dups), so the oracled pair set is NON-empty: exact dups share every
+    bucket so LSH recall on them is 1.0 by construction, the exact verify
+    admits no false positives, and nothing organic reaches 0.85 — the
+    DuckDB oracle (exact all-pairs over the same augmented table) IS the
     exact pair set."""
     from sketchlib.similarity import lsh_cosine_pairs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    emb = emb.select("vec_id", F.transform("embedding",
-                                           lambda x: x.cast("double")).alias("embedding"))
+    emb = _augmented_embeddings(spark, sf_dir)
     return (lsh_cosine_pairs(emb, "embedding", "vec_id",
                              threshold=0.85, n_tables=8)
             .select("id_a", "id_b"))
@@ -562,13 +576,25 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 
 def _q_lsh_embedding_pairs(spark, sf_dir):
-    """Scale-path ANN dedup: hyperplane-LSH candidates + exact verify
-    (rows-only: buckets depend on the seeded hyperplanes)."""
+    """Scale-path ANN dedup with the verified cosine exposed: hyperplane-
+    LSH candidates + exact verify over the planted-dup augmented table
+    (rows-only: est-column layout is library-specific). Self-asserts that
+    every surfaced pair clears the threshold AND that the planted exact
+    dups (cosine == 1.0) are all present: n planted = ceil(n_vecs / 50),
+    checked via the all_dups_found flag."""
     from sketchlib.similarity import lsh_cosine_pairs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (lsh_cosine_pairs(emb, "embedding", "vec_id",
+    emb = _augmented_embeddings(spark, sf_dir)
+    n_planted = emb.filter(F.col("vec_id") >= 1_000_000).count()
+    pairs = lsh_cosine_pairs(emb, "embedding", "vec_id",
                              threshold=0.85, n_tables=8)
-            .select("id_a", "id_b"))
+    return (pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("cosine") >= 0.999999, 1)
+              .otherwise(0)).alias("n_exact_dups"),
+        F.min(F.col("cosine") >= 0.85).alias("all_above_threshold"))
+        .withColumn("n_planted", F.lit(n_planted))
+        .withColumn("all_dups_found",
+                    F.col("n_exact_dups") >= F.col("n_planted")))
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -1649,8 +1675,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank LIMIT 10
         """,
         "embedding_dup_pairs": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 50 = 0
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.85
         """,
