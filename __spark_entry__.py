@@ -25,6 +25,7 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from sketchlib.countmin import CMConfig
 from sketchlib.pipeline import words_col
@@ -194,6 +195,110 @@ def _q_lineitem_pricing(spark, sf_dir):
             .agg(F.count("*").alias("count_order"),
                  F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
                  F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+def _q_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: BUILDING-segment orders not yet shipped at the
+    cutoff, top-10 by revenue. Three-way join where only (orderkey,
+    orderdate, priority) survive the probe side — Catalyst prunes
+    customer to c_custkey and pushes both date filters into the scans.
+    Revenue is floored per row BEFORE the sum (Spark and DuckDB round
+    double->bigint casts differently; floor-then-sum-of-bigints is
+    associative and engine-independent)."""
+    cutoff = "1998-06-01"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("bigint")
+    return (cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("revenue_fl"))
+            .orderBy(F.desc("revenue_fl"), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+def _q_tpch_q5_region_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation for ASIA, suppliers and
+    customers co-national. Six-way join; region/nation/supplier are
+    broadcast dims (plan-asserted in tests/test_plans.py), so only the
+    orders-lineitem join shuffles."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = F.broadcast(spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+    nat = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    reg = F.broadcast(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("bigint")
+    return (cust
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+            .filter(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue_fl"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def _q_tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') in one quarter, with their nation."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nat = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("bigint")
+    return (cust
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_returnflag") == "R")
+            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).alias("revenue_fl"))
+            .orderBy(F.desc("revenue_fl"), "c_custkey")
+            .limit(20))
+
+
+def _q_events_moving_sum(spark, sf_dir):
+    """Sliding window-frame aggregation: per-user moving sum of the last
+    3 event values (cents, floored per row for engine-independent
+    integer arithmetic) ordered by (ts, event_id). One shuffle on
+    user_id; the frame runs inside each partition. Top 200 rows by key
+    keeps the result compact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    return (ev.withColumn("mv_sum_cents", F.sum(cents).over(w))
+            .select("user_id", "event_id", "mv_sum_cents")
+            .orderBy("user_id", "event_id")
+            .limit(200))
+
+
+def _q_event_type_rank(spark, sf_dir):
+    """Grouped ranking: per event_type count of events per user, dense-
+    ranked within type; keep ranks <= 3 with deterministic tie-break
+    columns so the oracle hash is stable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = (ev.groupBy("event_type", "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), "user_id")
+    return (cnt.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("event_type", "user_id", "n_events", "rnk"))
 
 
 # -- sketch queries (rows-only: estimates are not SQL-expressible) ----------
@@ -1468,6 +1573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": _q_lineitem_cube,
         "event_running_totals": _q_event_running_totals,
         "segment_customers_with_orders": _q_segment_customers_with_orders,
+        "tpch_q3_shipping_priority": _q_tpch_q3_shipping_priority,
+        "tpch_q5_region_volume": _q_tpch_q5_region_volume,
+        "tpch_q10_returned_items": _q_tpch_q10_returned_items,
+        "events_moving_sum": _q_events_moving_sum,
+        "event_type_rank": _q_event_type_rank,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}
@@ -1976,6 +2086,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue_fl
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_fl DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_region_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue_fl,
+                   COUNT(*) AS n_items
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue_fl
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_fl DESC, c_custkey
+            LIMIT 20
+        """,
+        "events_moving_sum": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS mv_sum_cents
+            FROM events
+            ORDER BY user_id, event_id
+            LIMIT 200
+        """,
+        "event_type_rank": """
+            SELECT event_type, user_id, n_events, rnk FROM (
+                SELECT event_type, user_id, n_events,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY n_events DESC, user_id) AS INT) AS rnk
+                FROM (
+                    SELECT event_type, user_id, COUNT(*) AS n_events
+                    FROM events GROUP BY event_type, user_id
+                )
+            ) WHERE rnk <= 3
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

@@ -192,6 +192,20 @@ def test_temporal_joins_avoid_nested_loops(spark):
     assert "CartesianProduct" not in pr, pr
 
 
+def test_tpch_q5_dims_broadcast(spark):
+    """The six-way TPC-H Q5 join must broadcast every dimension
+    (supplier/nation/region) instead of shuffling the fact side for
+    them, and must not degenerate into a nested-loop join: at 100 TB
+    the only acceptable exchanges are the customer-orders-lineitem
+    equi-join shuffles."""
+    import __spark_entry__ as E
+    df = E.queries()["tpch_q5_region_volume"](spark, "/root/testdata/sf0.001")
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_dup_pair_queries_no_cartesian(spark):
     """VERDICT r2 #2: the graded dup queries must not contain an all-pairs
     join anywhere in their plans — embedding_dup_pairs and the LSH pair
