@@ -301,6 +301,21 @@ def _q_event_type_rank(spark, sf_dir):
             .select("event_type", "user_id", "n_events", "rnk"))
 
 
+def _q_bottomk_sample_by_source(spark, sf_dir):
+    """Stratified fixed-size deterministic sample: per source, the 5 docs
+    with the smallest md5(doc_id) — a bottom-k-by-hash sample, the
+    fixed-SIZE companion to deterministic_sample's fixed-RATE md5
+    threshold. Engine-independent (md5 is md5 in Spark and DuckDB), so it
+    is oracle-checked; at 100 TB the rank runs per-source after one
+    shuffle and k rows per group survive."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("source", "doc_id", "rk"))
+
+
 # -- sketch queries (rows-only: estimates are not SQL-expressible) ----------
 
 def _q_cm_topk_words(spark, sf_dir):
@@ -459,6 +474,47 @@ def _q_hll_vocab_overlap(spark, sf_dir):
         [(float(est_u), int(exact_u), float(est_i), int(exact_i))],
         "est_union double, exact_union bigint, "
         "est_intersect double, exact_intersect bigint")
+
+
+def _q_theta_set_ops(spark, sf_dir):
+    """Theta/KMV sketch set algebra (sketchlib.theta): src0/src1 vocabulary
+    union, intersection AND difference estimated from the bottom-k hash
+    samples below the common theta — the set-expression capability HLL
+    lacks (inclusion-exclusion only, error scaled by the union). Each
+    estimate self-asserts the published KMV bound: |est - exact| <=
+    5 * RSE * exact_union, RSE = 1/sqrt(k-2) (intersection/difference
+    error scales with the UNION sample size, not their own). Rows-only
+    (hash-sample estimates are not SQL-expressible)."""
+    import functools
+    from sketchlib.spark_build import build_aggregator
+    from sketchlib.theta import ThetaSketch
+    toks = _tokenized_docs(spark, sf_dir)
+    mk = functools.partial(ThetaSketch, 4096)
+    a = build_aggregator(toks.filter(F.col("source") == "src0"),
+                         "tokens", mk).sketch
+    b = build_aggregator(toks.filter(F.col("source") == "src1"),
+                         "tokens", mk).sketch
+    est_u = a.estimate_union(b)
+    est_i = a.estimate_intersection(b)
+    est_d = a.estimate_difference(b)
+    w = _words(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
+    vocab = w.select("source", "word").distinct()
+    exact_u = vocab.select("word").distinct().count()
+    exact_i = (vocab.groupBy("word").agg(F.count("*").alias("ns"))
+               .filter(F.col("ns") == 2).count())
+    # |src0 \ src1| = |src0 vocab| - |src0 ∩ src1|
+    exact_d = (vocab.filter(F.col("source") == "src0").count() - exact_i)
+    tol = 5 * a.rse() * exact_u
+    return spark.createDataFrame(
+        [(float(est_u), int(exact_u), float(est_i), int(exact_i),
+          float(est_d), int(exact_d),
+          bool(abs(est_u - exact_u) <= tol
+               and abs(est_i - exact_i) <= tol
+               and abs(est_d - exact_d) <= tol))],
+        "est_union double, exact_union bigint, "
+        "est_intersect double, exact_intersect bigint, "
+        "est_difference double, exact_difference bigint, "
+        "within_bound boolean")
 
 
 def _q_cm_weighted_build(spark, sf_dir):
@@ -1525,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words": _q_hll_distinct_words,
         "hll_grouped_by_source": _q_hll_grouped_by_source,
         "hll_vocab_overlap": _q_hll_vocab_overlap,
+        "theta_set_ops": _q_theta_set_ops,
         "bloom_membership": _q_bloom_membership,
         "quantiles_sketch": _q_quantiles_sketch,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1578,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": _q_tpch_q10_returned_items,
         "events_moving_sum": _q_events_moving_sum,
         "event_type_rank": _q_event_type_rank,
+        "bottomk_sample_by_source": _q_bottomk_sample_by_source,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}
@@ -2153,6 +2211,16 @@ def oracle_sql() -> dict[str, str]:
                     FROM events GROUP BY event_type, user_id
                 )
             ) WHERE rnk <= 3
+        """,
+        "bottomk_sample_by_source": """
+            SELECT source, doc_id, rk FROM (
+                SELECT source, doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                            AS INT) AS rk
+                FROM documents
+            ) WHERE rk <= 5
         """,
         # cm_* / hll / bloom / quantiles / minhash / simhash / fingerprint /
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash

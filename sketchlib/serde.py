@@ -11,6 +11,7 @@ from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGries
 from .tdigest import TDigest
+from .theta import ThetaSketch
 
 _REGISTRY = {
     b"CMSK": CountMinSketch,
@@ -21,6 +22,7 @@ _REGISTRY = {
     b"KLL1": KllSketch,
     b"TDG1": TDigest,
     b"MGK1": MisraGries,
+    b"THT1": ThetaSketch,
 }
 
 

@@ -237,3 +237,120 @@ def test_ddsketch_rejects_nan():
     sk = DDSketch(alpha=0.01)
     with _pytest.raises(ValueError, match="NaN"):
         sk.update_batch(np.array([1.0, float("nan")]))
+
+
+# ------------------------------------------------------------- Theta -------
+
+def test_theta_exact_mode_and_estimate_accuracy():
+    from sketchlib.theta import ThetaSketch
+    # exact mode: fewer distincts than k
+    t = ThetaSketch(k=256)
+    t.update_batch(np.arange(100, dtype=np.int64).repeat(3))
+    assert t.theta == 1.0
+    assert t.estimate() == 100.0
+
+    # sampling mode: error within 4 * RSE (RSE = 1/sqrt(k-2))
+    true_v = 80_000
+    rng = np.random.default_rng(7)
+    keys = rng.permutation(np.arange(true_v, dtype=np.int64).repeat(2))
+    t = ThetaSketch(k=4096)
+    t.update_batch(keys)
+    assert t.theta < 1.0
+    rel = abs(t.estimate() - true_v) / true_v
+    assert rel < 4 * t.rse(), (t.estimate(), rel)
+
+
+def test_theta_merge_byte_identical_any_order():
+    from sketchlib.theta import ThetaSketch
+    keys = np.random.default_rng(11).integers(0, 50_000, 200_000,
+                                              dtype=np.int64)
+    one = ThetaSketch(k=1024)
+    one.update_batch(keys)
+    parts = np.array_split(keys, 9)
+    partials = []
+    for p in parts:
+        s = ThetaSketch(k=1024)
+        s.update_batch(p)
+        partials.append(s)
+    for order in ([4, 0, 8, 2, 6, 1, 7, 3, 5], list(range(9))[::-1]):
+        acc = ThetaSketch(k=1024)
+        for i in order:
+            acc.merge(partials[i])
+        # values identical (n_items header differs only by visit order sums)
+        assert np.array_equal(acc.values, one.values)
+        assert acc.to_bytes()[26:] == one.to_bytes()[26:]
+    # idempotent: merging the same partial twice changes nothing
+    acc.merge(partials[0])
+    assert np.array_equal(acc.values, one.values)
+
+
+def test_theta_set_operations_vs_exact():
+    from sketchlib.theta import ThetaSketch
+    rng = np.random.default_rng(23)
+    a_keys = np.arange(0, 60_000, dtype=np.int64)
+    b_keys = np.arange(40_000, 110_000, dtype=np.int64)  # overlap 20k
+    a = ThetaSketch(k=4096)
+    a.update_batch(rng.permutation(a_keys))
+    b = ThetaSketch(k=4096)
+    b.update_batch(rng.permutation(b_keys))
+
+    # |A| = 60k, |B| = 70k, |A ∩ B| = 20k -> |A ∪ B| = 110k
+    tol = 5 * a.rse()
+    est_u = a.estimate_union(b)
+    est_i = a.estimate_intersection(b)
+    est_d = a.estimate_difference(b)
+    assert abs(est_u - 110_000) / 110_000 < tol, est_u
+    # intersection error scales with the UNION sample, so normalize by it
+    assert abs(est_i - 20_000) / 110_000 < tol, est_i
+    assert abs(est_d - 40_000) / 110_000 < tol, est_d
+    # symmetric ops symmetric; difference is not
+    assert est_u == b.estimate_union(a)
+    assert est_i == b.estimate_intersection(a)
+    assert abs(b.estimate_difference(a) - 50_000) / 110_000 < tol
+
+    # exact mode set ops are exact
+    sa = ThetaSketch(k=8192)
+    sa.update_batch(np.arange(1000, dtype=np.int64))
+    sb = ThetaSketch(k=8192)
+    sb.update_batch(np.arange(500, 1500, dtype=np.int64))
+    assert sa.estimate_union(sb) == 1500.0
+    assert sa.estimate_intersection(sb) == 500.0
+    assert sa.estimate_difference(sb) == 500.0
+
+
+def test_theta_serde_roundtrip_and_mismatch():
+    import pytest as _pytest
+    from sketchlib.theta import ThetaSketch
+    t = ThetaSketch(k=64, seed=99)
+    t.update_batch(np.arange(5000, dtype=np.int64))
+    back = loads(t.to_bytes())
+    assert isinstance(back, ThetaSketch)
+    assert back.to_bytes() == t.to_bytes()
+    assert back.estimate() == t.estimate()
+
+    other = ThetaSketch(k=128, seed=99)
+    with _pytest.raises(ValueError, match="configs differ"):
+        t.merge(other)
+    with _pytest.raises(ValueError, match="cannot combine"):
+        t.merge(HllSketch())
+
+
+def test_theta_distributed_build_matches_local(spark):
+    """build_aggregator topology over the theta sketch: the distributed
+    union-merge must byte-match a single-pass local build (values array
+    identity -> identical estimates at every parallelism)."""
+    from sketchlib.spark_build import build_aggregator
+    from sketchlib.theta import ThetaSketch
+    import functools
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 30_000, size=120_000, dtype=np.int64)
+    rows = [(int(i), toks[i * 120:(i + 1) * 120].tolist())
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<bigint>") \
+        .repartition(7)
+    res = build_aggregator(df, "tokens", functools.partial(ThetaSketch, 2048))
+    local = ThetaSketch(k=2048)
+    local.update_batch(toks)
+    assert np.array_equal(res.sketch.values, local.values)
+    assert res.sketch.estimate() == local.estimate()
+    assert res.sketch.n_items == 120_000
