@@ -1066,6 +1066,16 @@ def _q_deterministic_sample(spark, sf_dir):
             .select("doc_id", "source", "n_chars"))
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end curation pipeline in one declarative plan: quality gate
+    -> exact dedup (min id per distinct text) -> deterministic 50% md5
+    sample -> per-(source, lang) corpus stats. Oracle-checked: every
+    stage is integer-stable and engine-independent."""
+    from sketchlib.pipeline import curate_corpus
+    return curate_corpus(_docs(spark, sf_dir), min_score=70,
+                         sample_threshold_hex="80")
+
+
 def _q_contamination_overlap(spark, sf_dir):
     """Cross-source word-3-gram contamination: distinct shared n-grams per
     source pair (train/test leakage check shape)."""
@@ -1636,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_sum": _q_events_moving_sum,
         "event_type_rank": _q_event_type_rank,
         "bottomk_sample_by_source": _q_bottomk_sample_by_source,
+        "corpus_curation": _q_corpus_curation,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}
@@ -2211,6 +2222,36 @@ def oracle_sql() -> dict[str, str]:
                     FROM events GROUP BY event_type, user_id
                 )
             ) WHERE rnk <= 3
+        """,
+        "corpus_curation": """
+            WITH scored AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ), good AS (
+                SELECT doc_id FROM scored
+                WHERE (CASE WHEN len(w) = 0 THEN 0 ELSE
+                         (CASE WHEN len(w) >= 20 THEN 40 ELSE 0 END)
+                       + (CASE WHEN len(list_filter(w, x -> x IN
+                            ('the','a','of','and','to','in','is','it')))
+                            * 100 >= len(w) * 2 THEN 30 ELSE 0 END)
+                       + (CASE WHEN len(list_distinct(w)) * 100
+                            >= len(w) * 30 THEN 30 ELSE 0 END)
+                       END) >= 70
+            ), kept AS (
+                SELECT d.* FROM documents d JOIN good USING (doc_id)
+            ), dd AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM kept
+            ), samp AS (
+                SELECT * FROM dd
+                WHERE rn = 1
+                  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+            )
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM samp GROUP BY source, lang
         """,
         "bottomk_sample_by_source": """
             SELECT source, doc_id, rk FROM (

@@ -548,6 +548,36 @@ def deterministic_sample(df: DataFrame, *, key_col: str = "doc_id",
     return df.filter(prefix < F.lit(threshold_hex.lower()))
 
 
+def curate_corpus(df: DataFrame, *, min_score: int = 70,
+                  sample_threshold_hex: str = "80",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  source_col: str = "source",
+                  lang_col: str = "lang") -> DataFrame:
+    """End-to-end training-corpus curation as ONE declarative plan:
+    quality gate (quality_score >= min_score, scan-side integer
+    heuristics) -> exact dedup (keep the min id per distinct text) ->
+    deterministic content-addressed downsample -> per-(source, lang)
+    corpus stats. Every stage is Catalyst-only and engine-independent, so
+    the whole pipeline is DuckDB-oracle-checkable (`corpus_curation`).
+
+    Scale shape: the quality filter prunes before any exchange; dedup
+    shuffles rows once on the 16-byte md5(text) fingerprint (row_number
+    window, no collect_list); the sample is a partition-local filter; the
+    final agg is a partial+final count/sum. One row-shuffle + one agg
+    shuffle total at 100 TB."""
+    q = quality_score(df, text_col=text_col, id_col=id_col)
+    kept = df.join(q.filter(F.col("quality_score") >= min_score)
+                   .select(id_col), id_col)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    dedup = (kept.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    sampled = deterministic_sample(dedup, key_col=id_col,
+                                   threshold_hex=sample_threshold_hex)
+    return (sampled.groupBy(source_col, lang_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
+
+
 def cross_source_ngram_overlap(df: DataFrame, n: int = 3,
                                text_col: str = "text",
                                source_col: str = "source") -> DataFrame:

@@ -542,3 +542,31 @@ def test_shingle_packing_blocked_identity():
     murmur_h2_into(packed[valid], 0xC0FFEE, want)
     np.testing.assert_array_equal(got_h, want)
     assert got_off[-1] == want.shape[0]
+
+
+def test_curate_corpus_stages(spark):
+    """curate_corpus = quality gate -> exact dedup (min id) -> md5 sample
+    -> stats. With threshold 'ff' (keep ~all) the counts must equal the
+    hand-computed kept set; low-quality and duplicate docs never reach
+    the output."""
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox runs off to the woods again and again it is a good day")
+    rows = [
+        (0, good, "en", "web", 100),
+        (1, good, "en", "web", 100),            # exact dup of 0 -> dropped
+        (2, good + " extra tail words", "en", "books", 120),
+        (3, "tiny", "en", "web", 4),            # fails length band
+        (4, "", "en", "web", 0),                # empty -> score 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {(r["source"], r["lang"]): (r["n_docs"], r["sum_chars"])
+           for r in P.curate_corpus(df, min_score=70,
+                                    sample_threshold_hex="ff").collect()}
+    # kept: doc 0 (keeper of the dup pair) and doc 2; 3 and 4 fail quality
+    assert out == {("web", "en"): (1, 100), ("books", "en"): (1, 120)}
+
+    # sampling threshold '00' keeps nothing
+    assert P.curate_corpus(df, min_score=70,
+                           sample_threshold_hex="00").count() == 0
