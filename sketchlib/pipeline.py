@@ -386,25 +386,33 @@ def language_id(df: DataFrame, text_col: str = "text",
                      *[scores[l].alias(f"score_{l}") for l in _STOPWORDS])
 
 
-def quality_score(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Integer-stable quality heuristics + a derived score in [0, 100]:
-    length band, stopword presence, distinct-word ratio. Deterministic,
-    SQL-expressible."""
-    ws = words_col(F.col(text_col))
+def quality_score_col(text_col):
+    """The quality score in [0, 100] as a plain Column expression (length
+    band, stopword presence, distinct-word ratio) so callers can FILTER on
+    it scan-side without a join back. Bands avoid float-division hash
+    instability in the oracle compare; empty documents score 0 outright."""
+    ws = words_col(text_col)
     n_words = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
     n_stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS["en"])))
-    # bands avoid float-division hash instability in the oracle compare;
-    # empty documents score 0 outright
-    score = F.when(n_words == 0, F.lit(0)).otherwise(
+    return F.when(n_words == 0, F.lit(0)).otherwise(
         F.when(n_words >= 20, F.lit(40)).otherwise(F.lit(0))
         + F.when(n_stop * 100 >= n_words * 2, F.lit(30)).otherwise(F.lit(0))
         + F.when(n_distinct * 100 >= n_words * 30, F.lit(30)).otherwise(F.lit(0))
     )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Integer-stable quality heuristics + the quality_score_col score.
+    Deterministic, SQL-expressible."""
+    ws = words_col(F.col(text_col))
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS["en"])))
     return df.select(F.col(id_col), n_words.alias("n_words"),
                      n_distinct.alias("n_distinct"), n_stop.alias("n_stop"),
-                     score.alias("quality_score"))
+                     quality_score_col(F.col(text_col)).alias("quality_score"))
 
 
 def token_count(df: DataFrame, text_col: str = "text",
@@ -560,14 +568,15 @@ def curate_corpus(df: DataFrame, *, min_score: int = 70,
     corpus stats. Every stage is Catalyst-only and engine-independent, so
     the whole pipeline is DuckDB-oracle-checkable (`corpus_curation`).
 
-    Scale shape: the quality filter prunes before any exchange; dedup
+    Scale shape: the quality gate is an inline Column filter on the scan
+    itself (quality_score_col — no self-join, no id broadcast: a
+    billions-of-ids broadcast would cap this at cluster memory); dedup
     shuffles rows once on the 16-byte md5(text) fingerprint (row_number
-    window, no collect_list); the sample is a partition-local filter; the
-    final agg is a partial+final count/sum. One row-shuffle + one agg
-    shuffle total at 100 TB."""
-    q = quality_score(df, text_col=text_col, id_col=id_col)
-    kept = df.join(q.filter(F.col("quality_score") >= min_score)
-                   .select(id_col), id_col)
+    window -> Spark 4 plans a partial+final WindowGroupLimit, so each map
+    task forwards at most one row per fingerprint); the sample is a
+    partition-local filter; the final agg is a partial+final count/sum.
+    One row-shuffle + one agg shuffle total at 100 TB."""
+    kept = df.filter(quality_score_col(F.col(text_col)) >= min_score)
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     dedup = (kept.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == 1).drop("_rn"))

@@ -192,6 +192,24 @@ def test_temporal_joins_avoid_nested_loops(spark):
     assert "CartesianProduct" not in pr, pr
 
 
+def test_corpus_curation_single_scan_two_exchanges(spark, docs_path):
+    """The curation pipeline must stay one scan, zero joins, and exactly
+    two exchanges (dedup-by-fingerprint + final agg): the quality gate is
+    an inline scan-side filter — a join back against surviving ids would
+    add a scan and a broadcast that caps at cluster memory at 100 TB —
+    and Spark 4's partial WindowGroupLimit must appear so each map task
+    forwards at most one row per fingerprint into the dedup shuffle."""
+    from sketchlib.pipeline import curate_corpus
+    df = spark.read.parquet(docs_path) \
+        .withColumn("lang", F.lit("en")).withColumn("n_chars", F.col("n_chars").cast("long"))
+    import re
+    p = plan_str(curate_corpus(df))
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "WindowGroupLimit" in p, p
+
+
 def test_tpch_q5_dims_broadcast(spark):
     """The six-way TPC-H Q5 join must broadcast every dimension
     (supplier/nation/region) instead of shuffling the fact side for
