@@ -117,3 +117,35 @@ def test_sketch_probe_col_bloom_and_cm(spark, token_table_path):
     e = np.array([r["est"] for r in est], dtype=np.int64)
     assert (e == cres.sketch.point_query_batch(
         np.array([r["t"] for r in est], dtype=np.int64))).all()
+
+
+def test_grouped_theta_per_source(spark, token_table_path):
+    """Per-source theta sketches through the generic grouped topology:
+    estimates within the KMV bound of exact per-source distinct counts,
+    and the union of two groups' sketches estimates the cross-source
+    union (the HLL-impossible part is intersection — asserted too)."""
+    from sketchlib.theta import ThetaSketch
+    df = spark.read.parquet(token_table_path)
+    grouped = build_grouped_aggregator(df, "source", "tokens",
+                                       functools.partial(ThetaSketch, 4096))
+    rows = {r["key"]: loads(bytes(r["sketch"])) for r in grouped.collect()}
+    exact = {r["source"]: r["d"] for r in
+             df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    assert set(rows) == set(exact)
+    for src, sk in rows.items():
+        tol = 4 * sk.rse()
+        assert abs(sk.estimate() - exact[src]) / exact[src] < tol, src
+
+    srcs = sorted(rows)
+    if len(srcs) >= 2:
+        a, b = rows[srcs[0]], rows[srcs[1]]
+        ta = df.filter(F.col("source") == srcs[0]) \
+            .select(F.explode("tokens").alias("t"))
+        tb = df.filter(F.col("source") == srcs[1]) \
+            .select(F.explode("tokens").alias("t"))
+        exact_u = ta.union(tb).distinct().count()
+        exact_i = ta.distinct().intersect(tb.distinct()).count()
+        tol = 5 * a.rse() * exact_u
+        assert abs(a.estimate_union(b) - exact_u) <= tol
+        assert abs(a.estimate_intersection(b) - exact_i) <= tol

@@ -360,3 +360,36 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
                                upper_us=30 * 60 * 1_000_000).collect()}
     assert got == exp
     assert (1, 100, 200) in got and (2, 102, 202) not in got
+
+
+def test_windowed_theta_distinct_stream_equals_batch(spark, tmp_path):
+    """The windowed builder is factory-generic: per-window THETA sketches
+    built incrementally across micro-batches are byte-identical to
+    single-shot batch builds of the same windows (distinct-count-per-hour
+    streaming, the HLL/theta streaming use case)."""
+    import functools
+    from pyspark.sql import functions as F
+    from sketchlib.streaming import WindowedSketchBuilder
+    from sketchlib.spark_build import build_aggregator
+    from sketchlib.theta import ThetaSketch
+
+    inbox = str(tmp_path / "th_inbox")
+    os.makedirs(inbox)
+    generate_token_table(f"{inbox}/p0.parquet", rows=400, seed=23, dist="zipf")
+    fac = functools.partial(ThetaSketch, 1024)
+    df = (spark.read.parquet(inbox)
+          .withColumn("ts", F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+                      + F.make_interval(mins=F.pmod(F.xxhash64("doc_id"),
+                                                    F.lit(110)).cast("int"))))
+    b = WindowedSketchBuilder(fac, "ts", "tokens",
+                              str(tmp_path / "th_snap"), window_seconds=3600)
+    # two micro-batches split by doc hash: same windows, different slices
+    split = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    b.process_batch(df.filter(split), 0)
+    b.process_batch(df.filter(~split), 1)
+    assert len(b.sketches) == 2
+    for ws, sk in b.sketches.items():
+        hour = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+        ref = build_aggregator(df.filter(hour == ws), "tokens", fac).sketch
+        assert sk.to_bytes() == ref.to_bytes()
+        assert sk.estimate() == ref.estimate()
