@@ -686,17 +686,22 @@ def _q_ann_topk(spark, sf_dir):
 
 def _augmented_embeddings(spark, sf_dir):
     """Embeddings table with deterministic planted duplicates: every 50th
-    vector is re-inserted under vec_id + 1_000_000. The fixture's organic
-    max pairwise cosine is ~0.6 at every SF, so without planting a 0.85
-    threshold is vacuously satisfiable (0 == 0 oracle match proves
+    vector is re-inserted under vec_id + (max(vec_id) + 1). The fixture's
+    organic max pairwise cosine is ~0.6 at every SF, so without planting
+    a 0.85 threshold is vacuously satisfiable (0 == 0 oracle match proves
     nothing); the planted exact dups are the pairs the query must
-    recover. The same augmentation is expressed in the DuckDB oracle."""
+    recover. The offset derives from max(vec_id) so planted ids can never
+    collide with organic ones at any SF (a fixed 1e6 offset would break
+    id uniqueness — and the id-joins and oracle compare with it — on a
+    >=1M-row fixture). Same augmentation in the DuckDB oracle SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = emb.select("vec_id", F.transform("embedding",
                                            lambda x: x.cast("double")).alias("embedding"))
+    offset = int(emb.agg(F.max("vec_id") + 1).collect()[0][0])
     planted = (emb.filter(F.col("vec_id") % 50 == 0)
-               .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
-    return emb.unionByName(planted)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(offset)))
+    # callers that need to identify planted rows filter vec_id >= offset
+    return emb.unionByName(planted), offset
 
 
 def _q_embedding_dup_pairs(spark, sf_dir):
@@ -705,12 +710,14 @@ def _q_embedding_dup_pairs(spark, sf_dir):
     only — no all-pairs join anywhere in the plan (asserted in
     tests/test_plans.py). Runs over _augmented_embeddings (planted exact
     dups), so the oracled pair set is NON-empty: exact dups share every
-    bucket so LSH recall on them is 1.0 by construction, the exact verify
-    admits no false positives, and nothing organic reaches 0.85 — the
-    DuckDB oracle (exact all-pairs over the same augmented table) IS the
-    exact pair set."""
+    bucket so LSH recall on them is 1.0 (valid while buckets stay under
+    the lshjoin cap — here by orders of magnitude: <= ~2k vectors spread
+    over 2^16 buckets per table), the exact verify admits no false
+    positives, and nothing organic reaches 0.85 — the DuckDB oracle
+    (exact all-pairs over the same augmented table) IS the exact pair
+    set."""
     from sketchlib.similarity import lsh_cosine_pairs
-    emb = _augmented_embeddings(spark, sf_dir)
+    emb, _ = _augmented_embeddings(spark, sf_dir)
     return (lsh_cosine_pairs(emb, "embedding", "vec_id",
                              threshold=0.85, n_tables=8)
             .select("id_a", "id_b"))
@@ -744,8 +751,8 @@ def _q_lsh_embedding_pairs(spark, sf_dir):
     dups (cosine == 1.0) are all present: n planted = ceil(n_vecs / 50),
     checked via the all_dups_found flag."""
     from sketchlib.similarity import lsh_cosine_pairs
-    emb = _augmented_embeddings(spark, sf_dir)
-    n_planted = emb.filter(F.col("vec_id") >= 1_000_000).count()
+    emb, offset = _augmented_embeddings(spark, sf_dir)
+    n_planted = emb.filter(F.col("vec_id") >= offset).count()
     pairs = lsh_cosine_pairs(emb, "embedding", "vec_id",
                              threshold=0.85, n_tables=8)
     return (pairs.agg(
@@ -1567,10 +1574,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records correctness rows for at most the first 50 entries, so every
     query with a DuckDB oracle must precede every rows-only one — the
     registration order below is re-sorted (stably) so no oracle-eligible
-    query can fall outside the checked window. Within each class the
-    hand-curated order is kept, which for the rows-only tail ranks the
-    self-asserting invariant queries (est>=exact flags, byte-identity,
-    exact_recovery) into the remaining checked slots."""
+    query can fall outside the checked window. The window is now EXACTLY
+    full (50 oracled): adding a 51st oracled query would silently push
+    one outside the driver's check — tools/check_entry.py warns and
+    tools/sync_survey_inventory.py labels any overflow explicitly, so the
+    invariant is machine-checked, not just documented. Rows-only queries
+    (all past the window) are covered by pytest + the local gate, which
+    also enforces their self-assert flag columns."""
     q = {
         "word_freq_exact": _q_word_freq_exact,
         "source_doc_stats": _q_source_doc_stats,
@@ -1857,7 +1867,8 @@ def oracle_sql() -> dict[str, str]:
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
                 UNION ALL
-                SELECT vec_id + 1000000 AS vec_id, embedding
+                SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings)
+                           AS vec_id, embedding
                 FROM embeddings WHERE vec_id % 50 = 0
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

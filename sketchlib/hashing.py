@@ -209,18 +209,18 @@ def accumulate_into(keys: np.ndarray, seeds, width: int, table: np.ndarray,
     # scatter, which touches only the m hit counters per chunk.
     scatter = width > 4 * _CHUNK
     if weights is not None:
-        # float64 weight sums are exact for |sum| < 2^53 (bincount path);
-        # the scatter path casts to int64, which is only exact for
-        # integral counts — reject non-integral weights there rather than
-        # silently truncating (the two paths must agree for any width)
+        # the int64 table can only hold integral counts: the scatter path
+        # casts weights to int64 and the bincount path truncates the
+        # float64 chunk SUM on .astype(int64) — both silently corrupt
+        # fractional weights, so reject them on EVERY path (the two paths
+        # must agree for any width)
         fweights = np.asarray(weights, dtype=np.float64)
-        if scatter:
-            iweights = fweights.astype(np.int64)
-            if not np.array_equal(iweights, fweights):
-                raise ValueError(
-                    "accumulate_into requires integral weights (counts); "
-                    "non-integral weights would truncate on the wide-"
-                    "sketch scatter path")
+        iweights = fweights.astype(np.int64)
+        if not np.array_equal(iweights, fweights):
+            raise ValueError(
+                "accumulate_into requires integral weights (counts); "
+                "non-integral weights would truncate into the int64 "
+                "counter table")
     for st in range(0, n, _CHUNK):
         en = min(st + _CHUNK, n)
         m = en - st

@@ -14,13 +14,23 @@ verification can prune them.
 - larger buckets emit STAR pairs (bucket-min id, member) — linear in
   bucket size, so per-bucket candidates are bounded by max(cap^2, n).
 
-Documented recall effect of the cap: inside an over-cap bucket, a pair
-not involving the bucket minimum is surfaced only if it also co-occurs in
-another (under-cap) bucket. Connectivity is preserved — every member of
-an over-cap bucket still links to its hub — so duplicate-CLUSTER
-resolution (pipeline.connected_components) recovers the same clusters;
-only the raw pair list thins. Buckets that big are, by construction,
-near-identical content where star-linking is the right answer anyway.
+Documented recall effect of the cap — stated precisely, because the
+star pairs are CANDIDATES that still face exact verification downstream:
+
+- pairs whose every shared bucket is over-cap are surfaced only as
+  (hub, member) edges; if the hub does not verify against a member
+  (hub = bucket-min id, which may be a hash collider rather than a true
+  near-dup), that member's true pairs in this bucket are LOST, not just
+  re-routed — verification does not follow transitivity;
+- therefore completeness guarantees (LSH pigeonhole/recall claims) hold
+  EXACTLY only while every relevant bucket has <= cap members. Callers
+  needing the provable guarantee regardless of skew pass ``cap=None``
+  (uncapped — accepts the O(n^2)-per-bucket risk the cap exists to
+  avoid);
+- in the intended regime (bucket space >> corpus, e.g. 2^16 buckets per
+  table vs thousands of items) over-cap buckets occur only for mass-
+  duplicated content, where hub-linking plus exact verification of
+  identical payloads recovers the clusters.
 """
 
 from __future__ import annotations
@@ -29,14 +39,26 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def bucket_candidate_pairs(buckets: DataFrame, bucket_cols: list[str],
-                           id_col: str, *, cap: int = 256) -> DataFrame:
+                           id_col: str, *,
+                           cap: int | None = 256) -> DataFrame:
     """DISTINCT (id_a, id_b) candidate pairs (id_a < id_b) from LSH bucket
     rows, with the per-bucket skew cap described in the module docstring.
+    ``cap=None`` disables the cap entirely: exact all-pairs-per-bucket
+    semantics (the provable-completeness mode), at the cost of O(n^2)
+    candidates from a pathological bucket.
 
     The window aggregates (count/min per bucket) shuffle on the same key
     as the join itself, so no extra exchange shape is introduced; a hot
     bucket lands in one task but does only linear work there.
     """
+    if cap is None:
+        a = buckets.select(id_col, *bucket_cols).alias("a")
+        b = buckets.select(id_col, *bucket_cols).alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+        cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        return (a.join(b, cond)
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b")).distinct())
     if cap < 2:
         raise ValueError("cap must be >= 2")
     w = Window.partitionBy(*bucket_cols)

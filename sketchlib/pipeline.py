@@ -314,8 +314,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     block LSH with max_hamming+1 blocks: by pigeonhole, a pair within
     distance h must agree EXACTLY on at least one of h+1 disjoint blocks
     — a fixed 4-block split would silently lose recall for h > 3.
-    Blocks larger than ``bucket_cap`` degrade to linear star pairs
-    (sketchlib.lshjoin skew cap)."""
+
+    Completeness contract: the pigeonhole guarantee is EXACT only while
+    every block bucket holds <= ``bucket_cap`` ids (over-cap buckets
+    degrade to linear star candidates — sketchlib.lshjoin — and star
+    candidates that fail the hub's Hamming verify drop their members'
+    true pairs). Block buckets have 64/(max_hamming+1) bits, so random
+    collisions alone cross the default cap at roughly
+    256 * 2^(64//(h+1)) docs (h=3: ~10^9 docs; h=15: only ~4k). For
+    large h on big corpora, pass bucket_cap=None to keep the provable
+    guarantee and accept the quadratic-bucket risk, or lower h."""
     if not 0 <= max_hamming <= 15:
         # 16+ blocks of a 64-bit hash = <4-bit blocks: everything collides
         raise ValueError("max_hamming must be in [0, 15]")
@@ -405,14 +413,24 @@ def quality_score_col(text_col):
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Integer-stable quality heuristics + the quality_score_col score.
-    Deterministic, SQL-expressible."""
+    Deterministic, SQL-expressible. The score is rebuilt from the already-
+    projected count columns (same formula as quality_score_col) so the
+    tokenization expression tree is evaluated once per row even where
+    codegen subexpression elimination doesn't kick in."""
     ws = words_col(F.col(text_col))
-    n_words = F.size(ws)
-    n_distinct = F.size(F.array_distinct(ws))
-    n_stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS["en"])))
-    return df.select(F.col(id_col), n_words.alias("n_words"),
-                     n_distinct.alias("n_distinct"), n_stop.alias("n_stop"),
-                     quality_score_col(F.col(text_col)).alias("quality_score"))
+    projected = df.select(
+        F.col(id_col), F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS["en"])))
+        .alias("n_stop"))
+    n_words, n_distinct, n_stop = (F.col("n_words"), F.col("n_distinct"),
+                                   F.col("n_stop"))
+    score = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.when(n_words >= 20, F.lit(40)).otherwise(F.lit(0))
+        + F.when(n_stop * 100 >= n_words * 2, F.lit(30)).otherwise(F.lit(0))
+        + F.when(n_distinct * 100 >= n_words * 30, F.lit(30)).otherwise(F.lit(0))
+    )
+    return projected.withColumn("quality_score", score)
 
 
 def token_count(df: DataFrame, text_col: str = "text",
@@ -559,8 +577,8 @@ def deterministic_sample(df: DataFrame, *, key_col: str = "doc_id",
 def curate_corpus(df: DataFrame, *, min_score: int = 70,
                   sample_threshold_hex: str = "80",
                   text_col: str = "text", id_col: str = "doc_id",
-                  source_col: str = "source",
-                  lang_col: str = "lang") -> DataFrame:
+                  source_col: str = "source", lang_col: str = "lang",
+                  chars_col: str | None = "n_chars") -> DataFrame:
     """End-to-end training-corpus curation as ONE declarative plan:
     quality gate (quality_score >= min_score, scan-side integer
     heuristics) -> exact dedup (keep the min id per distinct text) ->
@@ -582,9 +600,13 @@ def curate_corpus(df: DataFrame, *, min_score: int = 70,
              .filter(F.col("_rn") == 1).drop("_rn"))
     sampled = deterministic_sample(dedup, key_col=id_col,
                                    threshold_hex=sample_threshold_hex)
+    # chars_col=None derives the char count from the text itself, so the
+    # function is self-contained on corpora without a length column
+    chars = (F.length(F.col(text_col)).cast("bigint")
+             if chars_col is None else F.col(chars_col))
     return (sampled.groupBy(source_col, lang_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
+                 F.sum(chars).cast("bigint").alias("sum_chars")))
 
 
 def cross_source_ngram_overlap(df: DataFrame, n: int = 3,

@@ -110,9 +110,17 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, *,
     candidate pairs' vectors via a bucket-scoped join. Buckets larger than
     ``bucket_cap`` degrade to linear star pairs (sketchlib.lshjoin skew
     cap), so a corpus of N identical vectors cannot make one bucket
-    O(N^2). Exact duplicates always share every bucket, so recall on
-    exact-dup pairs is 1.0 by construction; near-threshold pairs carry the
-    usual LSH recall curve (raise n_tables / lower nbits to push it up)."""
+    O(N^2).
+
+    Recall contract: while every bucket stays <= bucket_cap (the normal
+    regime — 2^nbits buckets per table vs corpus size), exact duplicates
+    share every bucket and recall on exact-dup pairs is 1.0; near-
+    threshold pairs carry the usual hyperplane-LSH recall curve (raise
+    n_tables / lower nbits to push it up). In an OVER-cap bucket the
+    guarantee weakens: candidates are (bucket-min, member) stars, and if
+    the bucket-min is a collider rather than a true dup, its members'
+    mutual pairs are dropped by the verify step. bucket_cap=None restores
+    exact bucket semantics at the quadratic-bucket risk."""
     from .lshjoin import bucket_candidate_pairs
 
     fp = lsh_fingerprints(df, vec_col, id_col, nbits=nbits,

@@ -120,12 +120,20 @@ def latest_entry(spark: SparkSession, path: str,
     """(seq, meta) of the latest saved version of ``name``; None when the
     store or the name doesn't exist yet. Used by streaming late-data
     folds to make load-merge-save idempotent across foreachBatch replays
-    (the meta carries the folding batch_id)."""
+    (the meta carries the folding batch_id).
+
+    Only "store does not exist yet" maps to None — any OTHER read
+    failure (permissions, corrupt footer, transient FS error) must
+    surface: mapping it to None would bypass the replay guard in
+    streaming._late_merge_store and double-fold a late slice (same
+    hardening rule as _next_seq above)."""
     from pyspark.errors import AnalysisException
     try:
         df = spark.read.parquet(path + "/sketches")
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     rows = (df.filter(F.col("name") == name)
             .orderBy(F.col("seq").desc(), F.col("sha256").desc()).limit(1)
             .select("seq", "meta_json").collect())

@@ -276,9 +276,12 @@ def test_theta_merge_byte_identical_any_order():
         acc = ThetaSketch(k=1024)
         for i in order:
             acc.merge(partials[i])
-        # values identical (n_items header differs only by visit order sums)
+        # values identical; compare past the full 32-byte header so the
+        # n_items field (bytes 24-32) is genuinely excluded
+        import struct
+        hdr = struct.calcsize("<4sHHqqq")
         assert np.array_equal(acc.values, one.values)
-        assert acc.to_bytes()[26:] == one.to_bytes()[26:]
+        assert acc.to_bytes()[hdr:] == one.to_bytes()[hdr:]
     # idempotent: merging the same partial twice changes nothing
     acc.merge(partials[0])
     assert np.array_equal(acc.values, one.values)

@@ -140,19 +140,21 @@ def test_accumulate_into_scatter_equals_bincount():
         assert np.array_equal(w1, w2), width
 
 
-def test_accumulate_into_rejects_nonintegral_weights_on_scatter():
-    """ADVICE r2: float weights would silently truncate on the wide-sketch
-    scatter path (width-dependent semantics) — must raise instead."""
+def test_accumulate_into_rejects_nonintegral_weights_on_every_path():
+    """ADVICE r2 + r3 review: float weights silently corrupt on BOTH paths
+    (scatter casts per-element to int64; bincount truncates the float64
+    chunk sum on .astype(int64)) — must raise for any width, so the same
+    call never has width-dependent accept/corrupt semantics."""
     import pytest
     from sketchlib import hashing as H
 
     keys = np.arange(100, dtype=np.int64)
-    wide = 5 * H._CHUNK
-    table = np.zeros((2, wide), np.int64)
-    with pytest.raises(ValueError, match="integral"):
-        H.accumulate_into(keys, [1, 2], wide, table,
-                          weights=np.full(100, 1.5))
-    # integral-valued floats are fine (exact on both paths)
-    H.accumulate_into(keys, [1, 2], wide, table,
-                      weights=np.full(100, 2.0))
-    assert table.sum() == 2 * 2 * 100
+    for width in (1024, 5 * H._CHUNK):     # bincount path, scatter path
+        table = np.zeros((2, width), np.int64)
+        with pytest.raises(ValueError, match="integral"):
+            H.accumulate_into(keys, [1, 2], width, table,
+                              weights=np.full(100, 1.5))
+        # integral-valued floats are fine (exact on both paths)
+        H.accumulate_into(keys, [1, 2], width, table,
+                          weights=np.full(100, 2.0))
+        assert table.sum() == 2 * 2 * 100

@@ -84,6 +84,11 @@ def main(sf_dir="/root/testdata/sf0.01"):
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    n_oracled = sum(1 for k in qs if k in oracles)
+    if n_oracled > 50:
+        print(f"WARNING: {n_oracled} oracled queries but the driver checks "
+              "only the first 50 entries — the overflow will NOT get a "
+              "driver correctness row")
     failures = []
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)

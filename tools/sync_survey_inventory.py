@@ -45,8 +45,13 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for i, (name, fn) in enumerate(qs.items(), start=1):
-        if name in oracles:
+        if name in oracles and i <= DRIVER_WINDOW:
             check = "oracle (DuckDB value-hash)"
+        elif name in oracles:
+            # oracled but past the driver's window: the oracle runs only
+            # in the local gate — label it so the table never overstates
+            # the hard signal
+            check = "oracle (LOCAL GATE ONLY — outside driver window)"
         elif i <= DRIVER_WINDOW:
             check = "rows-only (driver-run)"
         else:
