@@ -6,7 +6,9 @@ from __future__ import annotations
 
 from .bloom import BloomFilter
 from .countmin import CountMinSketch
+from .countsketch import CountSketch
 from .ddsketch import DDSketch
+from .dyadic import DyadicCM
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGries
@@ -23,6 +25,8 @@ _REGISTRY = {
     b"TDG1": TDigest,
     b"MGK1": MisraGries,
     b"THT1": ThetaSketch,
+    b"CSK1": CountSketch,
+    b"DYA1": DyadicCM,
 }
 
 
