@@ -1569,6 +1569,133 @@ def _q_streaming_interval_join(spark, sf_dir):
         shutil.rmtree(inbox, ignore_errors=True)
 
 
+def _q_countsketch_point_err(spark, sf_dir):
+    """Count-Sketch point estimates (sketchlib.countsketch): the UNBIASED
+    companion to the reference's one-sided Count-Min (cm.h:482-496) —
+    collisions cancel under random signs, so error scales with eps*||f||_2
+    instead of eps*||f||_1 (far tighter on Zipf token streams). Probes the
+    50 heaviest tokens of the document corpus; self-asserts the published
+    per-probe bound |est - exact| <= eps*||f||_2 at confidence 1-delta
+    (d = ln 1/delta median rows). Rows-only: signed-hash estimates are not
+    SQL-expressible."""
+    import functools
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.spark_build import build_aggregator
+    import numpy as np
+    cfg = CSConfig.from_eps(0.02, math.exp(-6), seed=1337)
+    toks = _tokenized_docs(spark, sf_dir)
+    cs = build_aggregator(toks, "tokens",
+                          functools.partial(CountSketch, cfg)).sketch
+    counts = (toks.select(F.explode("tokens").alias("t"))
+              .groupBy("t").agg(F.count("*").alias("exact_cnt")))
+    l2 = float(counts.select(
+        F.sqrt(F.sum(F.col("exact_cnt") * F.col("exact_cnt")))
+        .alias("l2")).collect()[0]["l2"])
+    top = (counts.orderBy(F.desc("exact_cnt"), "t").limit(50).collect())
+    keys = np.array([r["t"] for r in top], dtype=np.int64)
+    exact = np.array([r["exact_cnt"] for r in top], dtype=np.float64)
+    est = cs.point_query_batch(keys)
+    err = np.abs(est - exact)
+    frac_ok = float((err <= cfg.eps * l2).mean())
+    return spark.createDataFrame(
+        [(int(keys.shape[0]), float(cfg.eps), l2,
+          float(err.max()), frac_ok,
+          bool(frac_ok >= 1 - math.exp(-6)))],
+        "n_probes int, eps double, l2_exact double, max_abs_err double, "
+        "frac_within double, within_bound boolean")
+
+
+def _q_countsketch_f2(spark, sf_dir):
+    """AMS second frequency moment F2 = sum_t f(t)^2 from the same signed
+    Count-Sketch table (each row's sum of squares is an unbiased F2
+    estimator; median over rows). F2/||f||_2 is the quantity that sizes
+    every self-join and similarity workload; the sketch answers it in one
+    pass and O(d*w) space. Self-asserts relative error <= 4/sqrt(w).
+    Rows-only (hash-family specific)."""
+    import functools
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.spark_build import build_aggregator
+    cfg = CSConfig(width=8192, depth=5, seed=1337)
+    toks = _tokenized_docs(spark, sf_dir)
+    cs = build_aggregator(toks, "tokens",
+                          functools.partial(CountSketch, cfg)).sketch
+    f2_exact = float(
+        toks.select(F.explode("tokens").alias("t"))
+        .groupBy("t").agg(F.count("*").alias("c"))
+        .select(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()[0]["f2"])
+    f2_est = cs.f2_estimate()
+    rel = abs(f2_est - f2_exact) / f2_exact
+    return spark.createDataFrame(
+        [(f2_est, f2_exact, rel, bool(rel <= 4 / math.sqrt(cfg.width)))],
+        "f2_est double, f2_exact double, rel_err double, "
+        "within_bound boolean")
+
+
+def _q_dyadic_range_counts(spark, sf_dir):
+    """Dyadic Count-Min range counts (sketchlib.dyadic): the classic
+    Cormode-Muthukrishnan extension of the reference's point-only sketch —
+    level l counts token >> l, so any id range decomposes into <= 2*levels
+    dyadic intervals, each one point query. Coarse levels whose domain
+    fits the sketch width are EXACT dense arrays (zero error, smaller than
+    a sketch). Per range, self-asserts inherited one-sidedness
+    (est >= exact) and the interval bound (est - exact <= #sketched
+    queries * eps * N). Rows-only (hash-family specific)."""
+    import functools
+    from sketchlib.dyadic import DyadicCM
+    from sketchlib.spark_build import build_aggregator
+    toks = _tokenized_docs(spark, sf_dir)
+    dy = build_aggregator(
+        toks, "tokens",
+        functools.partial(DyadicCM, 31, 1e-4, 0.02, 1337)).sketch
+    flat = toks.select(F.explode("tokens").alias("t"))
+    ranges = [(0, 2**28), (2**28, 2**29), (2**30, 2**31 - 1),
+              (12345, 2**26 + 6789), (2**29 + 1, 2**30 + 2**20)]
+    rows = []
+    for lo, hi in ranges:
+        exact = flat.filter((F.col("t") >= lo) & (F.col("t") <= hi)).count()
+        est, bound = dy.range_count_with_bound(lo, hi)
+        rows.append((lo, hi, int(exact), int(est), float(bound),
+                     bool(est >= exact),
+                     bool(est - exact <= bound)))
+    return spark.createDataFrame(
+        rows, "lo bigint, hi bigint, exact_cnt bigint, est bigint, "
+              "bound double, one_sided boolean, within_bound boolean")
+
+
+def _q_dyadic_token_quantiles(spark, sf_dir):
+    """Token-ID quantiles from the SAME dyadic structure (no second pass):
+    descend the dyadic tree by (over-)estimated child mass; rank error
+    <= n_sketched_levels * eps * N. Self-asserts the quantile sandwich
+    against exact ranks: #tokens < x <= q*N + bound and #tokens <= x >=
+    q*N - bound (a heavy token may swallow q*N entirely, so the rank of x
+    itself is not the target). Rows-only (hash-family specific)."""
+    import functools
+    from sketchlib.dyadic import DyadicCM
+    from sketchlib.spark_build import build_aggregator
+    toks = _tokenized_docs(spark, sf_dir)
+    dy = build_aggregator(
+        toks, "tokens",
+        functools.partial(DyadicCM, 31, 1e-4, 0.02, 1337)).sketch
+    flat = toks.select(F.explode("tokens").alias("t")).cache()
+    n = dy.total_count
+    bound = dy.rank_error_bound()
+    rows = []
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        x = dy.quantile(q)
+        below = flat.filter(F.col("t") < x).count()
+        at_or_below = flat.filter(F.col("t") <= x).count()
+        rows.append((float(q), int(x), int(below), int(at_or_below),
+                     float(bound),
+                     bool(below <= q * n + bound
+                          and at_or_below >= q * n - bound)))
+    flat.unpersist()
+    return spark.createDataFrame(
+        rows, "q double, est_key bigint, rank_below bigint, "
+              "rank_at_or_below bigint, bound double, "
+              "within_bound boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so every
@@ -1657,6 +1784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_rank": _q_event_type_rank,
         "bottomk_sample_by_source": _q_bottomk_sample_by_source,
         "corpus_curation": _q_corpus_curation,
+        "countsketch_point_err": _q_countsketch_point_err,
+        "countsketch_f2": _q_countsketch_f2,
+        "dyadic_range_counts": _q_dyadic_range_counts,
+        "dyadic_token_quantiles": _q_dyadic_token_quantiles,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}
