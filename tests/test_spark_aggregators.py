@@ -149,3 +149,55 @@ def test_grouped_theta_per_source(spark, token_table_path):
         tol = 5 * a.rse() * exact_u
         assert abs(a.estimate_union(b) - exact_u) <= tol
         assert abs(a.estimate_intersection(b) - exact_i) <= tol
+
+
+def test_grouped_countsketch_per_source(spark, token_table_path):
+    """Per-source Count-Sketch through the generic grouped topology:
+    unbiased per-source estimates within the eps*||f||_2 bound, and the
+    group sketches MERGE to byte-identity with the global build (signed
+    tables add elementwise, so group/global must commute)."""
+    from sketchlib.countsketch import CSConfig, CountSketch
+    cfg = CSConfig(width=4096, depth=5, seed=41)
+    fac = functools.partial(CountSketch, cfg)
+    df = spark.read.parquet(token_table_path)
+    grouped = build_grouped_aggregator(df, "source", "tokens", fac)
+    rows = {r["key"]: loads(bytes(r["sketch"])) for r in grouped.collect()}
+    flat = df.select("source", F.explode("tokens").alias("t"))
+    for src, sk in rows.items():
+        per = (flat.filter(F.col("source") == src).groupBy("t")
+               .agg(F.count("*").alias("c")).collect())
+        keys = np.array([r["t"] for r in per], dtype=np.int64)
+        exact = np.array([r["c"] for r in per], dtype=np.float64)
+        l2 = float(np.sqrt((exact ** 2).sum()))
+        top = np.argsort(exact)[-20:]
+        err = np.abs(sk.point_query_batch(keys[top]) - exact[top])
+        eps = np.sqrt(3 / cfg.width)
+        assert (err <= eps * l2).mean() >= 0.9, src
+    merged = None
+    for sk in rows.values():
+        merged = sk if merged is None else merged.merge(sk)
+    global_ = build_aggregator(df, "tokens", fac).sketch
+    assert merged.to_bytes() == global_.to_bytes()
+
+
+def test_grouped_dyadic_per_source(spark, token_table_path):
+    """Per-source dyadic Count-Min through the grouped topology: range
+    counts one-sided within the interval bound per group, and group
+    merges byte-match the global build."""
+    from sketchlib.dyadic import DyadicCM
+    fac = functools.partial(DyadicCM, 31, 5e-4, 0.02, 43)
+    df = spark.read.parquet(token_table_path)
+    grouped = build_grouped_aggregator(df, "source", "tokens", fac)
+    rows = {r["key"]: loads(bytes(r["sketch"])) for r in grouped.collect()}
+    flat = df.select("source", F.explode("tokens").alias("t"))
+    lo, hi = 2**20, 2**29
+    for src, sk in rows.items():
+        exact = flat.filter((F.col("source") == src) & (F.col("t") >= lo)
+                            & (F.col("t") <= hi)).count()
+        est, bound = sk.range_count_with_bound(lo, hi)
+        assert exact <= est <= exact + bound, src
+    merged = None
+    for sk in rows.values():
+        merged = sk if merged is None else merged.merge(sk)
+    global_ = build_aggregator(df, "tokens", fac).sketch
+    assert merged.to_bytes() == global_.to_bytes()

@@ -393,3 +393,39 @@ def test_windowed_theta_distinct_stream_equals_batch(spark, tmp_path):
         ref = build_aggregator(df.filter(hour == ws), "tokens", fac).sketch
         assert sk.to_bytes() == ref.to_bytes()
         assert sk.estimate() == ref.estimate()
+
+
+def test_windowed_countsketch_and_dyadic_stream_equals_batch(spark, tmp_path):
+    """The windowed builder is factory-generic for the round-3 sketches
+    too: per-window Count-Sketch and dyadic-CM state folded across
+    micro-batches is byte-identical to single-shot batch builds of the
+    same windows."""
+    import functools
+    from pyspark.sql import functions as F
+    from sketchlib.streaming import WindowedSketchBuilder
+    from sketchlib.spark_build import build_aggregator
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.dyadic import DyadicCM
+
+    inbox = str(tmp_path / "cs_inbox")
+    os.makedirs(inbox)
+    generate_token_table(f"{inbox}/p0.parquet", rows=400, seed=29, dist="zipf")
+    df = (spark.read.parquet(inbox)
+          .withColumn("ts", F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+                      + F.make_interval(mins=F.pmod(F.xxhash64("doc_id"),
+                                                    F.lit(110)).cast("int"))))
+    split = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    for tag, fac in (
+            ("cs", functools.partial(CountSketch,
+                                     CSConfig(width=512, depth=4, seed=3))),
+            ("dy", functools.partial(DyadicCM, 31, 1e-3, 0.05, 3))):
+        b = WindowedSketchBuilder(fac, "ts", "tokens",
+                                  str(tmp_path / f"{tag}_snap"),
+                                  window_seconds=3600)
+        b.process_batch(df.filter(split), 0)
+        b.process_batch(df.filter(~split), 1)
+        assert len(b.sketches) == 2, tag
+        for ws, sk in b.sketches.items():
+            hour = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+            ref = build_aggregator(df.filter(hour == ws), "tokens", fac).sketch
+            assert sk.to_bytes() == ref.to_bytes(), tag
