@@ -9,10 +9,16 @@ parquet-direct path and the oracle is an exact distributed groupBy —
 same seed discipline (1337), same epsilon/delta shape
 (eps = e/(10*u_distinct_scale), delta = e^-3 -> d = 3).
 
-Usage: python tools/error_hist.py [rows] [q]
+Usage: python tools/error_hist.py [rows] [q] [cm|cs]
 Prints one JSON line:
   {"hist": [...20 buckets...], "within_bound_frac": f, "eps_l1": int,
    "delta": f, "n_tokens": N, "sidedness_violations": 0}
+
+The ``cs`` mode runs the same experiment against the Count-Sketch
+(countsketch.py): the histogram is of SIGNED error (collisions cancel
+under random signs), the bound is eps*||f||_2 with eps = sqrt(3/w), and
+instead of sidedness the output evidences unbiasedness — mean signed
+error as a fraction of the bound, and error mass on both sides.
 """
 
 from __future__ import annotations
@@ -27,13 +33,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(rows: int = 100_000, q: int = 100_000) -> None:
+def main(rows: int = 100_000, q: int = 100_000, sketch: str = "cm") -> None:
+    import functools
+
     import numpy as np
     from pyspark.sql import SparkSession, functions as F
 
     from sketchlib.countmin import CMConfig
+    from sketchlib.countsketch import CSConfig, CountSketch
     from sketchlib.datagen import generate_token_table
-    from sketchlib.spark_build import build_sketch_parquet
+    from sketchlib.spark_build import build_aggregator, build_sketch_parquet
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "16")
@@ -50,9 +59,22 @@ def main(rows: int = 100_000, q: int = 100_000) -> None:
     # eps = e/(10*rows), the error_bench parameter shape (the reference
     # keys eps off its stream-length argument n, which maps to rows here)
     toks = spark.read.parquet(path)
-    cfg = CMConfig(eps=math.e / (10 * rows), delta=math.exp(-3), seed=1337)
-    res = build_sketch_parquet(spark, path, "tokens", cfg)
-    sk = res.sketch
+    if sketch == "cs":
+        # width matched to the CM memory shape at the same rows argument
+        # is pointless (CS errs in ||f||_2 units); eps = 0.3% of the l2
+        # norm puts the bound at ~3x the per-row collision std (so the
+        # within-bound fraction is a real measurement, not slack) with
+        # the reference's d = 3 confidence rows
+        cs_cfg = CSConfig.from_eps(0.003, math.exp(-3), seed=1337)
+        res = build_aggregator(toks, "tokens",
+                               functools.partial(CountSketch, cs_cfg))
+        sk = res.sketch
+        cfg = None
+    else:
+        cfg = CMConfig(eps=math.e / (10 * rows), delta=math.exp(-3),
+                       seed=1337)
+        res = build_sketch_parquet(spark, path, "tokens", cfg)
+        sk = res.sketch
     n_tokens = sk.n_items     # the build already counted every token
 
     exact = (toks.select(F.explode("tokens").alias("t"))
@@ -77,24 +99,59 @@ def main(rows: int = 100_000, q: int = 100_000) -> None:
     est = sk.point_query_batch(keys)
 
     err = est - truth
-    bound = cfg.eps * sk.total_count
-    hist_edges = np.linspace(0, max(float(err.max()), 1.0), 21)
-    hist, _ = np.histogram(err, bins=hist_edges)
-    out = {
-        "hist": hist.tolist(),
-        "hist_max_err": int(err.max()),
-        "within_bound_frac": float((err <= bound).mean()),
-        "eps_l1": int(bound),
-        "delta": cfg.delta,
-        "n_tokens": int(n_tokens),
-        "n_probes": int(len(keys)),
-        "sidedness_violations": int((err < 0).sum()),
-        "w": cfg.width, "d": cfg.depth,
-    }
-    assert out["sidedness_violations"] == 0
-    assert out["within_bound_frac"] >= 1 - cfg.delta
+    if sketch == "cs":
+        # exact l2 from the full distinct-count table (distributed agg)
+        l2 = float(exact.select(
+            F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("l2"))
+            .collect()[0]["l2"])
+        bound = cs_cfg.eps * l2
+        delta = math.exp(-cs_cfg.depth)
+        hist_edges = np.linspace(float(err.min()) - 1e-9,
+                                 max(float(err.max()), 1.0), 21)
+        hist, _ = np.histogram(err, bins=hist_edges)
+        out = {
+            "sketch": "cs",
+            "hist": hist.tolist(),
+            "hist_err_range": [float(err.min()), float(err.max())],
+            "within_bound_frac": float((np.abs(err) <= bound).mean()),
+            "eps_l2": float(bound),
+            "delta": delta,
+            "n_tokens": int(n_tokens),
+            "n_probes": int(len(keys)),
+            # unbiasedness evidence: mean signed error tiny vs the bound,
+            # and error mass on BOTH sides (CM has zero negative mass)
+            "mean_err_over_bound": float(err.mean() / bound),
+            "neg_errs": int((err < 0).sum()),
+            "pos_errs": int((err > 0).sum()),
+            "w": cs_cfg.width, "d": cs_cfg.depth,
+        }
+        assert out["within_bound_frac"] >= 1 - delta
+        assert out["neg_errs"] > 0 and out["pos_errs"] > 0
+        assert abs(out["mean_err_over_bound"]) < 0.5
+    else:
+        bound = cfg.eps * sk.total_count
+        hist_edges = np.linspace(0, max(float(err.max()), 1.0), 21)
+        hist, _ = np.histogram(err, bins=hist_edges)
+        out = {
+            "hist": hist.tolist(),
+            "hist_max_err": int(err.max()),
+            "within_bound_frac": float((err <= bound).mean()),
+            "eps_l1": int(bound),
+            "delta": cfg.delta,
+            "n_tokens": int(n_tokens),
+            "n_probes": int(len(keys)),
+            "sidedness_violations": int((err < 0).sum()),
+            "w": cfg.width, "d": cfg.depth,
+        }
+        assert out["sidedness_violations"] == 0
+        assert out["within_bound_frac"] >= 1 - cfg.delta
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    args = sys.argv[1:]
+    sketch = "cm"
+    if args and args[-1] in ("cm", "cs"):
+        sketch = args[-1]
+        args = args[:-1]
+    main(*(int(a) for a in args), sketch=sketch)
