@@ -95,7 +95,13 @@ class DyadicCM:
                 f"keys [{amin}, {amax}] outside [0, 2^{self.universe_bits})")
         self.n_items += n
         if counts is None:
-            u, c = _unique_counts(arr.astype(np.int64, copy=False))
+            # collapse on the NATIVE dtype (int32 sorts 2x faster and the
+            # workspace is half the size), then widen only the uniques —
+            # also takes ownership: _unique_counts returns views into a
+            # reused buffer and the ladder below outlives the next call
+            u0, c0 = _unique_counts(arr)
+            u = u0.astype(np.int64)
+            c = c0.astype(np.int64)
             self.total_count += n
         else:
             c = np.asarray(counts, dtype=np.int64)

