@@ -127,6 +127,22 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     extra["cm_build_tokens_per_sec"] = round(res.sketch.n_items / timings["cm_build"], 1)
     extra["cm_build_total_tokens"] = res.sketch.n_items
 
+    # Count-Sketch build on the same table through the generic
+    # parquet-direct path (same slice protocol; signed table, unbiased
+    # estimates) — tracks how close the signed sketch stays to the CM
+    # fast path (measured within ~1.3x at 2.08 B tokens)
+    import functools
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.spark_build import build_aggregator_parquet
+    cs = timed("cs_build",
+               lambda: build_aggregator_parquet(
+                   spark, tok_path, "tokens",
+                   functools.partial(CountSketch,
+                                     CSConfig(width=cfg.width,
+                                              depth=cfg.depth, seed=1337))))
+    extra["cs_build_tokens_per_sec"] = round(
+        cs.sketch.n_items / timings["cs_build"], 1)
+
     # grouped build through the parquet-direct columnar source — the arrow
     # DataFrame path bounces every token through a JVM row (~0.5 GB/s
     # ceiling; 72.8 s vs 6.2 s for the global build in round 1)

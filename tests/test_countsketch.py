@@ -190,3 +190,31 @@ def test_distributed_build_matches_local(spark):
     local.update_batch(arr)
     assert res.sketch.to_bytes() == local.to_bytes()
     assert res.n_rows == arr.shape[0]
+
+
+def test_sketch_probe_col_countsketch(spark):
+    """The generalized broadcast probe column serves Count-Sketch too:
+    per-row unbiased estimates (double-typed — medians of an even depth
+    are half-integral) equal the local batch query exactly."""
+    from pyspark.sql import functions as F
+    from sketchlib.spark_build import build_aggregator, sketch_probe_col
+    import functools
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cfg = CSConfig(width=512, depth=4, seed=5)
+    sk = build_aggregator(df, "user_id",
+                          functools.partial(CountSketch, cfg)).sketch
+    probed = (df.select("user_id").distinct()
+              .withColumn("est", sketch_probe_col(
+                  spark, sk, F.col("user_id"),
+                  method="point_query_batch", rtype="double"))
+              .collect())
+    keys = np.array([r["user_id"] for r in probed], dtype=np.int64)
+    got = np.array([r["est"] for r in probed])
+    assert np.array_equal(got, sk.point_query_batch(keys))
+    # estimates aggregate distributively without driver-side rows
+    total = (df.select("user_id")
+             .withColumn("est", sketch_probe_col(
+                 spark, sk, F.col("user_id"),
+                 method="point_query_batch", rtype="double"))
+             .agg(F.sum("est")).collect()[0][0])
+    assert total is not None
