@@ -1651,11 +1651,16 @@ def _q_dyadic_range_counts(spark, sf_dir):
     flat = toks.select(F.explode("tokens").alias("t"))
     ranges = [(0, 2**28), (2**28, 2**29), (2**30, 2**31 - 1),
               (12345, 2**26 + 6789), (2**29 + 1, 2**30 + 2**20)]
+    # ONE corpus pass for all exact range counts (a filter+count per range
+    # would rescan and re-tokenize the corpus 5x)
+    exact_row = flat.agg(*[
+        F.sum(((F.col("t") >= lo) & (F.col("t") <= hi)).cast("long"))
+        .alias(f"r{i}") for i, (lo, hi) in enumerate(ranges)]).collect()[0]
     rows = []
-    for lo, hi in ranges:
-        exact = flat.filter((F.col("t") >= lo) & (F.col("t") <= hi)).count()
+    for i, (lo, hi) in enumerate(ranges):
+        exact = int(exact_row[f"r{i}"])
         est, bound = dy.range_count_with_bound(lo, hi)
-        rows.append((lo, hi, int(exact), int(est), float(bound),
+        rows.append((lo, hi, exact, int(est), float(bound),
                      bool(est >= exact),
                      bool(est - exact <= bound)))
     return spark.createDataFrame(

@@ -116,9 +116,16 @@ class CountSketch:
         n = arr.shape[0]
         if n == 0:
             return
-        self.n_items += n
+        # validate BEFORE mutating: a caller that catches the ValueError
+        # must not be left with n_items disagreeing with the table (that
+        # would break partial byte-identity)
+        if counts is not None:
+            cnts = np.asarray(counts, dtype=np.int64)
+            if cnts.shape[0] != n:
+                raise ValueError("counts length must match keys length")
         do_agg = (n >= self._AGG_THRESHOLD) if preaggregate is None else (
             preaggregate and n > 1)
+        self.n_items += n
         if counts is None:
             if do_agg:
                 arr, cnts = _unique_counts(arr)
@@ -126,9 +133,6 @@ class CountSketch:
                 cnts = None
             self.total_count += n
         else:
-            cnts = np.asarray(counts, dtype=np.int64)
-            if cnts.shape[0] != n:
-                raise ValueError("counts length must match keys length")
             self.total_count += int(cnts.sum())
         self._scatter(arr, cnts)
 

@@ -93,6 +93,10 @@ class DyadicCM:
         if amin < 0 or amax >> self.universe_bits:
             raise ValueError(
                 f"keys [{amin}, {amax}] outside [0, 2^{self.universe_bits})")
+        # counts-length validation must also precede any mutation (see
+        # CountSketch.update_batch): no partial state on a raised error
+        if counts is not None and np.asarray(counts).shape[0] != n:
+            raise ValueError("counts length must match keys length")
         self.n_items += n
         if counts is None:
             # collapse on the NATIVE dtype (int32 sorts 2x faster and the
@@ -105,8 +109,6 @@ class DyadicCM:
             self.total_count += n
         else:
             c = np.asarray(counts, dtype=np.int64)
-            if c.shape[0] != n:
-                raise ValueError("counts length must match keys length")
             order = np.argsort(arr, kind="stable")
             u0 = arr.astype(np.int64, copy=False)[order]
             c0 = c[order]
@@ -119,7 +121,10 @@ class DyadicCM:
         for l in range(self.universe_bits):
             lvl = self.levels[l]
             if isinstance(lvl, np.ndarray):
-                np.add.at(lvl, u, c)
+                # u is duplicate-free at every level (unique'd at level 0,
+                # reduceat-collapsed below), so plain fancy indexing is
+                # correct and several times faster than np.add.at
+                lvl[u] += c
             else:
                 lvl.update_batch(u, counts=c, preaggregate=False)
                 # the level sees duplicate-collapsed keys, so its raw

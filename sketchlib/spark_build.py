@@ -382,9 +382,14 @@ def _parquet_partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
             "build_ms": [ms],
         })
 
+    return _slice_dispatch(one_slice)
+
+
+def _slice_dispatch(one_slice):
+    """mapInPandas wrapper shared by every parquet-direct builder: a
+    partition may carry several slices; each MUST yield its own partial
+    keyed by its own slice id (checkpoint resume correctness)."""
     def fn(pdf_iter):
-        # a partition may carry several slices; each MUST yield its own
-        # partial keyed by its own slice id (checkpoint resume correctness)
         by_slice: dict[int, list[tuple[str, list[int]]]] = {}
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():  # tiny: one row per (slice, file)
@@ -1073,6 +1078,13 @@ def _parquet_agg_partial_builder(factory, values_col: str):
                 col = pf.read_row_group(int(rg), columns=[values_col],
                                         use_threads=False).column(0)
                 for chunk in col.chunks:
+                    if chunk.null_count:
+                        # the DataFrame path filters isNotNull() before
+                        # building; without this, a null scalar decays the
+                        # whole chunk to float64-with-NaN and the sketch
+                        # silently hashes garbage — byte-identity requires
+                        # dropping null ROWS here too
+                        chunk = chunk.drop_null()
                     n_rows += len(chunk)   # ROWS, before list flattening
                     if pa.types.is_list(chunk.type) or \
                             pa.types.is_large_list(chunk.type):
@@ -1090,15 +1102,7 @@ def _parquet_agg_partial_builder(factory, values_col: str):
             "build_ms": [ms],
         })
 
-    def fn(pdf_iter):
-        by_slice: dict[int, list[tuple[str, list[int]]]] = {}
-        for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                by_slice.setdefault(int(row["slice_id"]), []).append(
-                    (row["file"], [int(r) for r in row["rgs"]]))
-        for slice_id in sorted(by_slice):
-            yield one_slice(slice_id, by_slice[slice_id])
-    return fn
+    return _slice_dispatch(one_slice)
 
 
 def build_aggregator_parquet(spark: SparkSession, path: str, values_col: str,

@@ -218,3 +218,14 @@ def test_sketch_probe_col_countsketch(spark):
                  method="point_query_batch", rtype="double"))
              .agg(F.sum("est")).collect()[0][0])
     assert total is not None
+
+
+def test_failed_update_leaves_state_untouched():
+    """A rejected counts-length mismatch must not mutate n_items/total
+    (a caught ValueError would otherwise break partial byte-identity)."""
+    cfg = CSConfig(width=128, depth=3, seed=1)
+    cs = _build(np.arange(50), cfg)
+    before = cs.to_bytes()
+    with pytest.raises(ValueError):
+        cs.update_batch(np.array([1, 2, 3]), counts=np.array([1]))
+    assert cs.to_bytes() == before

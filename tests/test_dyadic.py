@@ -149,3 +149,16 @@ def test_distributed_build_matches_local(spark):
     arr = np.array([r[0] for r in vals.collect()], dtype=np.int64)
     local.update_batch(arr)
     assert res.sketch.to_bytes() == local.to_bytes()
+
+
+def test_failed_update_leaves_state_untouched():
+    d = DyadicCM(universe_bits=8, eps=0.02, delta=0.05, seed=1)
+    d.update_batch(np.arange(100, dtype=np.int64))
+    before = d.to_bytes()
+    with pytest.raises(ValueError):
+        d.update_batch(np.array([1, 2, 3], dtype=np.int64),
+                       counts=np.array([5], dtype=np.int64))
+    assert d.to_bytes() == before
+    with pytest.raises(ValueError):
+        d.update_batch(np.array([999], dtype=np.int64))  # out of universe
+    assert d.to_bytes() == before

@@ -231,3 +231,27 @@ def test_parquet_direct_aggregator_byte_identical(spark, token_table_path):
     # lineage carries one row per slice with real counts
     assert (direct4.lineage["n_rows"] > 0).all()
     assert len(direct4.lineage) <= 4
+
+
+def test_parquet_direct_aggregator_null_rows(spark, tmp_path):
+    """Null rows must be dropped exactly like the DataFrame path's
+    isNotNull filter — same sketch bytes, same n_rows — for both scalar
+    and list columns (a null scalar would otherwise decay the chunk to
+    float64 NaNs and hash garbage)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from sketchlib.kll import KllSketch
+    from sketchlib.spark_build import build_aggregator_parquet
+    path = str(tmp_path / "nulls.parquet")
+    pq.write_table(pa.table({
+        "v": pa.array([3, None, 5, 7, None, 9], pa.int32()),
+        "arr": pa.array([[1, 2], None, [3], [4, 5, 6], None, [7]],
+                        pa.list_(pa.int32())),
+    }), path)
+    df = spark.read.parquet(path)
+    for col, fac in (("v", functools.partial(KllSketch, 64)),
+                     ("arr", functools.partial(HllSketch, p=10))):
+        direct = build_aggregator_parquet(spark, path, col, fac)
+        via_df = build_aggregator(df, col, fac)
+        assert direct.sketch.to_bytes() == via_df.sketch.to_bytes(), col
+        assert direct.n_rows == via_df.n_rows == 4
