@@ -40,8 +40,18 @@ def _all_sketches():
     td.update_batch(vals)
     mg = MisraGries(k=64)
     mg.update_batch(toks)
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.dyadic import DyadicCM
+    from sketchlib.theta import ThetaSketch
+    cs = CountSketch(CSConfig(width=512, depth=3, seed=7))
+    cs.update_batch(toks)
+    dy = DyadicCM(universe_bits=10, eps=0.01, delta=0.05, seed=7)
+    dy.update_batch(toks)
+    th = ThetaSketch(256, seed=7)
+    th.update_batch(toks)
     return {"cm": cm, "hll": hll, "bloom": bf, "dd": dd,
-            "kll": kll, "td": td, "mg": mg}
+            "kll": kll, "td": td, "mg": mg, "cs": cs, "dy": dy,
+            "theta": th}
 
 
 def test_roundtrip_all_types_byte_identical(spark, tmp_path):
