@@ -1701,6 +1701,55 @@ def _q_dyadic_token_quantiles(spark, sf_dir):
               "within_bound boolean")
 
 
+def _q_fd_embedding_gram(spark, sf_dir):
+    """Frequent Directions Gram/covariance sketch over the embeddings
+    table (sketchlib.fd): ell directions approximate A'A of ALL vectors
+    with deterministic error ||A'A - B'B||_2 <= fro2/ell — the matrix
+    analogue of the reference's one-sided Count-Min bound (cm.h:118-131:
+    certificate-backed estimate, never a sample). Built with the same
+    generic partial+tree-merge topology as every other sketch here (raw
+    vectors never shuffle; partials are ell x dim blobs); verified against
+    the exact distributed Gram (similarity.gram_exact). Self-asserts the
+    PSD direction, the a-posteriori certificate (shrink_total), and the
+    a-priori bound. Rows-only (matrix norms are not DuckDB-expressible)."""
+    import functools
+
+    import numpy as np
+
+    from sketchlib.fd import FrequentDirections
+    from sketchlib.similarity import gram_exact
+    from sketchlib.spark_build import build_aggregator
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    ell = 16
+    res = build_aggregator(emb, "embedding",
+                           functools.partial(FrequentDirections, ell, dim))
+    fd = res.sketch
+    G, n_rows = gram_exact(emb, "embedding", dim)
+    B = fd.rows()
+    E = G - B.T @ B
+    ev = np.linalg.eigvalsh(E)
+    spec_err = float(max(abs(ev[0]), abs(ev[-1])))
+    tol = 1e-9 * max(fd.fro2, 1.0)
+    psd_ok = bool(ev[0] >= -tol)                      # A'A - B'B >= 0
+    cert = fd.error_certificate()
+    apriori = fd.cov_error_bound()
+    within = bool(spec_err <= cert + tol and cert <= apriori + tol)
+    # informational: cosine of the principal angle between FD's top
+    # direction and the exact one (not asserted — depends on spectrum gap)
+    v_fd = fd.top_directions(1)[0]
+    v_ex = np.linalg.eigh(G)[1][:, -1]
+    top1_align = float(abs(v_fd @ v_ex))
+    return spark.createDataFrame(
+        [(n_rows, int(fd.n_items), dim, ell, float(fd.fro2), spec_err,
+          float(cert), float(apriori), top1_align, psd_ok, within)],
+        "n_vecs long, sketch_rows_seen long, dim int, ell int, "
+        "fro2 double, spec_err double, err_certificate double, "
+        "apriori_bound double, top1_align double, "
+        "psd_ok boolean, within_bound boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so every
@@ -1793,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_f2": _q_countsketch_f2,
         "dyadic_range_counts": _q_dyadic_range_counts,
         "dyadic_token_quantiles": _q_dyadic_token_quantiles,
+        "fd_embedding_gram": _q_fd_embedding_gram,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

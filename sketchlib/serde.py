@@ -9,6 +9,7 @@ from .countmin import CountMinSketch
 from .countsketch import CountSketch
 from .ddsketch import DDSketch
 from .dyadic import DyadicCM
+from .fd import FrequentDirections
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGries
@@ -27,6 +28,7 @@ _REGISTRY = {
     b"THT1": ThetaSketch,
     b"CSK1": CountSketch,
     b"DYA1": DyadicCM,
+    b"FDR1": FrequentDirections,
 }
 
 

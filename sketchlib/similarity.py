@@ -249,3 +249,43 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
     pruned = (df.withColumn("cell", ivf_cell_col(centroids, F.col(vec_col)))
               .filter(F.col("cell").isin(cells)))
     return ann_topk_bruteforce(pruned, vec_col, id_col, query_vec, k=k)
+
+
+def gram_exact(df: DataFrame, vec_col: str, dim: int):
+    """Exact Gram matrix A'A of the embedding column, distributed: each
+    partition folds its rows into ONE dim x dim float64 partial (a single
+    BLAS syrk-shaped matmul per Arrow batch — no per-row Python), partials
+    come back as dim*dim arrays and sum on the driver. Driver fan-in is
+    n_partitions * dim^2 * 8 bytes (64-dim -> 32 KB per partial), bounded
+    by partition count, never by row count; raw vectors never shuffle.
+    Returns (G: np.ndarray dim x dim, n_rows: int). The test-side oracle
+    for the FrequentDirections sketch (sketchlib.fd)."""
+    import pyarrow as pa
+
+    def fn(batches):
+        g = np.zeros((dim, dim), dtype=np.float64)
+        n = 0
+        for batch in batches:
+            col = batch.column(0)
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                col = col.flatten()
+            flat = col.to_numpy(zero_copy_only=False)
+            if flat.shape[0] % dim:
+                raise ValueError(
+                    f"vector column not a multiple of dim={dim}")
+            x = flat.reshape(-1, dim).astype(np.float64, copy=False)
+            g += x.T @ x
+            n += x.shape[0]
+        yield pa.RecordBatch.from_pydict(
+            {"n": [n], "g": [g.ravel().tolist()]},
+            schema=pa.schema([("n", pa.int64()),
+                              ("g", pa.list_(pa.float64()))]))
+
+    parts = (df.select(vec_col).filter(F.col(vec_col).isNotNull())
+             .mapInArrow(fn, "n long, g array<double>").collect())
+    G = np.zeros((dim, dim), dtype=np.float64)
+    n_rows = 0
+    for r in parts:
+        G += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
+        n_rows += int(r["n"])
+    return G, n_rows

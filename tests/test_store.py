@@ -49,9 +49,12 @@ def _all_sketches():
     dy.update_batch(toks)
     th = ThetaSketch(256, seed=7)
     th.update_batch(toks)
+    from sketchlib.fd import FrequentDirections
+    fd = FrequentDirections(ell=8, dim=16)
+    fd.update_batch(np.arange(25 * 16, dtype=np.float64).reshape(25, 16))
     return {"cm": cm, "hll": hll, "bloom": bf, "dd": dd,
             "kll": kll, "td": td, "mg": mg, "cs": cs, "dy": dy,
-            "theta": th}
+            "theta": th, "fd": fd}
 
 
 def test_roundtrip_all_types_byte_identical(spark, tmp_path):

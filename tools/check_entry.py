@@ -79,7 +79,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
     ASSERT_COLS = {"est_ge_exact", "within_bound", "guarantee_holds",
                    "matches_batch", "byte_identical",
                    "rawlog_equals_two_sketch", "tables_equal",
-                   "equals_dense", "exact_recovery",
+                   "equals_dense", "exact_recovery", "psd_ok",
                    "all_above_threshold", "all_dups_found"}
 
     qs = entry_mod.queries()
