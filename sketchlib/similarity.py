@@ -289,3 +289,38 @@ def gram_exact(df: DataFrame, vec_col: str, dim: int):
         G += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
         n_rows += int(r["n"])
     return G, n_rows
+
+
+def project_onto(df: DataFrame, vec_col: str, directions, *,
+                 keep_cols: tuple = (), out_col: str = "proj") -> DataFrame:
+    """Project the embedding column onto k row-orthonormal directions
+    (k x dim, e.g. FrequentDirections.top_directions) — distributed
+    dimensionality reduction: one batched matmul per Arrow batch, no
+    shuffle, output rows carry ``keep_cols`` plus the k-dim projection.
+    The direction matrix ships in the task closure (k*dim*8 bytes — for
+    k=64, dim=1024 that is 512 KB, broadcast-sized)."""
+    import pyarrow as pa
+
+    v = np.ascontiguousarray(np.asarray(directions, dtype=np.float64))
+    k, dim = v.shape
+    keep = list(keep_cols)
+
+    def fn(batches):
+        for batch in batches:
+            col = batch.column(len(keep))
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                col = col.flatten()
+            flat = col.to_numpy(zero_copy_only=False)
+            if flat.shape[0] % dim:
+                raise ValueError(f"vector column not a multiple of dim={dim}")
+            x = flat.reshape(-1, dim).astype(np.float64, copy=False)
+            proj = x @ v.T                       # (n, k)
+            out = {c: batch.column(i) for i, c in enumerate(keep)}
+            out[out_col] = pa.array(list(proj), pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_pydict(out)
+
+    src = df.select(*keep, vec_col).filter(F.col(vec_col).isNotNull())
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep]
+        + [f"{out_col} array<double>"])
+    return src.mapInArrow(fn, schema)

@@ -151,3 +151,32 @@ def test_spark_build_parquet_direct(spark, emb_parquet):
     tol = 1e-9 * fd.fro2
     assert min_ev >= -tol
     assert spec <= fd.error_certificate() + tol
+
+
+def test_project_onto_matches_numpy(spark, emb_parquet):
+    """Distributed projection == numpy matmul, and the FD projection
+    guarantee holds: rank-k error within k*certificate of optimal."""
+    from sketchlib.similarity import project_onto
+    from sketchlib.spark_build import build_aggregator
+    path, a = emb_parquet
+    df = spark.read.parquet(path).repartition(5)
+    fd = build_aggregator(df, "embedding",
+                          functools.partial(FrequentDirections, ELL, DIM)
+                          ).sketch
+    k = 4
+    v = fd.top_directions(k)
+    got = {r["vec_id"]: np.asarray(r["proj"])
+           for r in project_onto(df, "embedding", v,
+                                 keep_cols=("vec_id",)).collect()}
+    a64 = a.astype(np.float64)
+    want = a64 @ v.T
+    assert len(got) == a.shape[0]
+    for i in range(0, a.shape[0], 97):
+        assert np.allclose(got[i], want[i], rtol=1e-6, atol=1e-9)
+    # GLPW16 projection bound, certificate form
+    fro2 = float((a64 * a64).sum())
+    err_fd = fro2 - float((want * want).sum())
+    evals = np.linalg.eigvalsh(a64.T @ a64)
+    err_exact = fro2 - float(evals[-k:].sum())
+    tol = 1e-9 * fro2
+    assert err_exact - tol <= err_fd <= err_exact + k * fd.error_certificate() + tol
