@@ -1797,6 +1797,47 @@ def _q_fd_pca_project(spark, sf_dir):
         "err_bound double, within_bound boolean")
 
 
+def _q_psample_subset_sums(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup JACM'07, sketchlib.psample):
+    a k-item weighted sample of documents (weight = n_chars, payload =
+    source) whose tau-adjusted weights are unbiased estimators of ANY
+    subset sum — here, total characters per source, answered from a
+    few-KB sample without rescanning the corpus. The weighted counterpart
+    of the theta sketch's uniform bottom-k (same hash-derived-randomness
+    determinism contract; merges byte-identical in any order, tested).
+    Self-asserts: (a) tracked total_weight equals the exact corpus total
+    EXACTLY (it is summed, not sampled); (b) every per-source estimate is
+    within 50% of the exact sum on this fixture (deterministic, since the
+    sample is a pure function of the key set and seed). Rows-only: the
+    estimates are hash-family-specific. No reference counterpart
+    (CountMinDB is frequency-only; cm.h has no sampling surface)."""
+    import functools
+
+    from sketchlib.psample import PrioritySample
+    from sketchlib.spark_build import build_aggregator_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = build_aggregator_pairs(
+        docs, "doc_id", "n_chars",
+        functools.partial(PrioritySample, 256, 1337), payload_col="source")
+    ps = res.sketch
+    est = ps.estimate_group_sums()
+    exact = {r["source"]: int(r["s"]) for r in
+             docs.filter(F.col("n_chars") > 0).groupBy("source")
+             .agg(F.sum("n_chars").alias("s")).collect()}
+    total_ok = abs(ps.total_weight - float(sum(exact.values()))) < 1e-6
+    rows = []
+    for src in sorted(exact):
+        e, x = est.get(src, 0.0), exact[src]
+        rel = abs(e - x) / max(x, 1)
+        rows.append((src, x, float(e), float(rel), ps.k,
+                     bool(rel <= 0.5), bool(total_ok)))
+    return spark.createDataFrame(
+        rows, "source string, exact_chars long, est_chars double, "
+              "rel_err double, k int, within_tol boolean, "
+              "total_exact boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so every
@@ -1891,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyadic_token_quantiles": _q_dyadic_token_quantiles,
         "fd_embedding_gram": _q_fd_embedding_gram,
         "fd_pca_project": _q_fd_pca_project,
+        "psample_subset_sums": _q_psample_subset_sums,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

@@ -13,6 +13,7 @@ from .fd import FrequentDirections
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGries
+from .psample import PrioritySample
 from .tdigest import TDigest
 from .theta import ThetaSketch
 
@@ -29,6 +30,7 @@ _REGISTRY = {
     b"CSK1": CountSketch,
     b"DYA1": DyadicCM,
     b"FDR1": FrequentDirections,
+    b"PSM1": PrioritySample,
 }
 
 

@@ -1063,6 +1063,93 @@ def build_aggregator(df: DataFrame, values_col: str, factory, *,
                        n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
 
 
+def _string_flat_lens(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string/binary column -> (flat uint8 value buffer, per-row
+    lengths) with zero per-row Python: string arrays store their values
+    tightly packed in offset order, so the concatenation IS the slice of
+    the data buffer between the first and last offset."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("key/payload column must not contain nulls")
+    t = col.type
+    wide = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+    if not (wide or pa.types.is_string(t) or pa.types.is_binary(t)):
+        raise ValueError(f"expected a string/binary column, got {t}")
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64 if wide else np.int32)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[offs[0]:offs[-1]], np.diff(offs)
+
+
+def _pairs_partial_builder(factory, key_col: str, weight_col: str,
+                           payload_col: str | None):
+    """Partial builder for weighted-item sketches (PrioritySample): each
+    batch's keys/payloads are consumed straight from the Arrow value
+    buffers (update_flat), weights as one numpy column."""
+    def fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        t0 = time.perf_counter()
+        sk = factory()
+        n_rows = 0
+        for batch in batches:
+            kflat, klens = _string_flat_lens(
+                batch.column(batch.schema.get_field_index(key_col)))
+            w = batch.column(batch.schema.get_field_index(weight_col)
+                             ).to_numpy(zero_copy_only=False)
+            if payload_col is not None:
+                pflat, plens = _string_flat_lens(
+                    batch.column(batch.schema.get_field_index(payload_col)))
+                sk.update_flat(kflat, klens, w, pflat, plens)
+            else:
+                sk.update_flat(kflat, klens, w)
+            n_rows += batch.num_rows
+        ms = (time.perf_counter() - t0) * 1e3
+        yield pa.RecordBatch.from_pydict({
+            "pid": [pid],
+            "sketch": [sk.to_bytes()],
+            "n_rows": [n_rows],
+            "n_items": [sk.n_items],
+            "total_count": [getattr(sk, "total_count", 0)],
+            "build_ms": [ms],
+        }, schema=_PARTIAL_PA_SCHEMA)
+    return fn
+
+
+def build_aggregator_pairs(df: DataFrame, key_col: str, weight_col: str,
+                           factory, *, payload_col: str | None = None,
+                           fanout: int | None = None) -> BuildResult:
+    """Distributed build of a weighted-ITEM sketch (e.g. PrioritySample)
+    over (key, weight[, payload]) columns — the two-column counterpart of
+    build_aggregator, same partial schema, same √n tree merge, same
+    lineage. Rows with NULL or non-positive weight are excluded at the
+    scan (they contribute nothing to any subset sum)."""
+    t0 = time.perf_counter()
+    cols = [F.col(key_col).cast("string").alias(key_col),
+            F.col(weight_col).cast("double").alias(weight_col)]
+    if payload_col:
+        cols.append(F.col(payload_col).cast("string").alias(payload_col))
+    src = (df.select(*cols)
+           .filter(F.col(key_col).isNotNull() & (F.col(weight_col) > 0)))
+    lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
+    partials = src.mapInArrow(
+        _pairs_partial_builder(factory, key_col, weight_col, payload_col),
+        schema=_PARTIAL_SCHEMA).persist()
+    try:
+        lineage = partials.select(*lineage_cols).toPandas()
+        sketch = _tree_merge(partials, fanout, len(lineage))
+    finally:
+        partials.unpersist()
+    if sketch is None:
+        sketch = factory()
+    wall = time.perf_counter() - t0
+    lineage = lineage.sort_values("pid").reset_index(drop=True)
+    return BuildResult(sketch=sketch, lineage=lineage,
+                       n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
+
+
 def _parquet_agg_partial_builder(factory, values_col: str):
     """Factory-generic twin of _parquet_partial_builder: same slice
     protocol, same worker-persistent ParquetFile cache, any mergeable
