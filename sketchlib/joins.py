@@ -127,3 +127,61 @@ def range_join(left: DataFrame, right: DataFrame, key_col: str,
             .filter((F.col("_rts") - F.col("_lts") >= F.lit(lower_us)) &
                     (F.col("_rts") - F.col("_lts") <= F.lit(upper_us)))
             .drop("_band", "_lts", "_rts"))
+
+
+def bloom_semijoin(spark, fact: DataFrame, dim: DataFrame, key_col: str, *,
+                   fpr: float = 0.002, capacity: int | None = None,
+                   seed: int = 1337) -> DataFrame:
+    """Runtime-filter the FACT side of a join with a Bloom filter built
+    over the DIM side's join keys — sideways information passing, the
+    move that makes a fact⋈dim join survive 100 TB: fact rows whose key
+    cannot match are dropped AT THE SCAN, before they pay the shuffle.
+
+    Shape: one pass over the (small) dim side builds a mergeable Bloom
+    (partial + tree merge, sketchlib.spark_build.build_aggregator); the
+    few-hundred-KB blob broadcasts; the fact scan probes it Arrow-
+    vectorized (contains_batch — one deserialize per worker). No false
+    negatives, so ``bloom_semijoin(...).join(dim, key)`` returns exactly
+    ``fact.join(dim, key)``; false positives (rate ``fpr``) only leak
+    extra rows into the shuffle, where the real join removes them.
+
+    vs Spark's own runtime bloom filter (InjectRuntimeFilter, 3.3+):
+    that one is per-query and JVM-internal; this one is an explicit,
+    durable artifact — persist it via sketchlib.store and reuse it
+    across queries/days as a standing "known keys" filter, or merge
+    filters from incrementally arriving dim partitions.
+
+    ``capacity`` defaults to a distinct-count of the dim keys (one light
+    job on the small side). Returns the filtered fact DataFrame.
+    """
+    import functools
+
+    from .bloom import BloomFilter
+    from .spark_build import build_aggregator, sketch_probe_col
+
+    keys = dim.select(key_col).filter(F.col(key_col).isNotNull())
+    if capacity is None:
+        capacity = max(1, keys.distinct().count())
+    bf = build_aggregator(
+        keys, key_col,
+        functools.partial(BloomFilter, capacity=capacity, fpr=fpr,
+                          seed=seed)).sketch
+    claimed = sketch_probe_col(spark, bf, F.col(key_col),
+                               method="contains_batch", rtype="boolean")
+    return fact.filter(claimed)
+
+
+def runtime_filtered_join(spark, fact: DataFrame, dim: DataFrame,
+                          key_col: str, *, fpr: float = 0.002,
+                          capacity: int | None = None,
+                          how: str = "inner") -> DataFrame:
+    """``fact ⋈ dim`` with the fact side Bloom-pruned first (see
+    bloom_semijoin). Result is identical to the plain join — the Bloom
+    has no false negatives and the join itself discards false positives
+    — but the fact-side shuffle carries ~|matching| + fpr·|fact| rows
+    instead of |fact|."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError("runtime filtering is sound for inner/left_semi "
+                         "joins only (outer joins need the dropped rows)")
+    return bloom_semijoin(spark, fact, dim, key_col, fpr=fpr,
+                          capacity=capacity).join(dim, key_col, how)

@@ -159,3 +159,35 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
     for _, row in ref.iterrows():
         want = None if pd.isna(row["val"]) else int(row["val"])
         assert got[row["lid"]][0] == want, (row["lid"], got[row["lid"]], want)
+
+
+def test_bloom_semijoin_identical_to_plain_join(spark):
+    from sketchlib.joins import bloom_semijoin, runtime_filtered_join
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+                .select("o_orderkey", "o_orderpriority") \
+                .withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = (lineitem.join(dim, "l_orderkey")
+             .agg(F.count("*").alias("n"),
+                  F.sum("l_quantity").alias("q")).collect()[0])
+    filt = bloom_semijoin(spark, lineitem, dim, "l_orderkey", fpr=0.01)
+    n_fact = lineitem.count()
+    n_filt = filt.count()
+    # the filter actually prunes (URGENT is ~1/5 of orders) but never
+    # drops a matching row
+    assert n_filt < n_fact
+    got = (filt.join(dim, "l_orderkey")
+           .agg(F.count("*").alias("n"),
+                F.sum("l_quantity").alias("q")).collect()[0])
+    assert (got["n"], got["q"]) == (plain["n"], plain["q"])
+    # convenience wrapper, same result
+    rf = (runtime_filtered_join(spark, lineitem, dim, "l_orderkey",
+                                fpr=0.01)
+          .agg(F.count("*").alias("n"),
+               F.sum("l_quantity").alias("q")).collect()[0])
+    assert (rf["n"], rf["q"]) == (plain["n"], plain["q"])
+    with pytest.raises(ValueError):
+        runtime_filtered_join(spark, lineitem, dim, "l_orderkey",
+                              how="left_outer")

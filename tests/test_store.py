@@ -52,9 +52,14 @@ def _all_sketches():
     from sketchlib.fd import FrequentDirections
     fd = FrequentDirections(ell=8, dim=16)
     fd.update_batch(np.arange(25 * 16, dtype=np.float64).reshape(25, 16))
+    from sketchlib.psample import PrioritySample
+    ps = PrioritySample(k=32, seed=7)
+    ps.update_pairs([f"k{t}" for t in toks[:400]],
+                    (toks[:400] % 97 + 1).astype(np.float64),
+                    [f"g{t % 3}" for t in toks[:400]])
     return {"cm": cm, "hll": hll, "bloom": bf, "dd": dd,
             "kll": kll, "td": td, "mg": mg, "cs": cs, "dy": dy,
-            "theta": th, "fd": fd}
+            "theta": th, "fd": fd, "ps": ps}
 
 
 def test_roundtrip_all_types_byte_identical(spark, tmp_path):
