@@ -1,0 +1,93 @@
+"""Sketch-driven range partitioning: KLL quantile boundaries as a
+reusable physical-layout planner.
+
+Spark's ``repartitionByRange`` samples the input per query (a hidden
+extra scan with non-deterministic boundaries) and throws the boundaries
+away. Here the boundaries come from a mergeable KLL sketch built with
+the standard partial + tree-merge topology (sketchlib.spark_build), so
+they are
+
+- deterministic for a given input and k (KLL compaction here is
+  seeded/canonical — see kll.py),
+- reusable: persist the sketch in the durable store and re-derive
+  boundaries for tomorrow's writes so file layouts stay stable across
+  runs (the property that makes downstream merge-on-read and
+  partition-pruning predictable),
+- composable: union two tables' sketches to plan a layout for their
+  union without rescanning either.
+
+Bucket assignment is pure Catalyst (an ``aggregate`` over the broadcast
+boundary array — O(n_parts) comparisons per row inside whole-stage
+codegen, no Python), so the assignment column can feed
+``DataFrameWriter.partitionBy``, a ``repartition`` before a sorted
+write, or a skew diagnosis, all JVM-side.
+
+Guarantee: KLL normalized rank error eps (~1.7/k with k=400) bounds the
+bucket-population imbalance: each bucket holds a rank slice of width
+1/n_parts +- 2*eps, so max/mean count ratio <= 1 + 2*eps*n_parts for
+continuous (tie-free) columns. Ties concentrate mass on one value and
+are collapsed into one boundary (dedup below) — the imbalance is then a
+property of the data, not the planner.
+
+No counterpart in the reference (CountMinDB has no physical planner;
+its only layout knob is the hash-routed block chunking of cm.h:440-467,
+which this generalizes to value-range layout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .kll import KllSketch
+
+
+def range_boundaries_from_sketch(sk, n_parts: int) -> list[float]:
+    """n_parts-1 interior boundaries at equal rank spacing, strictly
+    increasing (ties collapse, so heavy single values cannot split)."""
+    if n_parts < 2:
+        raise ValueError("n_parts must be >= 2")
+    out: list[float] = []
+    for i in range(1, n_parts):
+        b = float(sk.quantile(i / n_parts))
+        if not out or b > out[-1]:
+            out.append(b)
+    return out
+
+
+def range_boundaries(df: DataFrame, value_col: str, n_parts: int, *,
+                     k: int = 400) -> list[float]:
+    """Distributed KLL build over ``value_col`` -> interior boundaries.
+    One pass, partials shuffle as KB blobs, raw values never move."""
+    from .spark_build import build_aggregator
+
+    res = build_aggregator(df, value_col, functools.partial(KllSketch, k=k))
+    if res.sketch.n_items == 0:
+        raise ValueError(f"no non-null values in {value_col}")
+    return range_boundaries_from_sketch(res.sketch, n_parts)
+
+
+def range_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Catalyst-only bucket id: the number of boundaries <= col, i.e.
+    searchsorted(boundaries, col, side='right') without leaving codegen.
+    NULLs map to bucket -1 so they stay addressable."""
+    if not boundaries:
+        return F.when(col.isNull(), F.lit(-1)).otherwise(F.lit(0))
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    n = F.aggregate(
+        arr, F.lit(0),
+        lambda acc, b: acc + F.when(col.cast("double") >= b, 1).otherwise(0))
+    return F.when(col.isNull(), F.lit(-1)).otherwise(n)
+
+
+def repartition_by_boundaries(df: DataFrame, value_col: str,
+                              boundaries: list[float], *,
+                              bucket_col: str = "_range_bucket") -> DataFrame:
+    """Attach the bucket id and range-cluster the rows on it: one
+    shuffle keyed by bucket, after which each task holds one contiguous
+    value range — the layout a sorted/partitioned write wants. The
+    bucket column is kept (callers pass it to partitionBy or drop it)."""
+    out = df.withColumn(bucket_col, range_bucket(F.col(value_col),
+                                                 boundaries))
+    return out.repartition(len(boundaries) + 1, F.col(bucket_col))

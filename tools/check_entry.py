@@ -80,7 +80,11 @@ def main(sf_dir="/root/testdata/sf0.01"):
                    "matches_batch", "byte_identical",
                    "rawlog_equals_two_sketch", "tables_equal",
                    "equals_dense", "exact_recovery", "psd_ok",
-                   "all_above_threshold", "all_dups_found"}
+                   "all_above_threshold", "all_dups_found",
+                   "within_tol", "total_exact",          # psample
+                   "join_identical", "pruned",           # bloom semijoin
+                   "bounds_monotone", "all_rows_kept",   # range partitioner
+                   "ranges_disjoint", "balanced"}
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
