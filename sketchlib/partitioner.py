@@ -91,3 +91,71 @@ def repartition_by_boundaries(df: DataFrame, value_col: str,
     out = df.withColumn(bucket_col, range_bucket(F.col(value_col),
                                                  boundaries))
     return out.repartition(len(boundaries) + 1, F.col(bucket_col))
+
+
+def zorder_value(cols_and_bounds: list[tuple[Column, list[float]]],
+                 bits_per_dim: int = 8) -> Column:
+    """Z-order (Morton) key over 2+ columns, each first rank-bucketed by
+    its own KLL boundaries, then bit-interleaved — all in Catalyst, so
+    the key feeds a repartition/sortWithinPartitions write with no
+    Python on the data path.
+
+    Why rank-bucket first: Morton interleaving assumes each dimension's
+    code is uniformly spread; raw values with skew would waste the top
+    bits on empty ranges. The KLL boundaries equalize mass per code
+    (exactly the partitioner's balance guarantee), which is what makes
+    z-prefix file pruning effective on BOTH dimensions at once.
+
+    ``bits_per_dim`` b means each dimension contributes 2^b codes; pass
+    boundaries of length 2^b - 1 (extra boundaries are truncated, fewer
+    are zero-padded by construction since bucket ids just don't reach
+    the top codes). NULL in any dimension yields NULL (callers route
+    nulls to a dedicated partition).
+    """
+    if len(cols_and_bounds) < 2:
+        raise ValueError("z-ordering needs >= 2 dimensions")
+    if not 1 <= bits_per_dim <= 16:
+        raise ValueError("bits_per_dim must be in [1, 16]")
+    ndim = len(cols_and_bounds)
+    if ndim * bits_per_dim > 63:
+        raise ValueError("interleaved key must fit a signed 64-bit long")
+    z = F.lit(0).cast("long")
+    for d, (col, bounds) in enumerate(cols_and_bounds):
+        bounds = list(bounds)[:(1 << bits_per_dim) - 1]
+        code = range_bucket(col, bounds).cast("long")
+        code = F.when(col.isNull(), F.lit(None)).otherwise(code)
+        # spread code's bit i to interleaved position i*ndim + d
+        for i in range(bits_per_dim):
+            bit = F.shiftright(code, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ndim + d))
+    return z
+
+
+def zorder_layout(df: DataFrame, value_cols: list[str], *,
+                  n_parts: int = 32, bits_per_dim: int = 8, k: int = 400,
+                  key_col: str = "_zorder") -> tuple[DataFrame, dict]:
+    """Plan + apply a z-order layout: per-dimension KLL boundaries (one
+    build pass per column), Morton key column, then the z key is itself
+    range-clustered with ITS OWN KLL boundaries and sorted within each
+    partition — every output file covers one compact, contiguous
+    z-range, the layout that lets min/max file statistics prune on ANY
+    of the dimensions. End-to-end deterministic (no sampling anywhere,
+    unlike DataFrame.repartitionByRange), so re-running the layout
+    yields the same file ranges. Returns (laid-out df, boundaries per
+    column + key_col — persist them to keep layouts stable)."""
+    n_codes = 1 << bits_per_dim
+    bounds = {c: range_boundaries(df, c, n_codes, k=k)
+              for c in value_cols}
+    keyed = df.withColumn(
+        key_col, zorder_value([(F.col(c), bounds[c]) for c in value_cols],
+                              bits_per_dim))
+    zb = range_boundaries(keyed, key_col, n_parts, k=k)
+    bounds[key_col] = zb
+    out = (repartition_by_boundaries(keyed, key_col, zb,
+                                     bucket_col="_z_bucket")
+           .sortWithinPartitions("_z_bucket", key_col))
+    # hash repartition may co-locate two buckets in one task, so the
+    # per-FILE compactness guarantee comes from writing with
+    # .write.partitionBy("_z_bucket"): each directory then holds exactly
+    # one contiguous z-range whatever task wrote it.
+    return out, bounds

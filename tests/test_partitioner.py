@@ -84,3 +84,82 @@ def test_validation():
     sk.update_batch(np.arange(100.0))
     with pytest.raises(ValueError):
         range_boundaries_from_sketch(sk, 1)
+
+
+def _morton2(x, y, bits):
+    z = np.zeros_like(x, dtype=np.int64)
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_value_matches_numpy_morton(spark):
+    from sketchlib.partitioner import zorder_value
+    rng = np.random.default_rng(4)
+    xs = rng.uniform(0, 100, 2000)
+    ys = rng.uniform(-50, 50, 2000)
+    bx = list(np.linspace(0, 100, 16)[1:-1])    # 14 boundaries -> 15 codes
+    by = list(np.linspace(-50, 50, 16)[1:-1])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double")
+    got = np.array([r["z"] for r in df.select(
+        zorder_value([(F.col("x"), bx), (F.col("y"), by)],
+                     bits_per_dim=4).alias("z")).collect()])
+    cx = np.searchsorted(bx, xs, side="right").astype(np.int64)
+    cy = np.searchsorted(by, ys, side="right").astype(np.int64)
+    assert np.array_equal(got, _morton2(cx, cy, 4))
+
+
+def test_zorder_null_and_validation(spark):
+    from sketchlib.partitioner import zorder_value
+    df = spark.createDataFrame([(1.0, None), (1.0, 2.0)],
+                               "x double, y double")
+    rows = df.select(zorder_value([(F.col("x"), [0.5]),
+                                   (F.col("y"), [1.5])],
+                                  bits_per_dim=1).alias("z")).collect()
+    assert rows[0]["z"] is None and rows[1]["z"] is not None
+    with pytest.raises(ValueError):
+        zorder_value([(F.col("x"), [0.5])])
+    with pytest.raises(ValueError):
+        zorder_value([(F.col("x"), []), (F.col("y"), []),
+                      (F.col("x"), []), (F.col("y"), [])],
+                     bits_per_dim=16)
+
+
+def test_zorder_layout_files_prune_both_dims(spark, tmp_path):
+    """The point of the layout: after partitionBy(_z_bucket), a
+    predicate on EITHER dimension skips most bucket directories by
+    min/max alone."""
+    from sketchlib.partitioner import zorder_layout
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts_us", F.unix_micros(
+              F.col("ts").cast("timestamp_ltz")).cast("double"))
+          .select("event_id", "ts_us",
+                  F.col("value").cast("double").alias("val")))
+    laid, bounds = zorder_layout(ev, ["ts_us", "val"], n_parts=16,
+                                 bits_per_dim=4, k=400)
+    assert laid.filter(F.col("_zorder").isNull()).count() == 0
+    out = str(tmp_path / "z")
+    laid.write.partitionBy("_z_bucket").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # per-bucket min/max of both dims: a selective 1-D predicate must
+    # overlap only a minority of buckets (that's the pruning win)
+    import pandas as pd
+    mm = (back.groupBy("_z_bucket")
+          .agg(F.min("ts_us").alias("tlo"), F.max("ts_us").alias("thi"),
+               F.min("val").alias("vlo"), F.max("val").alias("vhi"))
+          .toPandas())
+    n_buckets = len(mm)
+    assert n_buckets >= 12
+    t10 = float(ev.selectExpr("percentile(ts_us, 0.10)").collect()[0][0])
+    v10 = float(ev.selectExpr("percentile(val, 0.10)").collect()[0][0])
+    t_hit = int((mm["tlo"] <= t10).sum())       # buckets a ts<=p10 scan touches
+    v_hit = int((mm["vlo"] <= v10).sum())
+    assert t_hit <= n_buckets * 0.7
+    assert v_hit <= n_buckets * 0.7
+    # and the layout is deterministic: re-planning yields identical bounds
+    _, bounds2 = zorder_layout(ev, ["ts_us", "val"], n_parts=16,
+                               bits_per_dim=4, k=400)
+    assert bounds == bounds2

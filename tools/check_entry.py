@@ -84,7 +84,9 @@ def main(sf_dir="/root/testdata/sf0.01"):
                    "within_tol", "total_exact",          # psample
                    "join_identical", "pruned",           # bloom semijoin
                    "bounds_monotone", "all_rows_kept",   # range partitioner
-                   "ranges_disjoint", "balanced"}
+                   "ranges_disjoint", "balanced",
+                   "no_null_keys", "both_dims_prune",    # z-order layout
+                   "plan_deterministic"}
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
