@@ -1969,6 +1969,54 @@ def _q_zorder_layout_pruning(spark, sf_dir):
         "both_dims_prune boolean, plan_deterministic boolean")
 
 
+def _q_decayed_user_activity(spark, sf_dir):
+    """Time-decayed frequency estimates from per-window sketches
+    (sketchlib.streaming.decayed_point_query): hourly CM sketches over
+    the events stream (WindowedSketchBuilder — the same incremental
+    state a live stream maintains) answer exponentially-decayed per-user
+    activity at ANY half-life chosen at query time; decay-at-ingest
+    sketches fix the horizon forever. One-sided-ness survives the
+    weighting (positive weights x per-window upper bounds), asserted
+    against the exact decayed sum computed in Catalyst. Rows-only:
+    estimates are hash-family-specific."""
+    import functools
+    import tempfile
+
+    import numpy as np
+
+    from sketchlib.countmin import CMConfig, CountMinSketch
+    from sketchlib.streaming import WindowedSketchBuilder, decayed_point_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ltz", F.col("ts").cast("timestamp_ltz"))
+    factory = functools.partial(
+        CountMinSketch, CMConfig(eps=1e-3, delta=math.exp(-3), seed=1337))
+    with tempfile.TemporaryDirectory() as snap:
+        b = WindowedSketchBuilder(factory, "ts_ltz", "user_id", snap,
+                                  window_seconds=3600,
+                                  retention_windows=24)
+        b.process_batch(ev, 0)
+        hl = 6 * 3600.0
+        now_ws = max(list(b.sketches) + list(b.finalized)
+                     + list(b.finalized_ws))
+        top = [r["user_id"] for r in
+               ev.groupBy("user_id").count()
+               .orderBy(F.desc("count"), "user_id").limit(10).collect()]
+        got = decayed_point_query(b, spark, np.array(top, dtype=np.int64),
+                                  half_life_s=hl)
+    ws = (F.floor(F.unix_timestamp("ts_ltz") / 3600) * 3600).cast("long")
+    exact = {r["user_id"]: float(r["d"]) for r in
+             (ev.withColumn("w", F.pow(F.lit(2.0),
+                                       (ws - F.lit(now_ws)) / F.lit(hl)))
+              .filter(F.col("user_id").isin([int(u) for u in top]))
+              .groupBy("user_id").agg(F.sum("w").alias("d")).collect())}
+    rows = [(int(u), float(exact[u]), float(got[int(u)]),
+             bool(got[int(u)] >= exact[u] - 1e-9)) for u in top]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_decayed double, est_decayed double, "
+              "est_ge_exact boolean").orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so every
@@ -2067,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_reduction": _q_bloom_semijoin_reduction,
         "range_partition_balance": _q_range_partition_balance,
         "zorder_layout_pruning": _q_zorder_layout_pruning,
+        "decayed_user_activity": _q_decayed_user_activity,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

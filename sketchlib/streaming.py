@@ -294,6 +294,49 @@ class WindowedSketchBuilder:
         return writer.start()
 
 
+def decayed_point_query(builder: "WindowedSketchBuilder", spark,
+                        keys, *, half_life_s: float,
+                        now_ws: int | None = None):
+    """Exponentially time-decayed frequency estimates assembled from the
+    per-window sketches (live + finalized):
+
+        est(key) = sum_w 2^(-age_w / half_life_s) * pq_w(key)
+
+    The decay horizon is chosen at QUERY time — unlike decay-at-ingest
+    sketches, one windowed build answers every half-life, because the
+    window sketches are an exactly-mergeable partition of time. The CM
+    one-sided guarantee survives the weighting: each pq_w is an upper
+    bound on the window's true count and the weights are positive, so
+    the weighted sum upper-bounds the true decayed count, with total
+    slack <= sum_w 2^(-age_w/hl) * eps * ||f_w||_1 (each window's
+    overcount is bounded by eps times ITS OWN mass, so recent-window
+    error dominates exactly like the signal).
+
+    Driver cost: one vectorized probe per retained window — bounded by
+    retention_windows + finalized count, never by key cardinality or
+    stream length. Returns {key: decayed_estimate}.
+    """
+    import numpy as np
+
+    ks = np.asarray(keys, dtype=np.int64)
+    windows: dict[int, object] = dict(builder.sketches)
+    for ws in list(getattr(builder, "finalized", {})):
+        windows[ws] = serde.loads(builder.finalized[ws])
+    for ws in getattr(builder, "finalized_ws", ()):  # store-spilled
+        windows[ws] = builder.load_finalized(spark, ws)
+    if not windows:
+        return {int(k): 0.0 for k in ks}
+    if now_ws is None:
+        now_ws = max(windows)
+    out = np.zeros(len(ks), dtype=np.float64)
+    for ws, sk in windows.items():
+        age = max(0, now_ws - ws)
+        weight = 2.0 ** (-age / half_life_s)
+        out += weight * np.asarray(sk.point_query_batch(ks),
+                                   dtype=np.float64)
+    return {int(k): float(v) for k, v in zip(ks, out)}
+
+
 def stream_build_from_files(spark: SparkSession, input_dir: str,
                             values_col: str, factory, *,
                             work_dir: str, schema=None,

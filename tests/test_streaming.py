@@ -429,3 +429,56 @@ def test_windowed_countsketch_and_dyadic_stream_equals_batch(spark, tmp_path):
             hour = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
             ref = build_aggregator(df.filter(hour == ws), "tokens", fac).sketch
             assert sk.to_bytes() == ref.to_bytes(), tag
+
+
+def test_decayed_point_query_bounds_and_exact(spark, tmp_path):
+    """Decayed estimates assembled from per-window sketches: one-sided
+    over the exact decayed count, exact when the window sketches are
+    (tokens fit the CM with slack), any half-life answerable from ONE
+    windowed build, finalized + live windows both contribute."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sketchlib.streaming import WindowedSketchBuilder, decayed_point_query
+
+    rows = []
+    rng = np.random.default_rng(17)
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    for h in range(5):                      # five hourly windows
+        for _ in range(40):
+            toks = rng.integers(0, 50, size=rng.integers(3, 9)).tolist()
+            rows.append((h, [int(t) for t in toks]))
+    df = spark.createDataFrame(rows, "h int, tokens array<int>") \
+        .withColumn("ts", F.timestamp_seconds(F.lit(base) + F.col("h") * 3600)) \
+        .drop("h")
+
+    b = WindowedSketchBuilder(_cm_factory, "ts", "tokens",
+                              str(tmp_path / "dec_snap"),
+                              window_seconds=3600, retention_windows=2)
+    b.process_batch(df, 0)
+    # retention 2 -> oldest windows finalized, newest live: both sides probed
+    assert b.sketches and (b.finalized or b.finalized_ws)
+
+    keys = np.arange(50, dtype=np.int64)
+    hl = 7200.0
+    got = decayed_point_query(b, spark, keys, half_life_s=hl)
+
+    pdf = df.toPandas()
+    now_ws = max(list(b.sketches) + list(b.finalized) +
+                 list(b.finalized_ws))
+    exact = {int(k): 0.0 for k in keys}
+    for _, r in pdf.iterrows():
+        ws = int(r["ts"].timestamp() // 3600 * 3600)
+        w = 2.0 ** (-(now_ws - ws) / hl)
+        for t in r["tokens"]:
+            exact[int(t)] += w
+    for k in exact:
+        assert got[k] >= exact[k] - 1e-9          # one-sided survives decay
+    # CM at CFG eps over 50 distinct keys: per-window estimates are exact,
+    # so the decayed sums are too
+    assert all(abs(got[k] - exact[k]) < 1e-6 for k in exact)
+    # empty-builder path
+    b2 = WindowedSketchBuilder(_cm_factory, "ts", "tokens",
+                               str(tmp_path / "dec_snap2"),
+                               window_seconds=3600)
+    assert decayed_point_query(b2, spark, keys, half_life_s=hl) == \
+        {int(k): 0.0 for k in keys}
