@@ -129,3 +129,92 @@ def test_inner_product_upper_bounds_and_rawlog_identity(a, b):
     assert est >= exact
     if arr_b.shape[0]:
         assert int(sa.row_probe_sums(arr_b).min()) == est
+
+
+# -- PrioritySample algebra ---------------------------------------------------
+
+_ps_items = st.lists(
+    st.tuples(st.text(alphabet="abcdefghij0123456789", min_size=0,
+                      max_size=12),
+              st.floats(min_value=0.001, max_value=1e6,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=0, max_size=300)
+
+
+def _ps_build(items, k=24, seed=7):
+    from sketchlib.psample import PrioritySample
+    ps = PrioritySample(k=k, seed=seed)
+    if items:
+        ps.update_pairs([kk for kk, _ in items], [w for _, w in items])
+    return ps
+
+
+@settings(max_examples=50, deadline=None)
+@given(items=_ps_items, cut1=st.integers(0, 300), cut2=st.integers(0, 300))
+def test_psample_merge_split_invariance(items, cut1, cut2):
+    """Any 3-way split, any merge order, byte-identical to single-pass —
+    the contract that makes the sample safe under Spark repartitioning."""
+    lo, hi = sorted((min(cut1, len(items)), min(cut2, len(items))))
+    parts = [items[:lo], items[lo:hi], items[hi:]]
+    ref = _ps_build(items).to_bytes()
+    for order in ([0, 1, 2], [2, 0, 1], [1, 2, 0]):
+        acc = _ps_build(parts[order[0]])
+        acc.merge(_ps_build(parts[order[1]]))
+        acc.merge(_ps_build(parts[order[2]]))
+        assert acc.to_bytes() == ref
+
+
+@settings(max_examples=50, deadline=None)
+@given(items=_ps_items)
+def test_psample_merge_idempotent_and_exact_mode(items):
+    """Merging a part with itself never changes the retained set
+    (at-least-once task semantics), and when everything fits (n <= k)
+    estimates are exact subset sums over max-collapsed duplicates."""
+    from sketchlib.psample import PrioritySample
+    a = _ps_build(items)
+    retained = {k: w for k, w, _ in a.sample()}
+    a.merge(_ps_build(items))
+    assert {k: w for k, w, _ in a.sample()} == retained
+    big = PrioritySample(k=1024, seed=7)
+    if items:
+        big.update_pairs([k for k, _ in items], [w for _, w in items])
+    assert big.threshold is None
+    exact: dict[str, float] = {}
+    for k, w in items:
+        exact[k] = max(exact.get(k, 0.0), w)   # duplicate keys collapse
+    assert big.estimate_total() == sum(exact.values()) or abs(
+        big.estimate_total() - sum(exact.values())) < 1e-6 * max(
+        1.0, sum(exact.values()))
+
+
+@settings(max_examples=50, deadline=None)
+@given(items=_ps_items)
+def test_psample_serde_roundtrip(items):
+    ps = _ps_build(items)
+    back = serde.loads(ps.to_bytes())
+    assert back.to_bytes() == ps.to_bytes()
+    assert back.threshold == ps.threshold
+
+
+# -- range-boundary planner ---------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=500),
+       n_parts=st.integers(2, 32))
+def test_range_boundaries_monotone_and_cover(vals, n_parts):
+    """Boundaries are strictly increasing and inside the value range for
+    ANY input (ties, skew, negatives) — the invariant file layouts rely
+    on; searchsorted bucket ids always land in [0, n_parts-1]."""
+    from sketchlib.kll import KllSketch
+    from sketchlib.partitioner import range_boundaries_from_sketch
+    sk = KllSketch(k=100)
+    sk.update_batch(np.asarray(vals, dtype=np.float64))
+    bounds = range_boundaries_from_sketch(sk, n_parts)
+    assert bounds == sorted(set(bounds))
+    assert len(bounds) <= n_parts - 1
+    if bounds:
+        assert min(vals) <= bounds[0] and bounds[-1] <= max(vals)
+    ids = np.searchsorted(bounds, np.asarray(vals), side="right")
+    assert ids.min() >= 0 and ids.max() <= len(bounds)
