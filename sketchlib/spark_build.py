@@ -1150,6 +1150,75 @@ def build_aggregator_pairs(df: DataFrame, key_col: str, weight_col: str,
                        n_rows=int(lineage["n_rows"].sum()), wall_s=wall)
 
 
+def build_grouped_aggregator_pairs(df: DataFrame, group_col: str,
+                                   key_col: str, weight_col: str, factory,
+                                   *, payload_col: str | None = None,
+                                   fanout: int = 8) -> DataFrame:
+    """Per-group build of a weighted-ITEM sketch (PrioritySample): one
+    sample per distinct ``group_col`` value — e.g. a per-language
+    weighted document sample. Map-side combined like every grouped
+    build here (raw rows never shuffle; per-(partition, group) partial
+    blobs do), then the standard salted two-level grouped merge.
+    Per-group subsetting uses Arrow ``take`` (C++-vectorized) so the
+    Python loop is per GROUP per batch, never per row. Returns
+    (key, sketch, n_rows, n_items, total_count)."""
+    import pyarrow.compute as pc
+
+    cols = [F.col(group_col).cast("string").alias("key"),
+            F.col(key_col).cast("string").alias("_ik"),
+            F.col(weight_col).cast("double").alias("_w")]
+    if payload_col:
+        cols.append(F.col(payload_col).cast("string").alias("_pl"))
+
+    def partial_fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketches: dict[str, object] = {}
+        rows: dict[str, int] = {}
+        for batch in batches:
+            gvals = batch.column(0).to_numpy(zero_copy_only=False)
+            kcol, wcol = batch.column(1), batch.column(2)
+            pcol = batch.column(3) if payload_col else None
+            order = np.argsort(gvals, kind="stable")
+            g_sorted = gvals[order]
+            starts = np.flatnonzero(
+                np.r_[True, g_sorted[1:] != g_sorted[:-1]])
+            bounds = np.r_[starts, len(g_sorted)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                g = g_sorted[s]
+                idx = pa.array(order[s:e])
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = sketches[g] = factory()
+                    rows[g] = 0
+                kflat, klens = _string_flat_lens(kcol.take(idx))
+                w = pc.take(wcol, idx).to_numpy(zero_copy_only=False)
+                if pcol is not None:
+                    pflat, plens = _string_flat_lens(pcol.take(idx))
+                    sk.update_flat(kflat, klens, w, pflat, plens)
+                else:
+                    sk.update_flat(kflat, klens, w)
+                rows[g] += e - s
+        if sketches:
+            ordered = sorted(sketches)
+            yield pa.RecordBatch.from_pydict({
+                "key": ordered,
+                "pid": [pid] * len(ordered),
+                "sketch": [serde.dumps_partial(sketches[k])
+                           for k in ordered],
+                "n_rows": [rows[k] for k in ordered],
+                "n_items": [sketches[k].n_items for k in ordered],
+                "total_count": [getattr(sketches[k], "total_count", 0)
+                                for k in ordered],
+            }, schema=_GROUPED_PARTIAL_PA_SCHEMA)
+
+    src = (df.select(*cols)
+           .filter(F.col("key").isNotNull() & F.col("_ik").isNotNull()
+                   & (F.col("_w") > 0)))
+    partials = src.mapInArrow(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
+    return _grouped_merge(partials, fanout, src.rdd.getNumPartitions())
+
+
 def _parquet_agg_partial_builder(factory, values_col: str):
     """Factory-generic twin of _parquet_partial_builder: same slice
     protocol, same worker-persistent ParquetFile cache, any mergeable

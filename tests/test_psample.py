@@ -165,3 +165,30 @@ def test_spark_build_pairs(spark):
     got = big.estimate_group_sums()
     for g, v in exact.items():
         assert got[g] == pytest.approx(v)
+
+
+def test_grouped_pairs_build_matches_local(spark):
+    """Per-group distributed priority samples == local per-group builds,
+    partition-order independent, byte-for-byte."""
+    from sketchlib import serde
+    from sketchlib.spark_build import build_grouped_aggregator_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mk = functools.partial(PrioritySample, 16, 1337)
+    got = {r["key"]: bytes(r["sketch"]) for r in
+           build_grouped_aggregator_pairs(
+               docs.repartition(6), "lang", "doc_id", "n_chars", mk,
+               payload_col="source").collect()}
+    got1 = {r["key"]: bytes(r["sketch"]) for r in
+            build_grouped_aggregator_pairs(
+                docs.coalesce(1), "lang", "doc_id", "n_chars", mk,
+                payload_col="source").collect()}
+    assert got == got1 and got
+    pdf = docs.toPandas()
+    for lang, grp in pdf[pdf["n_chars"] > 0].groupby("lang"):
+        ref = PrioritySample(k=16, seed=1337)
+        ref.update_pairs([str(d) for d in grp["doc_id"]],
+                         grp["n_chars"].astype(float).to_numpy(),
+                         list(grp["source"]))
+        assert got[lang] == ref.to_bytes()
+        assert isinstance(serde.loads(got[lang]), PrioritySample)
