@@ -2017,6 +2017,43 @@ def _q_decayed_user_activity(spark, sf_dir):
               "est_ge_exact boolean").orderBy("user_id")
 
 
+def _q_bloom_antijoin_decontam(spark, sf_dir):
+    """Bloom-accelerated EXACT anti-join (sketchlib.joins.bloom_antijoin)
+    — the contamination-removal shape: drop every fact row whose key
+    appears in a deny set, shuffling only the slice the filter cannot
+    clear. A Bloom "absent" verdict is definitive (no false negatives),
+    so claimed-absent rows are provably anti-join output and skip the
+    exchange; claimed-present rows (match rate + fpr) run the real LEFT
+    ANTI join, which drops true matches and keeps false positives.
+    Self-asserts: count + quantity sum + row-hash sum EQUAL the plain
+    left-anti join's, and most of the fact bypassed the shuffle.
+    Rows-only: the bypass fraction is hash-family-specific."""
+    from sketchlib.joins import bloom_antijoin
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    deny = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("l_orderkey")))
+    aggs = [F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                         F.lit(10**9))).alias("h")]
+    plain = lineitem.join(deny, "l_orderkey", "left_anti").agg(*aggs) \
+        .collect()[0]
+    got = bloom_antijoin(spark, lineitem, deny, "l_orderkey",
+                         fpr=0.01).agg(*aggs).collect()[0]
+    n_fact = lineitem.count()
+    bypass = 1.0 - (n_fact - int(plain["n"])) / max(n_fact, 1)
+    identical = (got["n"], got["q"], got["h"]) == \
+        (plain["n"], plain["q"], plain["h"])
+    return spark.createDataFrame(
+        [(int(n_fact), int(plain["n"]), int(got["n"]),
+          float(bypass), bool(identical), bool(plain["n"] > 0))],
+        "fact_rows long, kept_plain long, kept_bloom long, "
+        "min_bypass_frac double, anti_identical boolean, "
+        "nonempty boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so every
@@ -2116,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_partition_balance": _q_range_partition_balance,
         "zorder_layout_pruning": _q_zorder_layout_pruning,
         "decayed_user_activity": _q_decayed_user_activity,
+        "bloom_antijoin_decontam": _q_bloom_antijoin_decontam,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

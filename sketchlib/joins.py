@@ -185,3 +185,46 @@ def runtime_filtered_join(spark, fact: DataFrame, dim: DataFrame,
                          "joins only (outer joins need the dropped rows)")
     return bloom_semijoin(spark, fact, dim, key_col, fpr=fpr,
                           capacity=capacity).join(dim, key_col, how)
+
+
+def bloom_antijoin(spark, fact: DataFrame, dim: DataFrame, key_col: str, *,
+                   fpr: float = 0.002, capacity: int | None = None,
+                   seed: int = 1337) -> DataFrame:
+    """EXACT left-anti join (fact rows with no match in dim) with the
+    shuffle paid only by the Bloom-claimed-present slice.
+
+    The inversion that makes this sound: a Bloom "absent" verdict is
+    definitive (no false negatives), so every claimed-absent fact row is
+    provably anti-join output and flows through with NO shuffle at all;
+    only claimed-present rows (~match_rate + fpr of the fact) run the
+    real LEFT ANTI join, which removes the true matches and keeps the
+    false positives. Result is exactly ``fact.join(dim, key, "left_anti")``
+    — asserted against it in tests — while the exchange carries the
+    small slice instead of the whole fact table.
+
+    At 100 TB this is the contamination-removal shape: "drop every
+    document whose id appears in the eval set" shuffles only the ~0.1%
+    of rows the filter cannot clear, not the corpus. NULL keys never
+    match any dim row (SQL join semantics), so they pass through with
+    the claimed-absent slice."""
+    import functools
+
+    from .bloom import BloomFilter
+    from .spark_build import build_aggregator, sketch_probe_col
+
+    keys = dim.select(key_col).filter(F.col(key_col).isNotNull())
+    if capacity is None:
+        capacity = max(1, keys.distinct().count())
+    bf = build_aggregator(
+        keys, key_col,
+        functools.partial(BloomFilter, capacity=capacity, fpr=fpr,
+                          seed=seed)).sketch
+    claimed = sketch_probe_col(spark, bf, F.col(key_col),
+                               method="contains_batch", rtype="boolean")
+    marked = fact.withColumn("_bf_claimed", claimed)
+    clear = (marked.filter(F.col(key_col).isNull()
+                           | ~F.col("_bf_claimed")).drop("_bf_claimed"))
+    suspect = (marked.filter(F.col(key_col).isNotNull()
+                             & F.col("_bf_claimed")).drop("_bf_claimed"))
+    return clear.unionByName(
+        suspect.join(dim.select(key_col).distinct(), key_col, "left_anti"))

@@ -191,3 +191,31 @@ def test_bloom_semijoin_identical_to_plain_join(spark):
     with pytest.raises(ValueError):
         runtime_filtered_join(spark, lineitem, dim, "l_orderkey",
                               how="left_outer")
+
+
+def test_bloom_antijoin_exactly_left_anti(spark):
+    from sketchlib.joins import bloom_antijoin
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    dim = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    plain = (lineitem.join(dim, "l_orderkey", "left_anti")
+             .agg(F.count("*").alias("n"),
+                  F.sum("l_quantity").alias("q"),
+                  F.sum(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10**9))).alias("h")).collect()[0])
+    got = (bloom_antijoin(spark, lineitem, dim, "l_orderkey", fpr=0.01)
+           .agg(F.count("*").alias("n"),
+                F.sum("l_quantity").alias("q"),
+                F.sum(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10**9))).alias("h")).collect()[0])
+    assert (got["n"], got["q"], got["h"]) == \
+        (plain["n"], plain["q"], plain["h"])
+    # null fact keys survive (left-anti keeps them; bloom must not drop)
+    facts = spark.createDataFrame([(None,), (1,), (10**12,)],
+                                  "l_orderkey long")
+    out = {r["l_orderkey"] for r in
+           bloom_antijoin(spark, facts, dim, "l_orderkey",
+                          fpr=0.01).collect()}
+    keep = {r["l_orderkey"] for r in
+            facts.join(dim, "l_orderkey", "left_anti").collect()}
+    assert out == keep and None in out

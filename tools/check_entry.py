@@ -86,7 +86,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
                    "bounds_monotone", "all_rows_kept",   # range partitioner
                    "ranges_disjoint", "balanced",
                    "no_null_keys", "both_dims_prune",    # z-order layout
-                   "plan_deterministic"}
+                   "plan_deterministic",
+                   "anti_identical", "nonempty"}         # bloom anti-join
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
