@@ -174,6 +174,31 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
           lambda: probe_keys.withColumn(
               "est", point_query_col(spark, res.sketch, F.col("t"))).collect())
 
+    # priority-sample pairs build over the token table (doc_id weighted by
+    # n_tok): the weighted-item aggregator path, keys consumed from Arrow
+    # string buffers, one KB blob per task
+    from sketchlib.psample import PrioritySample
+    from sketchlib.spark_build import build_aggregator_pairs
+    ps = timed("psample_build",
+               lambda: build_aggregator_pairs(
+                   toks, "doc_id", "n_tok",
+                   functools.partial(PrioritySample, 256, 1337),
+                   payload_col="source"))
+    extra["psample_rows_per_sec"] = round(
+        ps.sketch.n_items / timings["psample_build"], 1)
+
+    # Bloom runtime-filter semi-join: dim keys -> mergeable Bloom ->
+    # broadcast probe prunes the fact scan pre-shuffle (joins.py)
+    from sketchlib.joins import bloom_semijoin
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    timed("bloom_semijoin",
+          lambda: bloom_semijoin(spark, lineitem, dim, "l_orderkey",
+                                 fpr=0.01).join(dim, "l_orderkey")
+          .agg(F.count("*")).collect())
+
     return timings, extra
 
 

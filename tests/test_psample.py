@@ -192,3 +192,25 @@ def test_grouped_pairs_build_matches_local(spark):
                          list(grp["source"]))
         assert got[lang] == ref.to_bytes()
         assert isinstance(serde.loads(got[lang]), PrioritySample)
+
+
+def test_string_flat_lens_wide_and_sliced():
+    """Arrow large_string (64-bit offsets) and sliced arrays both yield
+    the right flat buffer + lengths — the zero-copy path the pairs
+    builders rely on."""
+    import pyarrow as pa
+
+    from sketchlib.spark_build import _string_flat_lens
+
+    for typ in (pa.string(), pa.large_string(), pa.binary(),
+                pa.large_binary()):
+        arr = pa.array([b"ab", b"", b"xyz"], type=typ)
+        flat, lens = _string_flat_lens(arr)
+        assert bytes(flat) == b"abxyz" and list(lens) == [2, 0, 3]
+        flat2, lens2 = _string_flat_lens(arr.slice(1))
+        assert bytes(flat2) == b"xyz" and list(lens2) == [0, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _string_flat_lens(pa.array([1, 2]))
+    with _pt.raises(ValueError):
+        _string_flat_lens(pa.array(["a", None]))
