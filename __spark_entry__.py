@@ -2054,6 +2054,54 @@ def _q_bloom_antijoin_decontam(spark, sf_dir):
         "nonempty boolean")
 
 
+def _q_pq_ann_topk(spark, sf_dir):
+    """Product quantization ANN (sketchlib.similarity.pq_*, Jegou et al.
+    TPAMI'11 — the compression half of billion-scale IVF-PQ): embeddings
+    encode to m=16 uint8 codes (16x smaller than 64 float32s, the column
+    that keeps 100 TB of vectors in hot storage), queries scan codes via
+    asymmetric-distance table lookups, and an ADC shortlist + exact
+    re-rank of 128 candidates recovers the exact top-10 on this fixture.
+    Training is a bounded deterministic driver sample; encoding and ADC
+    are distributed mapInPandas. Self-asserts: re-ranked top-10 ids ==
+    exact L2 top-10 ids, the query's own vector ranks first, 16x code
+    compression. Rows-only: ADC distances are codebook-specific."""
+    import numpy as np
+
+    from sketchlib.similarity import (pq_encode, pq_topk, pq_topk_rerank,
+                                      pq_train)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, "embedding", m=16, ksub=64)
+    codes = pq_encode(emb, "embedding", "vec_id", cb).cache()
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], np.float64)
+    got = pq_topk_rerank(emb, codes, "embedding", "vec_id", q, cb,
+                         k=10, rerank=128).collect()
+    adc = pq_topk(codes, "vec_id", q, cb, k=10).collect()
+    exact = (emb.withColumn(
+        "d", F.aggregate(
+            F.zip_with("embedding",
+                       F.lit(q.tolist()).cast("array<double>"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .orderBy("d", "vec_id").limit(10).collect())
+    exact_ids = [r["vec_id"] for r in exact]
+    rerank_ids = [r["vec_id"] for r in got]
+    adc_ids = {r["vec_id"] for r in adc}
+    dim = len(q)
+    code_bytes = len(bytes(codes.first()["code"]))
+    rows = [(i + 1, int(rerank_ids[i]), int(exact_ids[i]),
+             float(got[i]["dist"]),
+             bool(rerank_ids == exact_ids),
+             bool(rerank_ids[0] == 0),
+             float(len(adc_ids & set(exact_ids)) / 10),
+             int(dim * 4 // code_bytes)) for i in range(10)]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id long, exact_vec_id long, dist double, "
+              "rerank_exact boolean, self_first boolean, "
+              "adc_recall_at_10 double, compression_x int")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so every
@@ -2154,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout_pruning": _q_zorder_layout_pruning,
         "decayed_user_activity": _q_decayed_user_activity,
         "bloom_antijoin_decontam": _q_bloom_antijoin_decontam,
+        "pq_ann_topk": _q_pq_ann_topk,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

@@ -324,3 +324,133 @@ def project_onto(df: DataFrame, vec_col: str, directions, *,
         [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep]
         + [f"{out_col} array<double>"])
     return src.mapInArrow(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the compression half of the
+# billion-scale IVF-PQ layout: embeddings become m uint8 codes (dim/m
+# float32 -> 1 byte per subspace, 32x smaller at dim=64/m=8), and query
+# distances are m table lookups per candidate instead of a dim-wide dot.
+# ---------------------------------------------------------------------------
+
+def _kmeans_1sub(X: np.ndarray, ksub: int, seed: int,
+                 iters: int = 25) -> np.ndarray:
+    """Deterministic Lloyd k-means for one subspace on a driver-side
+    sample. Init is kmeans++-style with a seeded RNG; empty clusters
+    re-seed to the point farthest from its centroid (keeps all ksub
+    codes live on small samples)."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    C = np.empty((ksub, X.shape[1]), dtype=np.float64)
+    C[0] = X[rng.integers(n)]
+    d2 = np.square(X - C[0]).sum(axis=1)
+    for j in range(1, ksub):
+        p = d2 / max(d2.sum(), 1e-30)
+        C[j] = X[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, np.square(X - C[j]).sum(axis=1))
+    for _ in range(iters):
+        d = (np.square(X).sum(1)[:, None] - 2 * X @ C.T
+             + np.square(C).sum(1)[None, :])
+        assign = d.argmin(axis=1)
+        for j in range(ksub):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+            else:
+                far = int(d.min(axis=1).argmax())
+                C[j] = X[far]
+    return C
+
+
+def pq_train(df: DataFrame, vec_col: str, *, m: int = 8, ksub: int = 16,
+             sample_rows: int = 4096, seed: int = 1337) -> np.ndarray:
+    """Train PQ codebooks on a bounded driver-side sample (same contract
+    as train_ivf_centroids: training is a small deterministic sample,
+    ENCODING is distributed). Returns codebooks (m, ksub, dsub)."""
+    sample = np.vstack([np.asarray(r[0], dtype=np.float64) for r in
+                        df.select(vec_col).limit(sample_rows).collect()])
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if not 2 <= ksub <= 256:
+        raise ValueError("ksub must be in [2, 256] (codes are uint8)")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_1sub(np.ascontiguousarray(sample[:, i*dsub:(i+1)*dsub]),
+                     ksub, seed + i) for i in range(m)])
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str,
+              codebooks: np.ndarray) -> DataFrame:
+    """(id, code binary) — distributed encoding, one argmin per subspace
+    per batch (vectorized), codes travel as m-byte blobs. This is the
+    column you persist next to (or instead of) the raw vectors: at
+    dim=64/m=8 it is 32x smaller, so a 100 TB embedding column becomes
+    ~3 TB of codes that fit hot storage."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks  # rides the closure; (m, ksub, dsub) float64
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            codes = np.empty((X.shape[0], m), dtype=np.uint8)
+            for i in range(m):
+                sub = X[:, i*dsub:(i+1)*dsub]
+                d = (np.square(sub).sum(1)[:, None] - 2 * sub @ cb[i].T
+                     + np.square(cb[i]).sum(1)[None, :])
+                codes[:, i] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "code": [c.tobytes() for c in codes]})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} {_id_type(df, id_col)}, code binary")
+
+
+def pq_topk(codes_df: DataFrame, id_col: str, query_vec,
+            codebooks: np.ndarray, *, k: int = 10) -> DataFrame:
+    """ANN top-k by asymmetric distance (ADC): the query builds one
+    (m, ksub) lookup table of exact subspace distances, broadcast via
+    the closure; each candidate's approximate distance is m uint8-indexed
+    table lookups summed — no raw vectors read, no dot products.
+    Returns (id, adc_dist) ascending."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.stack([
+        np.square(codebooks[i] - q[i*dsub:(i+1)*dsub][None, :]).sum(axis=1)
+        for i in range(m)])                      # (m, ksub)
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, m)
+            dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_dist": dist})
+
+    scored = codes_df.mapInPandas(
+        fn, schema=f"{id_col} {_id_type(codes_df, id_col)}, adc_dist double")
+    return scored.orderBy("adc_dist", id_col).limit(k)
+
+
+def pq_topk_rerank(df: DataFrame, codes_df: DataFrame, vec_col: str,
+                   id_col: str, query_vec, codebooks: np.ndarray, *,
+                   k: int = 10, rerank: int = 64) -> DataFrame:
+    """The production IVF-PQ query shape: ADC over the compressed codes
+    shortlists ``rerank`` candidates (cheap — table lookups over bytes),
+    then ONLY those ids fetch their raw vectors (a k-row broadcast
+    semi-join against the embedding table) for exact L2 re-ranking.
+    Quantization error is confined to the shortlist boundary: any true
+    neighbor ADC ranks inside ``rerank`` comes out exactly ordered.
+    Returns (id, dist) ascending, exact distances."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    short = pq_topk(codes_df, id_col, q, codebooks, k=rerank) \
+        .select(id_col)
+    cand = df.join(F.broadcast(short), id_col)
+    dist = F.aggregate(
+        F.zip_with(vec_col, _lit_vec(q), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.select(id_col, dist.alias("dist"))
+            .orderBy("dist", id_col).limit(k))

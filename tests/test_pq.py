@@ -1,0 +1,101 @@
+"""Product quantization (similarity.pq_*): deterministic training,
+encode/ADC correctness vs a numpy oracle, compression shape, and
+recall against exact cosine/L2 top-k on the embeddings fixture."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.similarity import (ann_topk_bruteforce, pq_encode, pq_topk,
+                                  pq_train)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_pq_train_deterministic_and_shaped(spark):
+    emb = _emb(spark)
+    cb1 = pq_train(emb, "embedding", m=8, ksub=16)
+    cb2 = pq_train(emb, "embedding", m=8, ksub=16)
+    assert cb1.shape == (8, 16, 8)
+    assert np.array_equal(cb1, cb2)           # same sample, same seed
+    with pytest.raises(ValueError):
+        pq_train(emb, "embedding", m=7)       # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        pq_train(emb, "embedding", m=8, ksub=512)
+
+
+def test_pq_encode_matches_numpy_and_compresses(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, "embedding", m=8, ksub=16)
+    codes = {r["vec_id"]: bytes(r["code"]) for r in
+             pq_encode(emb, "embedding", "vec_id", cb).collect()}
+    pdf = emb.toPandas()
+    m, ksub, dsub = cb.shape
+    for _, r in pdf.head(50).iterrows():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        want = bytes(
+            int(np.square(cb[i] - x[i*dsub:(i+1)*dsub]).sum(1).argmin())
+            for i in range(m))
+        assert codes[r["vec_id"]] == want
+        assert len(codes[r["vec_id"]]) == m   # 64 float32 -> 8 bytes: 32x
+
+
+def test_pq_topk_adc_matches_numpy_and_recalls(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, "embedding", m=8, ksub=32)
+    codes_df = pq_encode(emb, "embedding", "vec_id", cb).cache()
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], np.float64)
+    got = pq_topk(codes_df, "vec_id", q, cb, k=10).collect()
+    # oracle: full ADC in numpy
+    pdf = codes_df.toPandas()
+    m, ksub, dsub = cb.shape
+    table = np.stack([np.square(cb[i] - q[i*dsub:(i+1)*dsub]).sum(1)
+                      for i in range(m)])
+    C = np.frombuffer(b"".join(pdf["code"]), np.uint8).reshape(-1, m)
+    dist = table[np.arange(m)[None, :], C].sum(1)
+    order = sorted(zip(dist, pdf["vec_id"]))[:10]
+    assert [(r["vec_id"], round(r["adc_dist"], 9)) for r in got] == \
+        [(int(v), round(float(d), 9)) for d, v in order]
+    # recall@10 vs exact L2 top-10 (unit-normalizing makes cosine == L2
+    # ordering; fixture vectors are whatever the generator made, so
+    # compare in raw L2 space which ADC approximates)
+    exact = (emb.withColumn(
+        "d", F.aggregate(
+            F.zip_with("embedding", F.lit(q.tolist()).cast("array<double>"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .orderBy("d", "vec_id").limit(10).collect())
+    exact_ids = {r["vec_id"] for r in exact}
+    got_ids = {r["vec_id"] for r in got}
+    recall = len(exact_ids & got_ids) / 10
+    assert recall >= 0.3          # raw ADC at m=8/ksub=32 over 500 vecs
+    #                               is coarse by design; deterministic
+    assert 0 in got_ids           # the query's own vector must be found
+
+
+def test_pq_rerank_recovers_exact_topk(spark):
+    """ADC shortlist + exact re-rank: quantization error is confined to
+    the shortlist boundary, so with rerank depth 128 the fixture's exact
+    top-10 is recovered perfectly (the production IVF-PQ query shape)."""
+    from sketchlib.similarity import pq_topk_rerank
+    emb = _emb(spark)
+    cb = pq_train(emb, "embedding", m=8, ksub=32)
+    codes_df = pq_encode(emb, "embedding", "vec_id", cb).cache()
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], np.float64)
+    got = pq_topk_rerank(emb, codes_df, "embedding", "vec_id", q, cb,
+                         k=10, rerank=128).collect()
+    exact = (emb.withColumn(
+        "d", F.aggregate(
+            F.zip_with("embedding", F.lit(q.tolist()).cast("array<double>"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .orderBy("d", "vec_id").limit(10).collect())
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    for g, e in zip(got, exact):
+        assert g["dist"] == pytest.approx(e["d"], rel=1e-9)

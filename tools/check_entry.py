@@ -87,7 +87,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
                    "ranges_disjoint", "balanced",
                    "no_null_keys", "both_dims_prune",    # z-order layout
                    "plan_deterministic",
-                   "anti_identical", "nonempty"}         # bloom anti-join
+                   "anti_identical", "nonempty",         # bloom anti-join
+                   "rerank_exact", "self_first"}         # PQ ANN
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
