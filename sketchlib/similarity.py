@@ -454,3 +454,32 @@ def pq_topk_rerank(df: DataFrame, codes_df: DataFrame, vec_col: str,
         F.lit(0.0), lambda acc, x: acc + x)
     return (cand.select(id_col, dist.alias("dist"))
             .orderBy("dist", id_col).limit(k))
+
+
+def ivfpq_write_index(df: DataFrame, vec_col: str, id_col: str,
+                      centroids: np.ndarray, codebooks: np.ndarray,
+                      path: str) -> None:
+    """The composed billion-vector layout (IVF-PQ): PQ codes written
+    partitioned by nearest coarse cell. A probe then reads only the
+    probed cells' files (parquet partition pruning — same plan shape as
+    ivf_write_index, asserted there) and scans CODES, not vectors:
+    storage pruning x 16-32x byte compression multiply. Raw vectors stay
+    in the source table and are touched only by the final re-rank."""
+    codes = pq_encode(df, vec_col, id_col, codebooks)
+    cells = ivf_assign(df, vec_col, id_col, centroids)
+    (codes.join(cells, id_col)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivfpq_topk(spark, index_path: str, df: DataFrame, vec_col: str,
+               id_col: str, query_vec, centroids: np.ndarray,
+               codebooks: np.ndarray, *, k: int = 10, n_probe: int = 4,
+               rerank: int = 64) -> DataFrame:
+    """Query the ivfpq_write_index layout: partition-pruned scan of the
+    probed cells' codes -> ADC shortlist -> exact re-rank against the
+    raw table (broadcast semi-join of ``rerank`` ids). Returns
+    (id, dist) ascending, exact distances for the returned rows."""
+    cells = _probe_cells(query_vec, centroids, n_probe)
+    codes = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return pq_topk_rerank(df, codes, vec_col, id_col, query_vec,
+                          codebooks, k=k, rerank=rerank)
