@@ -228,3 +228,52 @@ def bloom_antijoin(spark, fact: DataFrame, dim: DataFrame, key_col: str, *,
                              & F.col("_bf_claimed")).drop("_bf_claimed"))
     return clear.unionByName(
         suspect.join(dim.select(key_col).distinct(), key_col, "left_anti"))
+
+
+def detect_hot_keys(df: DataFrame, key_col: str, *, k: int = 256,
+                    min_share: float = 0.01) -> list[int]:
+    """Join-key skew detection by a Misra-Gries pass (sketchlib.mg):
+    one distributed build (KB-sized mergeable summaries, raw keys never
+    shuffle) returns every key holding at least ``min_share`` of the
+    rows — with MG's deterministic guarantee that no key above share
+    1/(k+1) + min_share can be missed (survivor counts are
+    underestimates by at most n/(k+1)). Integer keys only (the hash-join
+    case that skews)."""
+    import functools
+
+    from .mg import MisraGries
+    from .spark_build import build_aggregator
+
+    res = build_aggregator(
+        df.select(key_col), key_col, functools.partial(MisraGries, k))
+    mg = res.sketch
+    thresh = mg.n_items * min_share - mg.error_bound()
+    return sorted(key for key, cnt in mg.top_items() if cnt >= thresh)
+
+
+def skew_aware_join(spark, fact: DataFrame, dim: DataFrame, key_col: str,
+                    *, k: int = 256, min_share: float = 0.01,
+                    hot_keys: list[int] | None = None) -> DataFrame:
+    """Inner equi-join that survives power-law join keys: MG-detected
+    hot keys take the BROADCAST path (their dim rows are by construction
+    few enough to broadcast: a key is hot on the FACT side), everything
+    else takes the normal shuffle — so no reducer ever receives a hot
+    key's full row set. This is the plan-time counterpart of AQE's
+    runtime skew-split: it needs no post-shuffle statistics, works for
+    shuffle-hash joins AQE's splitter does not cover, and the detected
+    keys are an explicit, persistable artifact (reuse yesterday's hot
+    set for today's stream). Result is exactly ``fact.join(dim, key)``
+    — the two branches partition the fact by hot-key membership.
+    """
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(fact, key_col, k=k,
+                                   min_share=min_share)
+    if not hot_keys:
+        return fact.join(dim, key_col)
+    hot = [int(h) for h in hot_keys]
+    fact_hot = fact.filter(F.col(key_col).isin(hot))
+    fact_cold = fact.filter(~F.col(key_col).isin(hot)
+                            | F.col(key_col).isNull())
+    dim_hot = dim.filter(F.col(key_col).isin(hot))
+    return (fact_cold.join(dim, key_col)
+            .unionByName(fact_hot.join(F.broadcast(dim_hot), key_col)))

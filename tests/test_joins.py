@@ -219,3 +219,40 @@ def test_bloom_antijoin_exactly_left_anti(spark):
     keep = {r["l_orderkey"] for r in
             facts.join(dim, "l_orderkey", "left_anti").collect()}
     assert out == keep and None in out
+
+
+def test_skew_aware_join_exact_and_detects_hot_keys(spark):
+    import numpy as np
+    from sketchlib.joins import detect_hot_keys, skew_aware_join
+    rng = np.random.default_rng(8)
+    # power-law fact: key 7 holds ~40% of rows
+    keys = np.where(rng.random(20000) < 0.4, 7,
+                    rng.integers(0, 500, 20000))
+    fact = spark.createDataFrame(
+        [(int(k), int(i)) for i, k in enumerate(keys)], "k long, row_id long")
+    dim = spark.createDataFrame(
+        [(int(k), f"attr{k}") for k in range(500)], "k long, attr string")
+
+    hot = detect_hot_keys(fact, "k", k=64, min_share=0.05)
+    assert 7 in hot and len(hot) < 10
+
+    plain = (fact.join(dim, "k")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.pmod(F.xxhash64("k", "row_id", "attr"),
+                               F.lit(10**9))).alias("h")).collect()[0])
+    got_df = skew_aware_join(spark, fact, dim, "k", k=64, min_share=0.05)
+    got = got_df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("k", "row_id", "attr"),
+                     F.lit(10**9))).alias("h")).collect()[0]
+    assert (got["n"], got["h"]) == (plain["n"], plain["h"])
+    # the hot branch broadcasts
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # precomputed hot set short-circuits detection; empty set = plain join
+    got2 = skew_aware_join(spark, fact, dim, "k", hot_keys=[7]).agg(
+        F.count("*").alias("n")).collect()[0]
+    assert got2["n"] == plain["n"]
+    got3 = skew_aware_join(spark, fact, dim, "k", hot_keys=[]).agg(
+        F.count("*").alias("n")).collect()[0]
+    assert got3["n"] == plain["n"]

@@ -88,7 +88,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
                    "no_null_keys", "both_dims_prune",    # z-order layout
                    "plan_deterministic",
                    "anti_identical", "nonempty",         # bloom anti-join
-                   "rerank_exact", "self_first"}         # PQ ANN
+                   "rerank_exact", "self_first",         # PQ ANN
+                   "detection_sound"}                    # skew-aware join
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
