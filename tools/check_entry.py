@@ -89,7 +89,9 @@ def main(sf_dir="/root/testdata/sf0.01"):
                    "plan_deterministic",
                    "anti_identical", "nonempty",         # bloom anti-join
                    "rerank_exact", "self_first",         # PQ ANN
-                   "detection_sound"}                    # skew-aware join
+                   "detection_sound",                    # skew-aware join
+                   "est_tight", "hll_within_bound",      # join advisor
+                   "strategy_valid"}
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
