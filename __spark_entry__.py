@@ -2076,7 +2076,7 @@ def _q_pq_ann_topk(spark, sf_dir):
     q = np.asarray(
         emb.filter(F.col("vec_id") == 0).first()["embedding"], np.float64)
     got = pq_topk_rerank(emb, codes, "embedding", "vec_id", q, cb,
-                         k=10, rerank=128).collect()
+                         k=10, rerank=256).collect()
     adc = pq_topk(codes, "vec_id", q, cb, k=10).collect()
     exact = (emb.withColumn(
         "d", F.aggregate(

@@ -118,13 +118,23 @@ class FrequentDirections:
         shrink_total at fro2/ell (Liberty 2013, Thm 1.1)."""
         if self.n_buf == 0:
             return
+        a = self.buf[:self.n_buf]
         try:
-            _, s, vt = np.linalg.svd(self.buf[:self.n_buf],
-                                     full_matrices=False)
-        except np.linalg.LinAlgError:   # gesdd non-convergence: fall back
-            _, s, vt = np.linalg.svd(self.buf[:self.n_buf],
-                                     full_matrices=False,
-                                     hermitian=False)
+            _, s, vt = np.linalg.svd(a, full_matrices=False)
+        except np.linalg.LinAlgError:
+            # gesdd non-convergence: a genuinely different algorithm —
+            # eigendecomposition (syevd) of the small Gram side A@A',
+            # m x m with m = n_buf <= 2*ell. Squares the condition
+            # number, fine for a last-resort path; singular vectors are
+            # recovered as V' = U'A / s (zero rows for null directions).
+            lam, u = np.linalg.eigh(a @ a.T)
+            order = np.argsort(lam)[::-1]
+            lam, u = lam[order], u[:, order]
+            s = np.sqrt(np.maximum(lam, 0.0))
+            vt = np.zeros((s.shape[0], a.shape[1]))
+            nz = s > (s[0] * 1e-12 if s.size and s[0] > 0 else 0.0)
+            if nz.any():
+                vt[nz] = (u[:, nz].T @ a) / s[nz, None]
         if s.shape[0] <= self.ell:
             # fewer directions than ell: nothing to shrink, just re-pack
             rows = s[:, None] * vt

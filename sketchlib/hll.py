@@ -8,6 +8,16 @@ Register update is max(), which is associative, commutative and idempotent:
 merges are byte-identical for ANY partition order and even overlap-tolerant.
 With 64-bit hashes no large-range correction is needed (Heule et al. 2013
 observation); small-range uses linear counting. Standard error ~1.04/sqrt(m).
+
+Partial blobs are size-adaptive (``to_bytes_auto``): a slice that touched
+few registers serializes as (idx, rank) pairs instead of the dense 2^p
+array — the same two-level encoding contract as Count-Min's CMSP sparse
+partials. This is what keeps PER-GROUP HLL builds shuffle-light at scale:
+with p=14 a dense partial is 16 KB even for a group that saw 3 keys; in a
+heavy-tailed corpus most (partition, group) slices are tiny, so grouped
+distinct-count builds over millions of groups shuffle KBs of pairs, not
+16 KB x groups x partitions. Final results always serialize dense
+(``to_bytes``) — the byte-identity contract.
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ import numpy as np
 from .hashing import bit_length_u64, murmur_h2_into
 
 _MAGIC = b"HLL1"
+_MAGIC_SPARSE = b"HLLS"
 _VERSION = 1
 
 
@@ -84,8 +95,43 @@ class HllSketch:
                            self.n_items)
         return head + self.registers.tobytes()
 
+    def to_bytes_auto(self) -> bytes:
+        """Size-adaptive PARTIAL encoding: sparse (idx, rank) pairs when
+        the slice touched few registers (5 bytes/pair + 8-byte count vs
+        1 byte/register dense), dense otherwise. Deserializes to the
+        identical dense sketch either way — only the wire form differs."""
+        nz = np.flatnonzero(self.registers)
+        if 5 * nz.shape[0] + 8 >= self.m:
+            return self.to_bytes()
+        head = struct.pack("<4sHHqqq", _MAGIC_SPARSE, _VERSION, self.p,
+                           self.seed, self.n_items, nz.shape[0])
+        return (head + nz.astype(np.uint32).tobytes()
+                + self.registers[nz].tobytes())
+
     @staticmethod
     def from_bytes(buf: bytes) -> "HllSketch":
+        magic = bytes(buf[:4])
+        if magic == _MAGIC_SPARSE:
+            hs = struct.calcsize("<4sHHqqq")
+            if len(buf) < hs:
+                raise ValueError("truncated sparse HllSketch header")
+            _, ver, p, seed, n_items, nnz = struct.unpack("<4sHHqqq",
+                                                          buf[:hs])
+            if ver != _VERSION:
+                raise ValueError("bad HllSketch serialization")
+            need = hs + 5 * nnz
+            if len(buf) < need or nnz > (1 << p):
+                raise ValueError(
+                    f"truncated/invalid sparse HllSketch blob: "
+                    f"{len(buf)} bytes, need {need}, nnz={nnz}")
+            idx = np.frombuffer(buf[hs:hs + 4 * nnz], dtype=np.uint32)
+            if nnz and int(idx.max()) >= (1 << p):
+                raise ValueError("sparse HllSketch index out of range")
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            regs[idx.astype(np.int64)] = np.frombuffer(
+                buf[hs + 4 * nnz:need], dtype=np.uint8)
+            return HllSketch(p=p, seed=seed, registers=regs,
+                             n_items=n_items)
         hs = struct.calcsize("<4sHHqq")
         magic, ver, p, seed, n_items = struct.unpack("<4sHHqq", buf[:hs])
         if magic != _MAGIC or ver != _VERSION:

@@ -168,7 +168,13 @@ def bloom_semijoin(spark, fact: DataFrame, dim: DataFrame, key_col: str, *,
                           seed=seed)).sketch
     claimed = sketch_probe_col(spark, bf, F.col(key_col),
                                method="contains_batch", rtype="boolean")
-    return fact.filter(claimed)
+    # NULL fact keys are dropped BEFORE the probe, not just for join
+    # semantics (NULL never matches an inner/semi join) but for probe
+    # integrity: a null-containing Arrow batch degrades int64 -> float64
+    # in pandas, silently corrupting keys >= 2^53 into FALSE NEGATIVES.
+    # The isNotNull predicate is non-UDF so Catalyst evaluates it below
+    # the Python-UDF filter node — probe batches are null-free.
+    return fact.filter(F.col(key_col).isNotNull()).filter(claimed)
 
 
 def runtime_filtered_join(spark, fact: DataFrame, dim: DataFrame,
@@ -221,11 +227,16 @@ def bloom_antijoin(spark, fact: DataFrame, dim: DataFrame, key_col: str, *,
                           seed=seed)).sketch
     claimed = sketch_probe_col(spark, bf, F.col(key_col),
                                method="contains_batch", rtype="boolean")
-    marked = fact.withColumn("_bf_claimed", claimed)
-    clear = (marked.filter(F.col(key_col).isNull()
-                           | ~F.col("_bf_claimed")).drop("_bf_claimed"))
-    suspect = (marked.filter(F.col(key_col).isNotNull()
-                             & F.col("_bf_claimed")).drop("_bf_claimed"))
+    # probe ONLY the non-null-key slice: a null-containing Arrow batch
+    # degrades int64 -> float64 in pandas, corrupting keys >= 2^53 into
+    # false negatives (here: contaminated rows leaking into the output).
+    # NULL-key rows are definitive anti-join output anyway.
+    null_clear = fact.filter(F.col(key_col).isNull())
+    marked = (fact.filter(F.col(key_col).isNotNull())
+              .withColumn("_bf_claimed", claimed))
+    clear = (marked.filter(~F.col("_bf_claimed")).drop("_bf_claimed")
+             .unionByName(null_clear))
+    suspect = marked.filter(F.col("_bf_claimed")).drop("_bf_claimed")
     return clear.unionByName(
         suspect.join(dim.select(key_col).distinct(), key_col, "left_anti"))
 
@@ -302,22 +313,27 @@ def advise_join(spark, left: DataFrame, left_key: str, right: DataFrame,
     """
     import functools
 
+    from .countmin import CMConfig, CountMinSketch
     from .hll import HllSketch
     from .mg import MisraGries
-    from .countmin import CMConfig
-    from .spark_build import (build_aggregator, build_sketch_from_counts)
+    from .multi import MultiSketch
+    from .spark_build import build_aggregator
 
     cfg = CMConfig(eps=eps, delta=0.05, seed=1337)
     sides = {}
     for name, df, key in (("left", left, left_key),
                           ("right", right, right_key)):
-        counts = (df.groupBy(F.col(key).alias("k"))
-                  .agg(F.count("*").alias("c")))
-        cm = build_sketch_from_counts(counts, "k", "c", cfg).sketch
-        hll = build_aggregator(
-            df.select(key), key, functools.partial(HllSketch, 14)).sketch
-        mg = build_aggregator(
-            df.select(key), key, functools.partial(MisraGries, mg_k)).sketch
+        # ONE scan builds all three summaries together (MultiSketch): the
+        # CM table from raw unit updates is identical to one built from
+        # pre-aggregated counts (same additions), so no groupBy shuffle —
+        # only KB partial blobs move, honoring the single-pass contract
+        res = build_aggregator(
+            df.select(key), key,
+            functools.partial(MultiSketch, (
+                functools.partial(CountMinSketch, cfg),
+                functools.partial(HllSketch, 14),
+                functools.partial(MisraGries, mg_k))))
+        cm, hll, mg = res.sketch.parts
         thresh = mg.n_items * skew_share - mg.error_bound()
         sides[name] = {
             "rows": mg.n_items,

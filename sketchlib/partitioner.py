@@ -85,12 +85,18 @@ def repartition_by_boundaries(df: DataFrame, value_col: str,
                               boundaries: list[float], *,
                               bucket_col: str = "_range_bucket") -> DataFrame:
     """Attach the bucket id and range-cluster the rows on it: one
-    shuffle keyed by bucket, after which each task holds one contiguous
-    value range — the layout a sorted/partitioned write wants. The
+    RANGE shuffle keyed by bucket, after which each task holds a
+    contiguous interval of bucket ids — hence one contiguous value
+    range — the layout a sorted/partitioned write wants. (A hash
+    repartition on the bucket id would co-locate same-bucket rows but
+    could pack non-adjacent buckets into one task and leave ~1/e of
+    tasks empty; range partitioning keeps the contiguity the docstring
+    promises. For exactly-one-bucket-per-output-dir, write with
+    ``partitionBy(bucket_col)`` instead — the zorder_layout path.) The
     bucket column is kept (callers pass it to partitionBy or drop it)."""
     out = df.withColumn(bucket_col, range_bucket(F.col(value_col),
                                                  boundaries))
-    return out.repartition(len(boundaries) + 1, F.col(bucket_col))
+    return out.repartitionByRange(len(boundaries) + 1, F.col(bucket_col))
 
 
 def zorder_value(cols_and_bounds: list[tuple[Column, list[float]]],

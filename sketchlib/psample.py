@@ -84,6 +84,38 @@ def _priorities(hashes: np.ndarray, weights: np.ndarray) -> np.ndarray:
     return weights / u
 
 
+def _dedup_keep(h: np.ndarray, w: np.ndarray, key_at, pay_at) -> np.ndarray:
+    """One representative index per distinct key in a batch: the copy with
+    the max (weight, payload) — the same collapse rule ``_absorb`` applies.
+    Vectorized on the 64-bit key hash (same key => same hash); only
+    same-hash groups (rare) materialize and compare actual key bytes.
+
+    This MUST run before the top-(k+1) pre-trim: trimming a batch on raw
+    priorities first lets a duplicated key occupy several of the k+1 slots
+    and evict a distinct key that belongs in the global top-(k+1), making
+    the retained set depend on how rows were batched (merge-order
+    byte-identity violation; caught by review in round 3)."""
+    n = h.shape[0]
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    counts = np.diff(np.append(starts, n))
+    kept = [order[starts[counts == 1]]]
+    for s, c in zip(starts[counts > 1], counts[counts > 1]):
+        best: dict[bytes, tuple[float, bytes, int]] = {}
+        for i in order[s:s + c]:
+            i = int(i)
+            cand = (float(w[i]), bytes(pay_at(i)), i)
+            key = bytes(key_at(i))
+            prev = best.get(key)
+            if prev is None or cand[:2] > prev[:2]:
+                best[key] = cand
+        if best:
+            kept.append(np.fromiter((v[2] for v in best.values()),
+                                    dtype=np.int64, count=len(best)))
+    return np.concatenate(kept)
+
+
 class PrioritySample:
     """At most k+1 (key, weight[, payload]) items with the largest
     hash-derived priorities; the (k+1)-th is the threshold witness, the
@@ -134,15 +166,20 @@ class PrioritySample:
         q = _priorities(h, w)
         self.n_items += n
         self.total_weight += float(w.sum())
-        # pre-trim the batch to its own top-(k+1) before the python-side
-        # candidate collapse: everything below the batch's (k+1)-th
-        # priority can never enter the global top-(k+1)
+        # pre-trim the batch to its top-(k+1) DISTINCT keys before the
+        # python-side candidate collapse: everything below the (k+1)-th
+        # collapsed priority can never enter the global top-(k+1), and
+        # duplicates are collapsed first so a repeated key cannot crowd
+        # distinct keys out of the pre-trim window (see _dedup_keep)
         cap = self.k + 1
         if n > cap:
-            top = np.argpartition(q, n - cap)[n - cap:]
-            kb = [kb[i] for i in top]
-            pb = [pb[i] for i in top]
-            w, h, q = w[top], h[top], q[top]
+            keep = _dedup_keep(h, w, lambda i: kb[i], lambda i: pb[i])
+            if keep.shape[0] > cap:
+                sub = np.argpartition(q[keep], keep.shape[0] - cap)
+                keep = keep[sub[keep.shape[0] - cap:]]
+            kb = [kb[i] for i in keep]
+            pb = [pb[i] for i in keep]
+            w, h, q = w[keep], h[keep], q[keep]
         self._absorb(kb, w, pb, h, q)
 
     def update_flat(self, flat: np.ndarray, lens: np.ndarray,
@@ -162,21 +199,29 @@ class PrioritySample:
         q = _priorities(h, w)
         self.n_items += n
         self.total_weight += float(w.sum())
-        cap = self.k + 1
-        keep = np.arange(n)
-        if n > cap:
-            keep = np.argpartition(q, n - cap)[n - cap:]
         ends = np.cumsum(lens)
         starts = ends - lens
         kbuf = np.asarray(flat, dtype=np.uint8).tobytes()
-        kb = [kbuf[starts[i]:ends[i]] for i in keep]
         if pay_flat is not None:
             pends = np.cumsum(pay_lens)
             pstarts = pends - pay_lens
             pbuf = np.asarray(pay_flat, dtype=np.uint8).tobytes()
-            pb = [pbuf[pstarts[i]:pends[i]] for i in keep]
+            pay_at = lambda i: pbuf[pstarts[i]:pends[i]]  # noqa: E731
         else:
-            pb = [b""] * len(keep)
+            pbuf = None
+            pay_at = lambda i: b""  # noqa: E731
+        cap = self.k + 1
+        keep = np.arange(n)
+        if n > cap:
+            # collapse duplicate keys before trimming — see _dedup_keep
+            keep = _dedup_keep(h, w, lambda i: kbuf[starts[i]:ends[i]],
+                               pay_at)
+            if keep.shape[0] > cap:
+                sub = np.argpartition(q[keep], keep.shape[0] - cap)
+                keep = keep[sub[keep.shape[0] - cap:]]
+        kb = [kbuf[starts[i]:ends[i]] for i in keep]
+        pb = [pay_at(i) for i in keep] if pbuf is not None else \
+            [b""] * len(keep)
         self._absorb(kb, w[keep], pb, h[keep], q[keep])
 
     def _absorb(self, kb, w, pb, h, q) -> None:

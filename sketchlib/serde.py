@@ -13,6 +13,7 @@ from .fd import FrequentDirections
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGries
+from .multi import MultiSketch
 from .psample import PrioritySample
 from .tdigest import TDigest
 from .theta import ThetaSketch
@@ -21,6 +22,7 @@ _REGISTRY = {
     b"CMSK": CountMinSketch,
     b"CMSP": CountMinSketch,   # sparse partial encoding (same class)
     b"HLL1": HllSketch,
+    b"HLLS": HllSketch,   # sparse partial encoding (same class)
     b"BLM1": BloomFilter,
     b"DDS1": DDSketch,
     b"KLL1": KllSketch,
@@ -31,6 +33,7 @@ _REGISTRY = {
     b"DYA1": DyadicCM,
     b"FDR1": FrequentDirections,
     b"PSM1": PrioritySample,
+    b"MUL1": MultiSketch,
 }
 
 

@@ -161,6 +161,7 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, *, n_cells: int = 16,
     # content hash, then limit — a bare limit() takes whatever partitions
     # answer first, so "seeded" centroids would still drift between runs
     rows = (df.select(vec_col)
+            .filter(F.col(vec_col).isNotNull())
             .orderBy(F.xxhash64(F.col(vec_col)))
             .limit(sample).collect())
     X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
@@ -194,11 +195,17 @@ def ivf_cell_col(centroids: np.ndarray, vec_col):
     @pandas_udf("int")
     def cell(vecs: pd.Series) -> pd.Series:
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        d = (np.square(X).sum(axis=1)[:, None]
-             - 2 * X @ C.T + np.square(C).sum(axis=1)[None, :])
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        return pd.Series(_cell_block(X, C))
 
     return cell(vec_col)
+
+
+def _cell_block(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell per row of X — one matmul; ties break to the
+    lowest cell id (argmin), consistently across every assignment path."""
+    d = (np.square(X).sum(axis=1)[:, None]
+         - 2 * X @ C.T + np.square(C).sum(axis=1)[None, :])
+    return d.argmin(axis=1).astype(np.int32)
 
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
@@ -368,8 +375,15 @@ def pq_train(df: DataFrame, vec_col: str, *, m: int = 8, ksub: int = 16,
     """Train PQ codebooks on a bounded driver-side sample (same contract
     as train_ivf_centroids: training is a small deterministic sample,
     ENCODING is distributed). Returns codebooks (m, ksub, dsub)."""
+    # deterministic sample regardless of partition layout (same contract
+    # as train_ivf_centroids): NULL vectors excluded, rows ordered by a
+    # content hash before the limit — a bare limit() takes whatever
+    # partitions answer first, so codebooks would drift between runs
     sample = np.vstack([np.asarray(r[0], dtype=np.float64) for r in
-                        df.select(vec_col).limit(sample_rows).collect()])
+                        df.select(vec_col)
+                        .filter(F.col(vec_col).isNotNull())
+                        .orderBy(F.xxhash64(F.col(vec_col)))
+                        .limit(sample_rows).collect()])
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -388,24 +402,31 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
     column you persist next to (or instead of) the raw vectors: at
     dim=64/m=8 it is 32x smaller, so a 100 TB embedding column becomes
     ~3 TB of codes that fit hot storage."""
-    m, ksub, dsub = codebooks.shape
     cb = codebooks  # rides the closure; (m, ksub, dsub) float64
 
     def fn(pdf_iter):
         for pdf in pdf_iter:
             X = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vec_col]])
-            codes = np.empty((X.shape[0], m), dtype=np.uint8)
-            for i in range(m):
-                sub = X[:, i*dsub:(i+1)*dsub]
-                d = (np.square(sub).sum(1)[:, None] - 2 * sub @ cb[i].T
-                     + np.square(cb[i]).sum(1)[None, :])
-                codes[:, i] = d.argmin(axis=1)
+            codes = _pq_encode_block(X, cb)
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "code": [c.tobytes() for c in codes]})
 
     return df.select(id_col, vec_col).mapInPandas(
         fn, schema=f"{id_col} {_id_type(df, id_col)}, code binary")
+
+
+def _pq_encode_block(X: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, dim) float block -> (n, m) uint8 codes: one argmin per
+    subspace, vectorized over the block."""
+    m, ksub, dsub = cb.shape
+    codes = np.empty((X.shape[0], m), dtype=np.uint8)
+    for i in range(m):
+        sub = X[:, i*dsub:(i+1)*dsub]
+        d = (np.square(sub).sum(1)[:, None] - 2 * sub @ cb[i].T
+             + np.square(cb[i]).sum(1)[None, :])
+        codes[:, i] = d.argmin(axis=1)
+    return codes
 
 
 def pq_topk(codes_df: DataFrame, id_col: str, query_vec,
@@ -464,10 +485,28 @@ def ivfpq_write_index(df: DataFrame, vec_col: str, id_col: str,
     probed cells' files (parquet partition pruning — same plan shape as
     ivf_write_index, asserted there) and scans CODES, not vectors:
     storage pruning x 16-32x byte compression multiply. Raw vectors stay
-    in the source table and are touched only by the final re-rank."""
-    codes = pq_encode(df, vec_col, id_col, codebooks)
-    cells = ivf_assign(df, vec_col, id_col, centroids)
-    (codes.join(cells, id_col)
+    in the source table and are touched only by the final re-rank.
+
+    One pass: each Arrow batch computes its PQ codes AND its coarse cell
+    in the same mapInPandas (the encode-then-assign-then-join-on-id shape
+    read the raw vectors twice and shuffled every row through the join;
+    review r3). Cell assignment reuses _cell_block, so ties break
+    identically to ivf_cell_col / ivf_assign."""
+    cb = codebooks
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            codes = _pq_encode_block(X, cb)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "code": [c.tobytes() for c in codes],
+                                "cell": _cell_block(X, C)})
+
+    (df.select(id_col, vec_col)
+     .mapInPandas(fn, schema=f"{id_col} {_id_type(df, id_col)}, "
+                             "code binary, cell int")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
 
 

@@ -856,6 +856,14 @@ def _probe_udf(spark: SparkSession, sketch, method: str, rtype: str):
 
     @pandas_udf(rtype)
     def probe(keys: pd.Series) -> pd.Series:
+        if keys.isna().any():
+            # fail LOUDLY: Arrow->pandas turns a null-containing int64
+            # batch into float64+NaN, silently corrupting keys >= 2^53
+            # (false negatives / wrong estimates). The exact integers are
+            # unrecoverable here — callers must pre-filter.
+            raise ValueError(
+                "probe column contains NULLs; filter isNotNull() before "
+                "probing (null batches degrade int64 keys to float64)")
         sk = _cached_sketch(digest, bc.value)
         out = getattr(sk, method)(keys.to_numpy())
         return pd.Series(np.asarray(out))
@@ -1125,12 +1133,16 @@ def build_aggregator_pairs(df: DataFrame, key_col: str, weight_col: str,
     over (key, weight[, payload]) columns — the two-column counterpart of
     build_aggregator, same partial schema, same √n tree merge, same
     lineage. Rows with NULL or non-positive weight are excluded at the
-    scan (they contribute nothing to any subset sum)."""
+    scan (they contribute nothing to any subset sum); a NULL payload maps
+    to the empty-string group — the same label rows get when no payload
+    column is passed — so one unlabeled row degrades its own group label,
+    not the whole build (Arrow flat buffers reject nulls)."""
     t0 = time.perf_counter()
     cols = [F.col(key_col).cast("string").alias(key_col),
             F.col(weight_col).cast("double").alias(weight_col)]
     if payload_col:
-        cols.append(F.col(payload_col).cast("string").alias(payload_col))
+        cols.append(F.coalesce(F.col(payload_col).cast("string"),
+                               F.lit("")).alias(payload_col))
     src = (df.select(*cols)
            .filter(F.col(key_col).isNotNull() & (F.col(weight_col) > 0)))
     lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
@@ -1168,7 +1180,9 @@ def build_grouped_aggregator_pairs(df: DataFrame, group_col: str,
             F.col(key_col).cast("string").alias("_ik"),
             F.col(weight_col).cast("double").alias("_w")]
     if payload_col:
-        cols.append(F.col(payload_col).cast("string").alias("_pl"))
+        # NULL payload -> "" group (see build_aggregator_pairs)
+        cols.append(F.coalesce(F.col(payload_col).cast("string"),
+                               F.lit("")).alias("_pl"))
 
     def partial_fn(batches):
         ctx = TaskContext.get()

@@ -60,6 +60,40 @@ def test_hll_serde_roundtrip():
     assert back.to_bytes() == h.to_bytes()
 
 
+def test_hll_sparse_partial_encoding():
+    """to_bytes_auto: sparse (idx, rank) pairs for lightly-touched
+    sketches, dense past break-even; either wire form deserializes to
+    the identical dense sketch (the CMSP contract, applied to HLL)."""
+    light = HllSketch(p=14)
+    light.update_batch(np.arange(37, dtype=np.int64))
+    blob = light.to_bytes_auto()
+    assert blob[:4] == b"HLLS"
+    assert len(blob) < 300                 # vs 16 KB + header dense
+    back = loads(blob)
+    assert back.to_bytes() == light.to_bytes()  # dense-identical
+    assert back.n_items == light.n_items
+    # saturated sketch: auto stays dense (pairs would be larger)
+    heavy = HllSketch(p=10)
+    heavy.update_batch(np.arange(100_000, dtype=np.int64))
+    assert heavy.to_bytes_auto() == heavy.to_bytes()
+    # merging a sparse-roundtripped partial is byte-equal to the direct
+    other = HllSketch(p=14)
+    other.update_batch(np.arange(1000, 1100, dtype=np.int64))
+    direct = HllSketch(p=14)
+    direct.update_batch(np.arange(37, dtype=np.int64))
+    direct.merge(other)
+    via_sparse = loads(light.to_bytes_auto()).merge(
+        loads(other.to_bytes_auto()))
+    assert via_sparse.to_bytes() == direct.to_bytes()
+    # corrupted sparse blobs fail loudly
+    with pytest.raises(ValueError):
+        loads(blob[:20])
+    bad = bytearray(blob)
+    bad[32:36] = (1 << 20).to_bytes(4, "little")  # first idx out of range
+    with pytest.raises(ValueError):
+        loads(bytes(bad))
+
+
 # ---------------------------------------------------------------- Bloom ----
 
 def test_bloom_no_false_negatives_and_fpr():

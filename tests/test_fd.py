@@ -51,6 +51,27 @@ def test_exact_below_buffer():
     assert fd.error_certificate() == 0.0
 
 
+def test_svd_fallback_path_keeps_bound(monkeypatch):
+    """Regression (review r3): the gesdd-failure fallback used to re-run
+    the identical np.linalg.svd call (a no-op retry). Force every SVD to
+    fail and verify the eigh-of-Gram fallback still produces a sketch
+    satisfying the FD bound and the PSD invariant."""
+    def boom(*args, **kwargs):
+        raise np.linalg.LinAlgError("forced gesdd failure")
+
+    monkeypatch.setattr(np.linalg, "svd", boom)
+    a = _matrix()
+    fd = FrequentDirections(ell=ELL, dim=DIM)
+    fd.update_batch(a)
+    monkeypatch.undo()  # _spec_err may itself use svd/eigh freely
+    assert fd.fro2 == pytest.approx(float((a * a).sum()), rel=1e-12)
+    spec, min_ev = _spec_err(a.T @ a, fd)
+    tol = 1e-6 * fd.fro2  # Gram squaring loses some precision vs gesdd
+    assert min_ev >= -tol
+    assert spec <= fd.error_certificate() + tol
+    assert fd.rows().shape[0] <= 2 * ELL
+
+
 def test_merge_any_order_keeps_bound():
     a = _matrix()
     gram = a.T @ a

@@ -1,0 +1,139 @@
+"""MultiSketch composite aggregator: lockstep updates, part-wise merge
+algebra (byte-identical any split/order), serde dispatch, and the
+one-pass distributed build it exists for (advise_join's contract)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sketchlib import serde
+from sketchlib.countmin import CMConfig, CountMinSketch
+from sketchlib.hll import HllSketch
+from sketchlib.mg import MisraGries
+from sketchlib.multi import MultiSketch
+
+CFG = CMConfig(eps=1e-3, delta=math.exp(-3), seed=42)
+
+
+def _factories():
+    import functools
+    return (functools.partial(CountMinSketch, CFG),
+            functools.partial(HllSketch, 12),
+            functools.partial(MisraGries, 32))
+
+
+def _stream(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.zipf(1.3, n).astype(np.int64) % 10_000
+
+
+def test_lockstep_matches_individual_builds():
+    vals = _stream()
+    ms = MultiSketch(_factories())
+    ms.update_batch(vals)
+    singles = [f() for f in _factories()]
+    for s in singles:
+        s.update_batch(vals)
+    for part, single in zip(ms.parts, singles):
+        assert part.to_bytes() == single.to_bytes()
+    assert ms.n_items == len(vals)
+
+
+def test_merge_byte_identity_any_order():
+    """For a FIXED partitioning, every merge order yields identical bytes
+    (MG is merge-order deterministic but, like any counter-decrement
+    summary, not split-independent; CM and HLL are both — checked against
+    the single-pass build separately)."""
+    vals = _stream(8000, seed=1)
+    one = MultiSketch(_factories())
+    one.update_batch(vals)
+    rng = np.random.default_rng(2)
+    n_parts = 6
+    assign = rng.integers(0, n_parts, len(vals))
+
+    def built(order):
+        parts = []
+        for p in range(n_parts):
+            sk = MultiSketch(_factories())
+            sk.update_batch(vals[assign == p])
+            parts.append(sk)
+        acc = parts[order[0]]
+        for i in order[1:]:
+            acc = acc.merge(parts[i])
+        return acc
+
+    ref = built(list(range(n_parts)))
+    # the same merge tree reproduces identical bytes run-to-run
+    assert built(list(range(n_parts))).to_bytes() == ref.to_bytes()
+    exact = {k: int(c) for k, c in zip(*np.unique(vals,
+                                                  return_counts=True))}
+    for _ in range(3):
+        acc = built(list(rng.permutation(n_parts)))
+        # CM and HLL parts are merge-order independent, bit-for-bit
+        assert acc.parts[0].to_bytes() == ref.parts[0].to_bytes()
+        assert acc.parts[1].to_bytes() == ref.parts[1].to_bytes()
+        # the MG part's counter VALUES legitimately depend on the merge
+        # tree (mg.py docstring); its guarantee must hold for EVERY order
+        mg = acc.parts[2]
+        survivors = dict(mg.top_items())
+        for k, c in exact.items():
+            if c > mg.error_bound():
+                assert k in survivors
+                assert survivors[k] <= c <= survivors[k] + mg.error_bound()
+    # split-independent parts match the single-pass build bit-for-bit
+    assert ref.parts[0].to_bytes() == one.parts[0].to_bytes()  # CM
+    assert ref.parts[1].to_bytes() == one.parts[1].to_bytes()  # HLL
+
+
+def test_serde_roundtrip_both_encodings():
+    vals = _stream(300, seed=3)
+    ms = MultiSketch(_factories())
+    ms.update_batch(vals)
+    back = serde.loads(ms.to_bytes())
+    assert isinstance(back, MultiSketch)
+    assert back.to_bytes() == ms.to_bytes()
+    # partial (size-adaptive) encoding round-trips through serde too
+    partial = serde.loads(ms.to_bytes_auto())
+    assert partial.to_bytes() == ms.to_bytes()
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="at least one part"):
+        MultiSketch(())
+    a = MultiSketch(_factories())
+    with pytest.raises(ValueError, match="cannot combine"):
+        a.merge(HllSketch(12))
+    b = MultiSketch(_factories()[:2])
+    with pytest.raises(ValueError, match="part counts"):
+        a.merge(b)
+    # part-wise config validation comes from the parts themselves
+    c = MultiSketch((lambda: CountMinSketch(CMConfig(1e-2, 0.1, seed=7)),
+                     lambda: HllSketch(12), lambda: MisraGries(32)))
+    with pytest.raises(ValueError):
+        a.merge(c)
+
+
+def test_distributed_one_pass_build_matches_local(spark):
+    from sketchlib.spark_build import build_aggregator
+    vals = _stream(4000, seed=4)
+    df = spark.createDataFrame([(int(v),) for v in vals], "k long") \
+        .repartition(8)
+    res = build_aggregator(df, "k", lambda: MultiSketch(_factories()))
+    local = MultiSketch(_factories())
+    local.update_batch(vals)
+    # CM and HLL are split-independent: distributed == local, bit-for-bit
+    assert res.sketch.parts[0].to_bytes() == local.parts[0].to_bytes()
+    assert res.sketch.parts[1].to_bytes() == local.parts[1].to_bytes()
+    # MG depends on the split but keeps its guarantee: every key above
+    # n/(k+1) survives, and survivor counts underestimate by <= bound
+    mg = res.sketch.parts[2]
+    assert mg.n_items == len(vals)
+    exact = {k: int(c) for k, c in
+             zip(*np.unique(vals, return_counts=True))}
+    top = {k for k, c in exact.items() if c > mg.error_bound()}
+    survivors = dict(mg.top_items())
+    for k in top:
+        assert k in survivors
+        assert survivors[k] <= exact[k] <= survivors[k] + mg.error_bound()
+    assert res.n_rows == len(vals)

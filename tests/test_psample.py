@@ -91,6 +91,38 @@ def test_duplicate_keys_collapse_to_max_weight():
     assert blob[:4] == b"PSM1"
 
 
+def test_duplicates_in_oversized_batch_do_not_evict_distinct_keys():
+    """Regression (review r3): the pre-trim to top-(k+1) must collapse
+    duplicate keys FIRST — a key duplicated inside one big batch used to
+    occupy several pre-trim slots, evicting a distinct key that belongs in
+    the global top-(k+1) and breaking batch-layout byte-identity."""
+    one = PrioritySample(k=2, seed=7)
+    one.update_pairs(["a", "a", "b", "c"], [10.0, 9.0, 1.0, 1.0])
+    per_item = PrioritySample(k=2, seed=7)
+    for key, w in [("a", 10.0), ("a", 9.0), ("b", 1.0), ("c", 1.0)]:
+        per_item.update_pairs([key], [w])
+    assert one.to_bytes() == per_item.to_bytes()
+    assert one.threshold is not None  # 4 distinct-candidate slots > k
+    # same invariant on the zero-copy flat path, duplicates at scale:
+    # 600 copies of one hot key interleaved with 300 distinct keys
+    keys = []
+    weights = []
+    for i in range(300):
+        keys += ["hot", f"k{i:04d}"]
+        weights += [1000.0 - i, 1.0 + (i % 7)]
+    keys += ["hot"] * 300
+    weights += [500.0] * 300
+    flat = np.frombuffer(b"".join(k.encode() for k in keys), dtype=np.uint8)
+    lens = np.array([len(k) for k in keys], dtype=np.int64)
+    a = PrioritySample(k=16, seed=11)
+    a.update_flat(flat, lens, np.array(weights))
+    b = PrioritySample(k=16, seed=11)
+    for k, w in zip(keys, weights):
+        b.update_pairs([k], [w])
+    assert a.to_bytes() == b.to_bytes()
+    assert len({key for key, _, _ in a.sample()}) == 16
+
+
 def test_serde_roundtrip_and_dispatch():
     keys, weights, groups = _mk_items(500)
     ps = PrioritySample(k=32, seed=42)
