@@ -143,6 +143,30 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     extra["cs_build_tokens_per_sec"] = round(
         cs.sketch.n_items / timings["cs_build"], 1)
 
+    # one-SCAN corpus profile: CM + HLL + MG + Bloom built together from
+    # a single parquet-direct pass (sketchlib.multi.MultiSketch) — at
+    # 100 TB this replaces four full-corpus scans with one; compare its
+    # wall to cm_build to read the marginal cost of the three extra
+    # summaries on the same scan
+    from sketchlib.bloom import BloomFilter
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.hll import HllSketch
+    from sketchlib.mg import MisraGries
+    from sketchlib.multi import MultiSketch
+    prof = timed("corpus_profile",
+                 lambda: build_aggregator_parquet(
+                     spark, tok_path, "tokens",
+                     functools.partial(MultiSketch, (
+                         functools.partial(CountMinSketch, cfg),
+                         functools.partial(HllSketch, 14),
+                         functools.partial(MisraGries, 1024),
+                         functools.partial(BloomFilter, capacity=2_000_000,
+                                           fpr=0.01, seed=1337)))))
+    extra["profile_tokens_per_sec"] = round(
+        prof.sketch.n_items / timings["corpus_profile"], 1)
+    extra["profile_distinct_est"] = round(
+        prof.sketch.parts[1].estimate(), 1)
+
     # grouped build through the parquet-direct columnar source — the arrow
     # DataFrame path bounces every token through a JVM row (~0.5 GB/s
     # ceiling; 72.8 s vs 6.2 s for the global build in round 1)

@@ -45,6 +45,11 @@ class BloomFilter:
         if arr.shape[0] == 0:
             return
         self.n_items += arr.shape[0]
+        # membership is idempotent: hash and set bits once per DISTINCT
+        # key in the batch (a skewed batch is mostly duplicates, and each
+        # duplicate would pay k hashed bitwise_or.at probes). Result is
+        # bit-identical; n_items keeps counting occurrences folded.
+        arr = np.unique(arr)
         one = np.uint64(1)
         six = np.uint64(6)
         mask = np.uint64(63)

@@ -55,13 +55,33 @@ class HllSketch:
         if n == 0:
             return
         self.n_items += n
+        # register max is idempotent: hash once per DISTINCT key in the
+        # batch — a skewed batch is mostly duplicates, and the per-element
+        # rank extraction (bit_length) dominates the update cost. Result
+        # is bit-identical; n_items keeps counting occurrences folded.
+        arr = np.unique(arr)
+        n = arr.shape[0]
         h = np.empty(n, dtype=np.uint64)
         murmur_h2_into(arr, self.seed, h)
         shift = np.uint64(64 - self.p)
-        idx = (h >> shift).astype(np.int64)
+        idx = h >> shift
         v = h & np.uint64((1 << (64 - self.p)) - 1)
-        rank = ((64 - self.p) - bit_length_u64(v) + 1).astype(np.uint8)
-        np.maximum.at(self.registers, idx, rank)
+        rank = ((64 - self.p) - bit_length_u64(v) + 1).astype(np.uint64)
+        # grouped max WITHOUT ufunc.at (~150 ns/elem): pack (idx, rank)
+        # into one word (rank <= 64-p+1 < 256 fits the low byte), sort,
+        # and take the last entry of each idx run — the batch max per
+        # register — then one gather/scatter on now-UNIQUE indices.
+        # ~3x faster; results are bit-identical (max is max).
+        comb = (idx << np.uint64(8)) | rank
+        comb.sort()
+        last = np.empty(comb.shape[0], dtype=bool)
+        last[-1] = True
+        np.not_equal(comb[1:] >> np.uint64(8), comb[:-1] >> np.uint64(8),
+                     out=last[:-1])
+        top = comb[last]
+        uidx = (top >> np.uint64(8)).astype(np.int64)
+        urank = (top & np.uint64(0xFF)).astype(np.uint8)
+        self.registers[uidx] = np.maximum(self.registers[uidx], urank)
 
     def estimate(self) -> float:
         m = float(self.m)

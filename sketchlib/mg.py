@@ -67,15 +67,36 @@ class MisraGries:
                         if c > pivot}
 
     def update_batch(self, keys) -> None:
+        """Merge the batch's exact histogram, then one shrink — fully
+        vectorized (sort + add.reduceat for the counter merge, np.partition
+        for the pivot): per-batch cost is O(u log u) numpy on u uniques,
+        with no per-unique Python loop, so MG rides the same hot build
+        paths as CM/HLL (e.g. the one-scan corpus profile)."""
         arr = np.asarray(keys, dtype=np.int64)
         if arr.size == 0:
             return
         self.n_items += int(arr.size)
         uniq, cnt = np.unique(arr, return_counts=True)
-        cs = self.counters
-        for key, c in zip(uniq.tolist(), cnt.tolist()):
-            cs[key] = cs.get(key, 0) + c
-        self._shrink()
+        if self.counters:
+            ck = np.fromiter(self.counters.keys(), dtype=np.int64,
+                             count=len(self.counters))
+            cv = np.fromiter(self.counters.values(), dtype=np.int64,
+                             count=len(self.counters))
+            allk = np.concatenate([ck, uniq])
+            allv = np.concatenate([cv, cnt])
+            order = np.argsort(allk, kind="stable")
+            sk, sv = allk[order], allv[order]
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            uniq = sk[starts]
+            cnt = np.add.reduceat(sv, starts)
+        if uniq.shape[0] > self.k:
+            # (k+1)-th largest = pivot; subtract, drop non-positive —
+            # identical to _shrink on the merged histogram
+            pivot = int(np.partition(cnt, uniq.shape[0] - (self.k + 1))
+                        [uniq.shape[0] - (self.k + 1)])
+            keep = cnt > pivot
+            uniq, cnt = uniq[keep], cnt[keep] - pivot
+        self.counters = dict(zip(uniq.tolist(), cnt.tolist()))
 
     def merge(self, other: "MisraGries") -> "MisraGries":
         if not isinstance(other, MisraGries):

@@ -1,0 +1,58 @@
+"""Token n-grams over the input-hint shape (tokens array<int32>): packed
+adjacent pairs extracted straight from the Arrow list buffers — per-row
+adjacency WITHOUT exploding rows or any per-row Python.
+
+The sequence payload makes this the natural "phrase" workload: a bigram
+key packs two 31-bit tokens into one int64 ((a << 31) | b — exact and
+invertible, no hash collisions before the sketch), so every mergeable
+sketch here (CM frequency, MG certain heavy hitters, HLL distinct
+bigrams, ...) consumes bigram streams through the same build topologies
+as unigrams, including the one-scan MultiSketch profile. At 10^12
+sequences the bigram stream is ~|tokens| long; nothing new shuffles —
+the same KB partial blobs move.
+
+No counterpart in the reference (CountMinDB is key-value only); follows
+the same update path as cm.h:272-316 once keys are packed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MASK31 = np.int64((1 << 31) - 1)
+
+
+def batch_bigrams(batch: pa.RecordBatch, col_idx: int) -> np.ndarray:
+    """Packed within-row adjacent pairs of a list<int32/int64> column:
+    (a << 31) | b as int64. Vectorized: flatten once, pair by shifting
+    the flat buffer, mask out the pairs that would cross row boundaries
+    (and anything in a null/empty/singleton row)."""
+    col = batch.column(col_idx)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    if flat.shape[0] < 2:
+        return np.empty(0, dtype=np.int64)
+    lens = pc.list_value_length(col)
+    if lens.null_count:
+        lens = pc.fill_null(lens, 0)
+    ends = np.cumsum(lens.to_numpy(zero_copy_only=False).astype(np.int64))
+    valid = np.ones(flat.shape[0] - 1, dtype=bool)
+    pos = ends[:-1] - 1                     # last value index of each row
+    pos = pos[(pos >= 0) & (pos < valid.shape[0])]
+    valid[pos] = False                      # pair would span two rows
+    a = flat[:-1][valid]
+    b = flat[1:][valid]
+    return (a << np.int64(31)) | b
+
+
+def unpack_bigram(key: int) -> tuple[int, int]:
+    """Inverse of the (a << 31) | b packing."""
+    return int(key) >> 31, int(key) & int(_MASK31)
+
+
+def unpack_bigrams(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    k = np.asarray(keys, dtype=np.int64)
+    return k >> np.int64(31), k & _MASK31

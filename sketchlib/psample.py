@@ -44,9 +44,47 @@ import numpy as np
 from .hashing import _fmix64
 
 _MAGIC = b"PSM1"
-_VERSION = 1
+_VERSION = 2
 _FULL = float(1 << 64)
 _B = np.uint64(1099511628211)  # FNV-1a style odd multiplier for polyhash
+
+# exact fixed-point scale for the running weight total: every finite
+# IEEE double is m * 2^e with e >= -1074, so sums in 2^-1074 units are
+# EXACT arbitrary-precision integers — and integer addition is
+# associative, which float += is not: a float total_weight made merge
+# bytes depend on where the stream was split (hypothesis-caught).
+_TW_SHIFT = 1074
+
+
+def _sum_exact_54(a: np.ndarray) -> int:
+    """Exact sum of int64 values < 2^54: 512-wide int64 partial sums
+    cannot overflow, the few partials fold into a Python int."""
+    n = a.shape[0]
+    pad = (-n) % 512
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+    return sum(int(x) for x in a.reshape(-1, 512).sum(axis=1).tolist())
+
+
+def _weights_units(w: np.ndarray) -> int:
+    """sum(w) in exact 2^-1074 units: frexp mantissas are exact 53-bit
+    integers; group by exponent, chunk-sum each group, shift into place.
+    Order-independent by construction."""
+    m, e = np.frexp(w)
+    mi = np.round(m * float(1 << 53)).astype(np.int64)  # exact, [2^52, 2^53)
+    sh = e.astype(np.int64) + (_TW_SHIFT - 53)
+    order = np.argsort(sh, kind="stable")
+    ssh, smi = sh[order], mi[order]
+    starts = np.flatnonzero(np.r_[True, ssh[1:] != ssh[:-1]])
+    bounds = np.append(starts, ssh.shape[0])
+    total = 0
+    for gi in range(starts.shape[0]):
+        v = _sum_exact_54(smi[bounds[gi]:bounds[gi + 1]])
+        s = int(ssh[starts[gi]])
+        # negative shifts only for subnormals, whose mantissas carry the
+        # matching trailing zeros (w * 2^1074 is integral) — exact
+        total += (v << s) if s >= 0 else (v >> -s)
+    return total
 
 
 def _polyhash_segments(flat: np.ndarray, lens: np.ndarray,
@@ -122,7 +160,7 @@ class PrioritySample:
     first k are the sample."""
 
     __slots__ = ("k", "seed", "keys", "weights", "payloads", "hashes",
-                 "prios", "n_items", "total_weight")
+                 "prios", "n_items", "_tw_units")
 
     def __init__(self, k: int = 256, seed: int = 1337) -> None:
         if k < 2:
@@ -135,7 +173,17 @@ class PrioritySample:
         self.hashes = np.empty(0, dtype=np.uint64)
         self.prios = np.empty(0, dtype=np.float64)
         self.n_items = 0
-        self.total_weight = 0.0
+        self._tw_units = 0   # exact Σw in 2^-1074 units (see _weights_units)
+
+    @property
+    def total_weight(self) -> float:
+        """Exact Σ of all folded weights, correctly rounded to a double
+        (tracked as an exact integer internally so merges in any order
+        serialize byte-identically)."""
+        if not self._tw_units:
+            return 0.0
+        from fractions import Fraction
+        return float(Fraction(self._tw_units, 1 << _TW_SHIFT))
 
     # -- updates ------------------------------------------------------------
 
@@ -150,8 +198,8 @@ class PrioritySample:
         w = np.asarray(weights, dtype=np.float64)
         if w.shape[0] != n:
             raise ValueError("keys and weights length mismatch")
-        if not np.all(w > 0):
-            raise ValueError("priority sampling needs weights > 0")
+        if not np.all(w > 0) or not np.all(np.isfinite(w)):
+            raise ValueError("priority sampling needs finite weights > 0")
         if payloads is None:
             pb = [b""] * n
         else:
@@ -165,7 +213,7 @@ class PrioritySample:
         h = _polyhash_segments(flat, lens, self.seed)
         q = _priorities(h, w)
         self.n_items += n
-        self.total_weight += float(w.sum())
+        self._tw_units += _weights_units(w)
         # pre-trim the batch to its top-(k+1) DISTINCT keys before the
         # python-side candidate collapse: everything below the (k+1)-th
         # collapsed priority can never enter the global top-(k+1), and
@@ -192,13 +240,13 @@ class PrioritySample:
         if n == 0:
             return
         w = np.asarray(weights, dtype=np.float64)
-        if not np.all(w > 0):
-            raise ValueError("priority sampling needs weights > 0")
+        if not np.all(w > 0) or not np.all(np.isfinite(w)):
+            raise ValueError("priority sampling needs finite weights > 0")
         h = _polyhash_segments(np.asarray(flat, dtype=np.uint8),
                                lens, self.seed)
         q = _priorities(h, w)
         self.n_items += n
-        self.total_weight += float(w.sum())
+        self._tw_units += _weights_units(w)
         ends = np.cumsum(lens)
         starts = ends - lens
         kbuf = np.asarray(flat, dtype=np.uint8).tobytes()
@@ -309,7 +357,7 @@ class PrioritySample:
         self._absorb(other.keys, other.weights, other.payloads,
                      other.hashes, other.prios)
         self.n_items += other.n_items
-        self.total_weight += other.total_weight
+        self._tw_units += other._tw_units
         return self
 
     # -- misc ---------------------------------------------------------------
@@ -321,7 +369,7 @@ class PrioritySample:
         self.hashes = np.empty(0, dtype=np.uint64)
         self.prios = np.empty(0, dtype=np.float64)
         self.n_items = 0
-        self.total_weight = 0.0
+        self._tw_units = 0
 
     def nbytes(self) -> int:
         return (sum(len(k) for k in self.keys)
@@ -332,12 +380,14 @@ class PrioritySample:
 
     def to_bytes(self) -> bytes:
         n = len(self.keys)
-        head = struct.pack("<4sHHqqqdq", _MAGIC, _VERSION, 0, self.k,
-                           self.seed, self.n_items, self.total_weight, n)
+        tw = self._tw_units.to_bytes(
+            max(1, (self._tw_units.bit_length() + 7) // 8), "little")
+        head = struct.pack("<4sHHqqqiq", _MAGIC, _VERSION, 0, self.k,
+                           self.seed, self.n_items, len(tw), n)
         klens = np.array([len(b) for b in self.keys], dtype=np.int32)
         plens = np.array([len(b) for b in self.payloads], dtype=np.int32)
         return b"".join([
-            head,
+            head, tw,
             self.weights.astype(np.float64).tobytes(),
             klens.tobytes(), plens.tobytes(),
             b"".join(self.keys), b"".join(self.payloads),
@@ -345,13 +395,17 @@ class PrioritySample:
 
     @staticmethod
     def from_bytes(buf: bytes) -> "PrioritySample":
-        hs = struct.calcsize("<4sHHqqqdq")
-        magic, ver, _pad, k, seed, n_items, total_w, n = struct.unpack(
-            "<4sHHqqqdq", buf[:hs])
+        hs = struct.calcsize("<4sHHqqqiq")
+        if len(buf) < hs:
+            raise ValueError("truncated PrioritySample header")
+        magic, ver, _pad, k, seed, n_items, tw_len, n = struct.unpack(
+            "<4sHHqqqiq", buf[:hs])
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad PrioritySample serialization")
         ps = PrioritySample(k=k, seed=seed)
         off = hs
+        tw_units = int.from_bytes(buf[off:off + tw_len], "little")
+        off += tw_len
         w = np.frombuffer(buf, dtype=np.float64, count=n, offset=off).copy()
         off += 8 * n
         klens = np.frombuffer(buf, dtype=np.int32, count=n, offset=off)
@@ -377,5 +431,5 @@ class PrioritySample:
         ps.hashes = h
         ps.prios = _priorities(h, w)
         ps.n_items = n_items
-        ps.total_weight = total_w
+        ps._tw_units = tw_units
         return ps

@@ -1017,7 +1017,13 @@ def inner_product_rawlog_parquet(spark: SparkSession, sketch: CountMinSketch,
 # byte-level merge semantics) proven for Count-Min.
 
 
-def _agg_partial_builder(factory, values_col: str):
+def _agg_partial_builder(factory, values_col: str, extract=None):
+    """``extract(batch, col_idx) -> np.ndarray`` overrides the default
+    flatten (e.g. ngrams.batch_bigrams packs within-row adjacent pairs);
+    it must be picklable."""
+    if extract is None:
+        extract = _flat_tokens
+
     def fn(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -1028,7 +1034,7 @@ def _agg_partial_builder(factory, values_col: str):
         for batch in batches:
             if col_idx is None:
                 col_idx = batch.schema.get_field_index(values_col)
-            vals = _flat_tokens(batch, col_idx)
+            vals = extract(batch, col_idx)
             sk.update_batch(vals)
             n_rows += batch.num_rows
         ms = (time.perf_counter() - t0) * 1e3
@@ -1044,19 +1050,22 @@ def _agg_partial_builder(factory, values_col: str):
 
 
 def build_aggregator(df: DataFrame, values_col: str, factory, *,
-                     fanout: int | None = None) -> BuildResult:
+                     fanout: int | None = None,
+                     extract=None) -> BuildResult:
     """Distributed build of ANY sketchlib mergeable sketch over a column.
 
     ``values_col`` may be a scalar column (e.g. ``n_tok`` for quantile
     sketches) or an array column (e.g. ``tokens`` for HLL/Bloom — flattened
     to its Arrow value buffer). ``factory`` is a zero-arg callable producing
     an empty sketch; it must be picklable (module-level or functools.partial).
+    ``extract`` overrides the batch->values extraction (default flatten;
+    e.g. ngrams.batch_bigrams feeds packed within-row token pairs).
     """
     t0 = time.perf_counter()
     src = df.select(values_col).filter(F.col(values_col).isNotNull())
     lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
     partials = src.mapInArrow(
-        _agg_partial_builder(factory, values_col),
+        _agg_partial_builder(factory, values_col, extract),
         schema=_PARTIAL_SCHEMA).persist()
     try:
         lineage = partials.select(*lineage_cols).toPandas()

@@ -1,0 +1,85 @@
+"""Token bigram extraction (sketchlib.ngrams): Arrow-buffer pairing vs a
+per-row Python reference (row boundaries, nulls, empties, singletons),
+packing invertibility, and the distributed CM-over-bigrams build."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sketchlib.countmin import CMConfig, CountMinSketch
+from sketchlib.ngrams import batch_bigrams, unpack_bigram, unpack_bigrams
+
+
+def _ref_bigrams(rows):
+    out = []
+    for r in rows:
+        if r is None:
+            continue
+        for x, y in zip(r, r[1:]):
+            out.append((int(x) << 31) | int(y))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("rows", [
+    [[1, 2, 3], [4, 5], [6]],
+    [[], [7, 8], None, [9], [10, 11, 12, 13]],
+    [None, None, []],
+    [[2**31 - 1, 0, 2**31 - 1]],
+    [[5]],
+    [],
+])
+def test_batch_bigrams_matches_reference(rows):
+    batch = pa.RecordBatch.from_pydict(
+        {"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    got = batch_bigrams(batch, 0)
+    assert sorted(got.tolist()) == _ref_bigrams(rows)
+    assert got.dtype == np.int64
+    if got.shape[0]:
+        assert np.all(got >= 0)            # 62-bit packing stays positive
+
+
+def test_packing_invertible():
+    a, b = 2**31 - 1, 123456
+    key = (a << 31) | b
+    assert unpack_bigram(key) == (a, b)
+    ka, kb = unpack_bigrams(np.array([key, (7 << 31) | 9]))
+    assert ka.tolist() == [a, 7] and kb.tolist() == [b, 9]
+
+
+def test_sliced_record_batch():
+    """Arrow slices share buffers with nonzero offsets — pairing must
+    respect the slice's own rows only."""
+    big = pa.RecordBatch.from_pydict(
+        {"tokens": pa.array([[1, 2], [3, 4, 5], [6, 7], [8]],
+                            type=pa.list_(pa.int32()))})
+    sl = big.slice(1, 2)                   # rows [3,4,5], [6,7]
+    got = sorted(batch_bigrams(sl, 0).tolist())
+    assert got == _ref_bigrams([[3, 4, 5], [6, 7]])
+
+
+def test_distributed_bigram_cm_matches_local(spark):
+    import functools
+
+    from sketchlib.spark_build import build_aggregator
+
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 50, rng.integers(2, 30)).astype(int).tolist()
+            for _ in range(400)]
+    df = spark.createDataFrame([(r,) for r in rows],
+                               "tokens array<int>").repartition(8)
+    cfg = CMConfig(eps=1e-3, delta=math.exp(-3), seed=99)
+    res = build_aggregator(df, "tokens",
+                           functools.partial(CountMinSketch, cfg),
+                           extract=batch_bigrams)
+    local = CountMinSketch(cfg)
+    local.update_batch(np.array(_ref_bigrams(rows), dtype=np.int64))
+    assert res.sketch.to_bytes() == local.to_bytes()
+    # exact top bigram is never underestimated and within the bound
+    flat = np.array(_ref_bigrams(rows), dtype=np.int64)
+    uniq, cnt = np.unique(flat, return_counts=True)
+    top = uniq[cnt.argmax()]
+    est = int(res.sketch.point_query(int(top)))
+    assert est >= int(cnt.max())
+    assert est - int(cnt.max()) <= cfg.eps * flat.shape[0]

@@ -91,7 +91,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
                    "rerank_exact", "self_first",         # PQ ANN
                    "detection_sound",                    # skew-aware join
                    "est_tight", "hll_within_bound",      # join advisor
-                   "strategy_valid"}
+                   "strategy_valid",
+                   "mg_sound", "no_false_negatives"}     # corpus profile
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
