@@ -2258,6 +2258,71 @@ def _q_corpus_profile(spark, sf_dir):
         "mg_sound boolean, no_false_negatives boolean")
 
 
+def _q_corpus_profile_by_source(spark, sf_dir):
+    """PER-GROUP one-scan profiles: build_grouped_parquet with a
+    MultiSketch factory gives every source its own CM + HLL + MG from a
+    single columnar pass — map-side combined, so what shuffles is one
+    composite partial per (slice, source), with the HLL part in sparse
+    (idx, rank) pairs for lightly-touched groups (hll.py HLLS encoding:
+    this query is the shape that encoding exists for). At 10^6 groups x
+    10^12 rows this is the per-domain/per-language corpus card catalog:
+    one scan, per-group blobs persistable to the store.
+
+    Self-asserts per source: CM estimate of the source's hottest token
+    >= exact and within eps*(source token count); HLL within its bound
+    of the source's exact distinct count; MG's surviving counter for
+    the hottest token is an underestimate within its certain bound.
+    Rows-only: estimates are sketch-parameter-specific."""
+    import functools
+
+    from sketchlib import serde
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.hll import HllSketch
+    from sketchlib.mg import MisraGries
+    from sketchlib.multi import MultiSketch
+    from sketchlib.spark_build import build_grouped_parquet
+
+    tok_path = _token_table_path(spark, sf_dir)
+    grouped = build_grouped_parquet(
+        spark, tok_path, "source", "tokens",
+        functools.partial(MultiSketch, (
+            functools.partial(CountMinSketch, CM_CFG),
+            functools.partial(HllSketch, 14),
+            functools.partial(MisraGries, 256))))
+    blobs = {r["key"]: bytes(r["sketch"]) for r in grouped.collect()}
+
+    ex = (spark.read.parquet(tok_path)
+          .select("source", F.explode("tokens").alias("t"))
+          .groupBy("source", "t").agg(F.count("*").alias("cnt")))
+    stats = (ex.groupBy("source")
+             .agg(F.sum("cnt").alias("total"),
+                  F.count("*").alias("n_distinct"),
+                  F.max(F.struct("cnt", "t")).alias("top")).collect())
+
+    rows = []
+    for r in sorted(stats, key=lambda r: r["source"]):
+        src, total, distinct = r["source"], int(r["total"]), int(r["n_distinct"])
+        top_t, top_cnt = int(r["top"]["t"]), int(r["top"]["cnt"])
+        cm, hll, mg = serde.loads(blobs[src]).parts
+        est = int(cm.point_query(top_t))
+        mg_bound = mg.error_bound()
+        mg_est = dict(mg.top_items()).get(top_t, 0)
+        hll_tol = max(3 * 1.04 / math.sqrt(hll.m) * distinct, 2.0)
+        rows.append((src, total, distinct, round(float(hll.estimate()), 2),
+                     top_cnt, est, mg_est,
+                     bool(est >= top_cnt),
+                     bool(est - top_cnt <= CM_CFG.eps * total),
+                     bool(abs(hll.estimate() - distinct) <= hll_tol),
+                     bool(top_cnt <= mg_bound
+                          or (mg_est and mg_est <= top_cnt
+                              <= mg_est + mg_bound))))
+    return spark.createDataFrame(
+        rows, "source string, total_tokens long, distinct_exact long, "
+              "hll_est double, top_exact long, cm_est long, mg_est long, "
+              "est_ge_exact boolean, within_bound boolean, "
+              "hll_within_bound boolean, mg_sound boolean")
+
+
 def _q_cm_token_bigrams(spark, sf_dir):
     """Token-BIGRAM frequency sketching over the input-hint sequences
     (sketchlib.ngrams): adjacent int32 pairs are packed to one int64
@@ -2421,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_aware_join": _q_skew_aware_join,
         "join_advisor": _q_join_advisor,
         "corpus_profile": _q_corpus_profile,
+        "corpus_profile_by_source": _q_corpus_profile_by_source,
         "cm_token_bigrams": _q_cm_token_bigrams,
     }
     oracled = set(oracle_sql())

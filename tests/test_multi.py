@@ -114,6 +114,31 @@ def test_validation():
         a.merge(c)
 
 
+def test_grouped_multisketch_matches_local_per_group(spark):
+    """Per-group composite builds (the corpus_profile_by_source shape):
+    each group's CM and HLL parts match a local single-pass build over
+    just that group's values, bit-for-bit."""
+    from sketchlib import serde
+    from sketchlib.spark_build import build_grouped_aggregator
+
+    vals = _stream(3000, seed=5)
+    groups = (vals % 3).astype(int)
+    df = spark.createDataFrame(
+        [(f"g{int(g)}", int(v)) for g, v in zip(groups, vals)],
+        "g string, k long").repartition(6)
+    res = build_grouped_aggregator(
+        df, "g", "k", lambda: MultiSketch(_factories()))
+    blobs = {r["key"]: bytes(r["sketch"]) for r in res.collect()}
+    assert set(blobs) == {"g0", "g1", "g2"}
+    for gi in range(3):
+        local = MultiSketch(_factories())
+        local.update_batch(vals[groups == gi])
+        got = serde.loads(blobs[f"g{gi}"])
+        assert got.parts[0].to_bytes() == local.parts[0].to_bytes()
+        assert got.parts[1].to_bytes() == local.parts[1].to_bytes()
+        assert got.parts[2].n_items == local.parts[2].n_items
+
+
 def test_distributed_one_pass_build_matches_local(spark):
     from sketchlib.spark_build import build_aggregator
     vals = _stream(4000, seed=4)
