@@ -358,3 +358,38 @@ def advise_join(spark, left: DataFrame, left_key: str, right: DataFrame,
         "left": {k: v for k, v in l.items() if not k.startswith("_")},
         "right": {k: v for k, v in r.items() if not k.startswith("_")},
     }
+
+
+def auto_join(spark, left: DataFrame, left_key: str, right: DataFrame,
+              right_key: str, *, advice: dict | None = None,
+              **advise_kwargs) -> DataFrame:
+    """Inner equi-join executed via the advised strategy (advise_join):
+    broadcast the smaller side, skew-split on the detected hot set, or
+    plain shuffle. Every path returns exactly the plain join's rows in a
+    canonical column order (key, left non-key cols, right non-key cols;
+    non-key names must be disjoint). Pass a previously computed/persisted
+    ``advice`` dict to skip the advisory pass — the recurring-pipeline
+    shape: one sketch pass per day, every join that day re-plans from
+    blobs."""
+    if advice is None:
+        advice = advise_join(spark, left, left_key, right, right_key,
+                             **advise_kwargs)
+    r = (right.withColumnRenamed(right_key, left_key)
+         if right_key != left_key else right)
+    out_cols = ([left_key]
+                + [c for c in left.columns if c != left_key]
+                + [c for c in r.columns if c != left_key])
+    strategy = advice["strategy"]
+    if strategy == "broadcast_right":
+        out = left.join(F.broadcast(r), left_key)
+    elif strategy == "broadcast_left":
+        out = F.broadcast(left).join(r, left_key)
+    elif strategy == "skew_split":
+        if advice["left"]["rows"] >= advice["right"]["rows"]:
+            fact, dim, hot = left, r, advice["left"]["hot_keys"]
+        else:
+            fact, dim, hot = r, left, advice["right"]["hot_keys"]
+        out = skew_aware_join(spark, fact, dim, left_key, hot_keys=hot)
+    else:
+        out = left.join(r, left_key)
+    return out.select(*out_cols)

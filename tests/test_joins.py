@@ -281,3 +281,45 @@ def test_advise_join_estimates_and_strategy(spark):
                        skew_share=0.05)
     assert adv2["strategy"] == "skew_split"
     assert 42 in adv2["left"]["hot_keys"]
+
+
+def test_auto_join_every_strategy_equals_plain_join(spark):
+    """auto_join executes whichever strategy the advisor picked and every
+    path returns exactly the plain inner join in the same column order —
+    broadcast_right, broadcast_left, skew_split (forced via thresholds)
+    and shuffle all checked, plus the persisted-advice re-plan path."""
+    import numpy as np
+    from sketchlib.joins import advise_join, auto_join
+
+    rng = np.random.default_rng(11)
+    keys = np.where(rng.random(8000) < 0.35, 42,
+                    rng.integers(0, 150, 8000)).astype(np.int64)
+    fact = spark.createDataFrame(
+        [(int(k), int(i)) for i, k in enumerate(keys)],
+        "k long, fval long").repartition(8)
+    dim = spark.createDataFrame(
+        [(int(k), f"d{k}") for k in range(150)], "kk long, dname string")
+    plain = sorted(
+        fact.join(dim.withColumnRenamed("kk", "k"), "k")
+        .select("k", "fval", "dname").collect())
+
+    for kwargs, want in [
+        (dict(), "broadcast_right"),                       # dim is tiny
+        (dict(broadcast_rows=10, skew_share=0.05), "skew_split"),
+        (dict(broadcast_rows=10, skew_share=0.99), "shuffle"),
+    ]:
+        adv = advise_join(spark, fact, "k", dim, "kk", **kwargs)
+        assert adv["strategy"] == want, (kwargs, adv["strategy"])
+        got = sorted(auto_join(spark, fact, "k", dim, "kk",
+                               advice=adv).collect())
+        assert got == plain, want
+    # broadcast_left: swap sides; canonical order puts the (fact) left
+    # side's columns first
+    adv = advise_join(spark, dim, "kk", fact, "k")
+    assert adv["strategy"] == "broadcast_left"
+    got = sorted(auto_join(spark, dim, "kk", fact, "k", advice=adv)
+                 .select(F.col("kk").alias("k"), "fval", "dname").collect())
+    assert got == plain
+    # fresh advisory pass inside auto_join (no advice passed)
+    got = sorted(auto_join(spark, fact, "k", dim, "kk").collect())
+    assert got == plain

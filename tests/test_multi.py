@@ -139,6 +139,45 @@ def test_grouped_multisketch_matches_local_per_group(spark):
         assert got.parts[2].n_items == local.parts[2].n_items
 
 
+def test_windowed_multisketch_stream_equals_batch(spark, tmp_path):
+    """The windowed streaming builder is factory-generic for the
+    composite too: per-window MultiSketch state folded across
+    micro-batches matches single-shot batch builds of the same windows
+    — byte-identical for the split-independent CM and HLL parts, bound-
+    preserving for MG."""
+    import os
+
+    import functools
+    from pyspark.sql import functions as F
+
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.spark_build import build_aggregator
+    from sketchlib.streaming import WindowedSketchBuilder
+
+    inbox = str(tmp_path / "ms_inbox")
+    os.makedirs(inbox)
+    generate_token_table(f"{inbox}/p0.parquet", rows=300, seed=31,
+                         dist="zipf")
+    fac = functools.partial(MultiSketch, _factories())
+    df = (spark.read.parquet(inbox)
+          .withColumn("ts", F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+                      + F.make_interval(mins=F.pmod(F.xxhash64("doc_id"),
+                                                    F.lit(110)).cast("int"))))
+    b = WindowedSketchBuilder(fac, "ts", "tokens",
+                              str(tmp_path / "ms_snap"),
+                              window_seconds=3600)
+    split = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    b.process_batch(df.filter(split), 0)
+    b.process_batch(df.filter(~split), 1)
+    assert len(b.sketches) == 2
+    for ws, sk in b.sketches.items():
+        hour = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+        ref = build_aggregator(df.filter(hour == ws), "tokens", fac).sketch
+        assert sk.parts[0].to_bytes() == ref.parts[0].to_bytes()
+        assert sk.parts[1].to_bytes() == ref.parts[1].to_bytes()
+        assert sk.parts[2].n_items == ref.parts[2].n_items
+
+
 def test_distributed_one_pass_build_matches_local(spark):
     from sketchlib.spark_build import build_aggregator
     vals = _stream(4000, seed=4)
