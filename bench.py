@@ -167,6 +167,18 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     extra["profile_distinct_est"] = round(
         prof.sketch.parts[1].estimate(), 1)
 
+    # packed token-BIGRAM CM build on the same parquet-direct path:
+    # within-row adjacent pairs straight from the Arrow list buffers
+    # (ngrams.array_bigrams) — the phrase-frequency workload, no explode
+    from sketchlib.ngrams import array_bigrams
+    big = timed("bigram_build",
+                lambda: build_aggregator_parquet(
+                    spark, tok_path, "tokens",
+                    functools.partial(CountMinSketch, cfg),
+                    extract_array=array_bigrams))
+    extra["bigram_pairs_per_sec"] = round(
+        big.sketch.n_items / timings["bigram_build"], 1)
+
     # grouped build through the parquet-direct columnar source — the arrow
     # DataFrame path bounces every token through a JVM row (~0.5 GB/s
     # ceiling; 72.8 s vs 6.2 s for the global build in round 1)

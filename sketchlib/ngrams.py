@@ -25,11 +25,17 @@ _MASK31 = np.int64((1 << 31) - 1)
 
 
 def batch_bigrams(batch: pa.RecordBatch, col_idx: int) -> np.ndarray:
+    """RecordBatch adapter for ``array_bigrams`` — the ``extract`` hook
+    shape ``spark_build.build_aggregator`` expects."""
+    return array_bigrams(batch.column(col_idx))
+
+
+def array_bigrams(col) -> np.ndarray:
     """Packed within-row adjacent pairs of a list<int32/int64> column:
     (a << 31) | b as int64. Vectorized: flatten once, pair by shifting
     the flat buffer, mask out the pairs that would cross row boundaries
-    (and anything in a null/empty/singleton row)."""
-    col = batch.column(col_idx)
+    (and anything in a null/empty/singleton row). Also the
+    ``extract_array`` hook for the parquet-direct builder."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1242,11 +1242,14 @@ def build_grouped_aggregator_pairs(df: DataFrame, group_col: str,
     return _grouped_merge(partials, fanout, src.rdd.getNumPartitions())
 
 
-def _parquet_agg_partial_builder(factory, values_col: str):
+def _parquet_agg_partial_builder(factory, values_col: str,
+                                 extract_array=None):
     """Factory-generic twin of _parquet_partial_builder: same slice
     protocol, same worker-persistent ParquetFile cache, any mergeable
     sketch. Partials serialize via dumps_partial (size-adaptive when the
-    sketch offers it — e.g. DyadicCM's sparse per-level encoding)."""
+    sketch offers it — e.g. DyadicCM's sparse per-level encoding).
+    ``extract_array(pa.Array) -> np.ndarray`` overrides the default
+    flatten (e.g. ngrams.array_bigrams)."""
     def one_slice(slice_id: int, parts: list[tuple[str, list[int]]]):
         t0 = time.perf_counter()
         sk = factory()
@@ -1265,13 +1268,16 @@ def _parquet_agg_partial_builder(factory, values_col: str):
                         # dropping null ROWS here too
                         chunk = chunk.drop_null()
                     n_rows += len(chunk)   # ROWS, before list flattening
-                    if pa.types.is_list(chunk.type) or \
-                            pa.types.is_large_list(chunk.type):
-                        chunk = chunk.flatten()
-                    try:
-                        vals = chunk.to_numpy(zero_copy_only=True)
-                    except pa.ArrowInvalid:
-                        vals = chunk.to_numpy(zero_copy_only=False)
+                    if extract_array is not None:
+                        vals = extract_array(chunk)
+                    else:
+                        if pa.types.is_list(chunk.type) or \
+                                pa.types.is_large_list(chunk.type):
+                            chunk = chunk.flatten()
+                        try:
+                            vals = chunk.to_numpy(zero_copy_only=True)
+                        except pa.ArrowInvalid:
+                            vals = chunk.to_numpy(zero_copy_only=False)
                     sk.update_batch(vals)
         ms = (time.perf_counter() - t0) * 1e3
         return pd.DataFrame({
@@ -1286,7 +1292,8 @@ def _parquet_agg_partial_builder(factory, values_col: str):
 
 def build_aggregator_parquet(spark: SparkSession, path: str, values_col: str,
                              factory, *, fanout: int | None = None,
-                             n_slices: int | None = None) -> BuildResult:
+                             n_slices: int | None = None,
+                             extract_array=None) -> BuildResult:
     """Parquet-direct build of ANY sketchlib mergeable sketch: workers read
     row-group slices with pyarrow (no JVM scan, no Arrow IPC double-hop),
     exactly like the Count-Min fast path (build_sketch_parquet). Measured
@@ -1308,7 +1315,8 @@ def build_aggregator_parquet(spark: SparkSession, path: str, values_col: str,
             rows, "slice_id int, file string, rgs array<int>")
         assign = assign.repartition(min(n_slices, len(rows)))
         partials = assign.mapInPandas(
-            _parquet_agg_partial_builder(factory, values_col),
+            _parquet_agg_partial_builder(factory, values_col,
+                                         extract_array),
             schema=_PARTIAL_SCHEMA).persist()
         try:
             lineage = partials.select(*lineage_cols).toPandas()

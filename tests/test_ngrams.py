@@ -59,6 +59,30 @@ def test_sliced_record_batch():
     assert got == _ref_bigrams([[3, 4, 5], [6, 7]])
 
 
+def test_parquet_direct_bigram_build_matches_dataframe_path(spark, tmp_path):
+    """The parquet-direct columnar builder accepts the same extraction
+    hook (extract_array): a CM over bigrams built straight from row-group
+    reads is byte-identical to the DataFrame-path build over the same
+    table."""
+    import functools
+
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.spark_build import (build_aggregator,
+                                       build_aggregator_parquet)
+    from sketchlib.ngrams import array_bigrams
+
+    path = str(tmp_path / "toks.parquet")
+    generate_token_table(path, rows=600, seed=77, dist="zipf")
+    cfg = CMConfig(eps=1e-3, delta=math.exp(-3), seed=3)
+    fac = functools.partial(CountMinSketch, cfg)
+    direct = build_aggregator_parquet(spark, path, "tokens", fac,
+                                      extract_array=array_bigrams)
+    via_df = build_aggregator(spark.read.parquet(path), "tokens", fac,
+                              extract=batch_bigrams)
+    assert direct.sketch.to_bytes() == via_df.sketch.to_bytes()
+    assert direct.sketch.n_items > 0
+
+
 def test_distributed_bigram_cm_matches_local(spark):
     import functools
 
