@@ -2308,11 +2308,12 @@ def _q_corpus_profile_by_source(spark, sf_dir):
         mg_bound = mg.error_bound()
         mg_est = dict(mg.top_items()).get(top_t, 0)
         hll_tol = max(3 * 1.04 / math.sqrt(hll.m) * distinct, 2.0)
-        rows.append((src, total, distinct, round(float(hll.estimate()), 2),
+        hll_est = float(hll.estimate())
+        rows.append((src, total, distinct, round(hll_est, 2),
                      top_cnt, est, mg_est,
                      bool(est >= top_cnt),
                      bool(est - top_cnt <= CM_CFG.eps * total),
-                     bool(abs(hll.estimate() - distinct) <= hll_tol),
+                     bool(abs(hll_est - distinct) <= hll_tol),
                      bool(top_cnt <= mg_bound
                           or (mg_est and mg_est <= top_cnt
                               <= mg_est + mg_bound))))
@@ -2354,9 +2355,10 @@ def _q_cm_token_bigrams(spark, sf_dir):
     cm, mg = res.sketch.parts
 
     n = F.size("tokens")
-    pairs = (toks.select(F.explode(F.arrays_zip(
-        F.slice("tokens", 1, n - 1).alias("a"),
-        F.slice("tokens", 2, n - 1).alias("b"))).alias("p"))
+    pairs = (toks.filter(n >= 2)      # slice(len-1) is invalid on empty rows
+        .select(F.explode(F.arrays_zip(
+            F.slice("tokens", 1, n - 1).alias("a"),
+            F.slice("tokens", 2, n - 1).alias("b"))).alias("p"))
         .select((F.col("p.a").cast("long") * F.lit(2**31)
                  + F.col("p.b").cast("long")).alias("key")))
     exact = (pairs.groupBy("key").agg(F.count("*").alias("cnt"))

@@ -51,6 +51,10 @@ def array_bigrams(col) -> np.ndarray:
     valid[pos] = False                      # pair would span two rows
     a = flat[:-1][valid]
     b = flat[1:][valid]
+    # (a << 31) | b is exact only for tokens in [0, 2^31): a stray bit
+    # above bit 30 would OR into a's field and silently collide keys.
+    if a.size and (((a | b) >> np.int64(31)) != 0).any():
+        raise ValueError("array_bigrams requires tokens in [0, 2**31)")
     return (a << np.int64(31)) | b
 
 

@@ -402,6 +402,8 @@ class PrioritySample:
             "<4sHHqqqiq", buf[:hs])
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad PrioritySample serialization")
+        if not 0 <= tw_len <= len(buf) - hs:
+            raise ValueError("corrupt PrioritySample total-weight length")
         ps = PrioritySample(k=k, seed=seed)
         off = hs
         tw_units = int.from_bytes(buf[off:off + tw_len], "little")

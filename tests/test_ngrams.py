@@ -107,3 +107,36 @@ def test_distributed_bigram_cm_matches_local(spark):
     est = int(res.sketch.point_query(int(top)))
     assert est >= int(cnt.max())
     assert est - int(cnt.max()) <= cfg.eps * flat.shape[0]
+
+
+def test_array_bigrams_rejects_out_of_domain_tokens():
+    from sketchlib.ngrams import array_bigrams
+
+    for bad in ([[1, 2**31]], [[-1, 5]], [[2**40, 2**40 + 1]]):
+        col = pa.array(bad, type=pa.list_(pa.int64()))
+        with pytest.raises(ValueError, match="2\\*\\*31"):
+            array_bigrams(col)
+    # boundary value 2**31 - 1 stays legal
+    ok = pa.array([[2**31 - 1, 2**31 - 1]], type=pa.list_(pa.int64()))
+    assert array_bigrams(ok).tolist() == [((2**31 - 1) << 31) | (2**31 - 1)]
+
+
+def test_bigram_query_survives_empty_docs(spark, tmp_path):
+    """Regression: _q_cm_token_bigrams' exact-verification pass used
+    F.slice('tokens', 1, n-1), which Spark rejects with length -1 on a
+    doc that tokenizes to an empty array; the query must filter such
+    rows before slicing."""
+    import __spark_entry__ as E
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en", "web", 22),
+         (2, "", "en", "web", 0),
+         (3, "   ", "en", "web", 3),
+         (4, "the cat sat", "en", "cc", 11),
+         (5, "one", "en", "cc", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = E.queries()["cm_token_bigrams"](spark, sf).collect()
+    assert len(out) > 0
+    assert all(r["est_ge_exact"] and r["within_bound"] for r in out)

@@ -246,3 +246,19 @@ def test_string_flat_lens_wide_and_sliced():
         _string_flat_lens(pa.array([1, 2]))
     with _pt.raises(ValueError):
         _string_flat_lens(pa.array(["a", None]))
+
+
+def test_from_bytes_rejects_corrupt_tw_len():
+    import struct
+
+    ps = PrioritySample(k=4, seed=1)
+    ps.update_pairs([b"a", b"b"], [1.0, 2.0])
+    blob = bytearray(ps.to_bytes())
+    hs = struct.calcsize("<4sHHqqqiq")
+    # tw_len is the 'i' field right before the trailing 'q'
+    tw_off = hs - struct.calcsize("<iq")
+    for bad in (-8, len(blob)):
+        corrupt = bytearray(blob)
+        corrupt[tw_off:tw_off + 4] = struct.pack("<i", bad)
+        with pytest.raises(ValueError, match="total-weight"):
+            PrioritySample.from_bytes(bytes(corrupt))
