@@ -1442,6 +1442,64 @@ def _q_sketch_store_roundtrip(spark, sf_dir):
               "lineage_partials int, lineage_match boolean").orderBy("name")
 
 
+def _q_incremental_sketch_update(spark, sf_dir):
+    """Incremental maintenance (sketchlib/incremental.py): a published
+    CM+HLL MultiSketch is kept current across two simulated append
+    commits, scanning ONLY the appended files each time; the final sketch
+    is byte-identical to a from-scratch rebuild over the whole table
+    (merge associativity makes maintenance exact — the same identity the
+    reference uses to merge partition sketches, cm.h:342-349). At 10^12
+    sequences this is THE steady-state operation: a daily 0.1% append
+    costs 0.1% of a rebuild. Self-asserts byte_identical (vs full
+    rebuild) and delta_only (rows scanned == rows appended) per step.
+    Rows-only: store/manifest round-trips aren't SQL-expressible."""
+    import functools
+    import shutil
+    import tempfile
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.hll import HllSketch
+    from sketchlib.incremental import incremental_build
+    from sketchlib.multi import MultiSketch
+    from sketchlib.spark_build import build_aggregator_parquet
+
+    fac = functools.partial(MultiSketch, (
+        functools.partial(CountMinSketch, CM_CFG),
+        functools.partial(HllSketch, 12, 7)))
+    root = tempfile.mkdtemp(prefix="sketchlib_incr_")
+    data, store = f"{root}/data", f"{root}/store"
+    os.makedirs(data)
+    steps = [("initial", 20000, 101), ("append_1", 5000, 202),
+             ("append_2", 2500, 303)]
+    try:
+        rows, total = [], 0
+        for label, n_rows, seed in steps:
+            generate_token_table(f"{root}/_p.parquet", rows=n_rows,
+                                 seed=seed, dist="zipf")
+            shutil.move(f"{root}/_p.parquet", f"{data}/{label}.parquet")
+            total += n_rows
+            r = incremental_build(spark, data, "tokens", fac,
+                                  store_path=store, name="cm_hll")
+            full = build_aggregator_parquet(spark, data, "tokens", fac)
+            rows.append((label, int(r.seq), int(r.new_files),
+                         int(r.new_rows), int(total),
+                         bool(r.new_rows == n_rows),
+                         bool(r.sketch.to_bytes()
+                              == full.sketch.to_bytes())))
+        # idempotent no-op: nothing appended, nothing scanned or published
+        r = incremental_build(spark, data, "tokens", fac,
+                              store_path=store, name="cm_hll")
+        rows.append(("no_op", int(r.seq), int(r.new_files),
+                     int(r.new_rows), int(total),
+                     bool(r.no_op and r.new_rows == 0),
+                     bool(r.sketch.to_bytes() == full.sketch.to_bytes())))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "step string, seq int, delta_files int, delta_rows int, "
+              "table_rows int, delta_only boolean, byte_identical boolean")
+
+
 def _q_mg_topk_words(spark, sf_dir):
     """Misra-Gries frequent-items summary (deterministic counterpart of
     the CM top-k): top-20 exact words vs MG lower-bound estimates. Self-
@@ -2453,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": _q_stream_static_enrich,
         "pysource_token_table": _q_pysource_token_table,
         "sketch_store_roundtrip": _q_sketch_store_roundtrip,
+        "incremental_sketch_update": _q_incremental_sketch_update,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

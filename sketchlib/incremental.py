@@ -1,0 +1,222 @@
+"""Incremental maintenance of published sketches over append-only tables.
+
+At 10^12 sequences a full sketch build is hours of cluster time, but the
+table GROWS — an Iceberg append commit adds new data files and never
+rewrites existing ones. Mergeability makes maintenance exact, not
+approximate: sketch(old ∪ delta) == merge(sketch(old), sketch(delta))
+byte-for-byte (the same associativity the reference relies on to merge
+partition sketches, cm.h:342-349 mergeCMs). So the steady-state cost of
+keeping a published sketch current is proportional to the APPENDED data
+only: a daily 0.1% append costs 0.1% of a rebuild, forever.
+
+``incremental_build`` is the load-merge-save loop around that identity:
+
+1. list the table's current data files (path + size = file identity);
+2. diff against the store's ingested-file manifest for this sketch name;
+3. parquet-direct build over ONLY the new files
+   (spark_build.build_aggregator_parquet(files=...));
+4. merge into the loaded previous sketch, publish as the next seq,
+   append the new files to the manifest — atomically last, so a crash
+   between build and manifest append re-ingests (idempotent to retry
+   only after the SAVE; see the crash-window note on _append_manifest).
+
+The manifest lives next to the store's sketches/lineage tables:
+
+- ``ingested/`` parquet rows ``(name, seq, file, file_size)`` — file
+  paths RELATIVE to the table root (the table can move wholesale),
+  append-only like the rest of the store.
+
+Append-only is a checked assumption, not a hope: a manifest file whose
+size changed or that disappeared means the table was compacted/rewritten
+in place — the delta can no longer be identified by listing, so the call
+refuses and the caller rebuilds under a new name (or the same name: a
+``rebuild=True`` build rescans everything and resets the manifest at the
+next seq). Iceberg snapshot metadata would make this diff exact per
+commit; the file-listing manifest is the engine-portable equivalent and
+uses the identical contract (data files are immutable once committed).
+
+Driver-side cost is one file listing + one manifest read per call —
+O(#files) strings, the same order as any parquet directory scan the
+build itself must do. Concurrency contract is the store's: one writer
+per name (store.save_sketch).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import store
+from .spark_build import build_aggregator_parquet
+
+_MANIFEST_SCHEMA = "name string, seq long, file string, file_size long"
+
+
+def _current_files(table_path: str) -> dict[str, int]:
+    """{relative_path: size} for every parquet data file under the table.
+    Same walk/refusal rules as spark_build._list_row_groups: recursive,
+    hive-partitioned layouts refused (partition values live in dir names,
+    invisible to a raw row-group scan)."""
+    if not os.path.isdir(table_path):
+        return {os.path.basename(table_path): os.path.getsize(table_path)}
+    out: dict[str, int] = {}
+    for root, dirs, names in os.walk(table_path):
+        dirs.sort()
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"{table_path} is a hive-partitioned dataset ({d}/): "
+                    "use build_sketch(spark.read.parquet(path), ...)")
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                full = os.path.join(root, name)
+                out[os.path.relpath(full, table_path)] = os.path.getsize(full)
+    return out
+
+
+def _ingested_files(spark: SparkSession, store_path: str, name: str,
+                    base_seq: int) -> dict[str, int]:
+    """{relative_path: size} already folded into the latest sketch of
+    ``name``: union of the manifest deltas since the last full (re)build
+    (``base_seq`` — rows below it belong to a pre-rebuild table state and
+    must not poison the diff). Missing manifest table == nothing
+    ingested."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(store_path + "/ingested")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return {}
+        raise
+    rows = (df.filter((F.col("name") == name)
+                      & (F.col("seq") >= base_seq))
+            .select("file", "file_size").collect())
+    return {r["file"]: int(r["file_size"]) for r in rows}
+
+
+def _append_manifest(spark: SparkSession, store_path: str, name: str,
+                     seq: int, files: dict[str, int]) -> None:
+    # Written AFTER save_sketch: a crash between the two leaves the new
+    # seq published with its delta missing from the manifest, so a retry
+    # would double-fold those files. The seq-pinned manifest rows make
+    # the window detectable (latest sketch seq > max manifest seq for the
+    # name) and incremental_build refuses to proceed across it.
+    rows = [(name, seq, f, sz) for f, sz in sorted(files.items())]
+    (spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(store_path + "/ingested"))
+
+
+def _max_manifest_seq(spark: SparkSession, store_path: str,
+                      name: str) -> int | None:
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(store_path + "/ingested")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    row = (df.filter(F.col("name") == name)
+           .agg(F.max("seq").alias("m")).collect()[0])
+    return None if row["m"] is None else int(row["m"])
+
+
+@dataclass
+class IncrementalResult:
+    sketch: object
+    seq: int                 # seq the result is published under
+    prev_seq: int | None     # seq merged from (None on first build)
+    new_files: int           # files folded by THIS call
+    new_rows: int            # rows scanned by THIS call
+    wall_s: float
+    lineage: pd.DataFrame = field(repr=False, default=None)
+
+    @property
+    def no_op(self) -> bool:
+        return self.prev_seq == self.seq
+
+
+def incremental_build(spark: SparkSession, table_path: str, values_col: str,
+                      factory, *, store_path: str, name: str,
+                      extract_array=None, fanout: int | None = None,
+                      n_slices: int | None = None,
+                      rebuild: bool = False,
+                      meta: dict | None = None) -> IncrementalResult:
+    """Bring the published sketch ``name`` up to date with ``table_path``,
+    scanning only files appended since the last call. Returns the current
+    sketch either way; publishes a new seq only when there was new data.
+
+    The result is byte-identical to a from-scratch build over the whole
+    table (merge associativity — tested), so callers never trade accuracy
+    for the 1000x scan saving.
+
+    ``factory`` must construct the same sketch configuration every call —
+    merging mismatched configs raises, it never silently degrades.
+    ``rebuild=True`` ignores the manifest, rescans everything, and resets
+    the manifest at the new seq (the recovery path after a table rewrite).
+    """
+    t0 = time.perf_counter()
+    current = _current_files(table_path)
+    prev = store.latest_entry(spark, store_path, name)
+    prev_seq = None if prev is None else prev[0]
+    # seq of the last full (re)build: manifest rows older than it describe
+    # a table state that no longer exists and are excluded from the diff
+    base_seq = 0 if prev is None else int(prev[1].get("manifest_base", 0))
+
+    if prev_seq is None or rebuild:
+        new = current
+    else:
+        man_seq = _max_manifest_seq(spark, store_path, name)
+        if man_seq is None or man_seq < prev_seq:
+            raise IOError(
+                f"sketch {name!r} seq {prev_seq} has no manifest rows at "
+                f"that seq (manifest max: {man_seq}) — a prior call "
+                "crashed between publish and manifest append; re-run with "
+                "rebuild=True")
+        ingested = _ingested_files(spark, store_path, name, base_seq)
+        mutated = {f for f, sz in ingested.items()
+                   if current.get(f, sz) != sz}
+        removed = ingested.keys() - current.keys()
+        if mutated or removed:
+            raise ValueError(
+                f"table {table_path} is not append-only vs sketch "
+                f"{name!r}: {len(mutated)} file(s) changed size, "
+                f"{len(removed)} removed — the delta cannot be identified "
+                "by listing; re-run with rebuild=True "
+                f"(e.g. {sorted(mutated | removed)[:3]})")
+        new = {f: sz for f, sz in current.items() if f not in ingested}
+
+    if not new and prev_seq is not None and not rebuild:
+        sketch = store.load_sketch(spark, store_path, name, seq=prev_seq)
+        return IncrementalResult(
+            sketch=sketch, seq=prev_seq, prev_seq=prev_seq, new_files=0,
+            new_rows=0, wall_s=time.perf_counter() - t0,
+            lineage=pd.DataFrame())
+
+    abs_files = [os.path.join(table_path, f) for f in sorted(new)]
+    res = build_aggregator_parquet(
+        spark, table_path, values_col, factory, fanout=fanout,
+        n_slices=n_slices, extract_array=extract_array, files=abs_files)
+    sketch = res.sketch
+    if prev_seq is not None and not rebuild:
+        base = store.load_sketch(spark, store_path, name, seq=prev_seq)
+        base.merge(sketch)
+        sketch = base
+    full = prev_seq is None or rebuild
+    next_seq = 0 if prev_seq is None else prev_seq + 1
+    seq = store.save_sketch(
+        spark, store_path, name, sketch, lineage=res.lineage,
+        n_rows=res.n_rows, seq=next_seq,
+        meta={**(meta or {}), "incremental_from": prev_seq,
+              "delta_files": len(new), "delta_rows": res.n_rows,
+              "rebuild": bool(rebuild),
+              "manifest_base": next_seq if full else base_seq})
+    _append_manifest(spark, store_path, name, seq, new)
+    return IncrementalResult(
+        sketch=sketch, seq=seq, prev_seq=prev_seq, new_files=len(new),
+        new_rows=res.n_rows, wall_s=time.perf_counter() - t0,
+        lineage=res.lineage)

@@ -275,13 +275,26 @@ def build_sketch_from_counts(df: DataFrame, key_col: str, count_col: str,
 # slice id and carries (file, row-group) lineage.
 
 
-def _list_row_groups(path: str) -> list[tuple[str, int, int]]:
+def _list_row_groups(path: str,
+                     files: list[str] | None = None) -> list[tuple[str, int, int]]:
     """[(file, row_group_idx, n_rows)] for a parquet file or directory
     (recursive). Hive-partitioned layouts (key=val dirs) are REFUSED: their
     partition columns live in directory names, not the files, so a raw
     row-group scan would silently drop them — route those through
-    ``build_sketch(spark.read.parquet(path), ...)`` instead."""
+    ``build_sketch(spark.read.parquet(path), ...)`` instead.
+
+    ``files``: explicit file list (absolute paths) to scan INSTEAD of
+    walking ``path`` — the incremental-maintenance path, where only the
+    files appended since the last published sketch are read."""
     import pyarrow.parquet as pq
+    if files is not None:
+        files = sorted(files)
+        out = []
+        for f in files:
+            md = pq.read_metadata(f)
+            for i in range(md.num_row_groups):
+                out.append((f, i, md.row_group(i).num_rows))
+        return out
     files = []
     if os.path.isdir(path):
         for root, dirs, names in os.walk(path):
@@ -1293,7 +1306,8 @@ def _parquet_agg_partial_builder(factory, values_col: str,
 def build_aggregator_parquet(spark: SparkSession, path: str, values_col: str,
                              factory, *, fanout: int | None = None,
                              n_slices: int | None = None,
-                             extract_array=None) -> BuildResult:
+                             extract_array=None,
+                             files: list[str] | None = None) -> BuildResult:
     """Parquet-direct build of ANY sketchlib mergeable sketch: workers read
     row-group slices with pyarrow (no JVM scan, no Arrow IPC double-hop),
     exactly like the Count-Min fast path (build_sketch_parquet). Measured
@@ -1305,7 +1319,7 @@ def build_aggregator_parquet(spark: SparkSession, path: str, values_col: str,
     Checkpoint/resume stays on the CM-specific build_sketch_parquet.
     """
     t0 = time.perf_counter()
-    rgs = _list_row_groups(path)
+    rgs = _list_row_groups(path, files=files)
     if n_slices is None:
         n_slices = _default_n_slices(spark, len(rgs))
     n_slices, rows = _slice_assignments(rgs, n_slices)

@@ -60,7 +60,8 @@ def _next_seq(spark: SparkSession, path: str, name: str) -> int:
 
 
 def save_sketch(spark: SparkSession, path: str, name: str, sketch, *,
-                lineage=None, n_rows: int = -1, meta: dict | None = None) -> int:
+                lineage=None, n_rows: int = -1, meta: dict | None = None,
+                seq: int | None = None) -> int:
     """Persist ``sketch`` under ``name``; returns the assigned seq.
 
     Concurrency contract: ONE writer per name. ``seq`` is assigned by a
@@ -74,9 +75,15 @@ def save_sketch(spark: SparkSession, path: str, name: str, sketch, *,
     (pid, n_rows, n_items, total_count, build_ms) — pass
     ``BuildResult.lineage`` to keep the per-partition audit trail with
     the published sketch.
+
+    ``seq`` pins the sequence number explicitly (callers that must know
+    it before the write, e.g. incremental.py's manifest_base meta);
+    default is the usual read-then-append assignment. Same single-writer
+    contract either way.
     """
     blob = sketch.to_bytes()
-    seq = _next_seq(spark, path, name)
+    if seq is None:
+        seq = _next_seq(spark, path, name)
     kind = bytes(blob[:4]).decode("ascii", "replace")
     row = [(name, seq, kind, blob, hashlib.sha256(blob).hexdigest(),
             int(n_rows), json.dumps(meta or {}, sort_keys=True))]

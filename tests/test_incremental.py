@@ -1,0 +1,149 @@
+"""Incremental sketch maintenance (sketchlib.incremental): byte-identity
+to a from-scratch rebuild, delta-only scanning, no-op detection,
+append-only violation refusal, rebuild recovery, and the extract hook."""
+
+import functools
+import math
+import os
+import shutil
+
+import pytest
+
+from sketchlib.countmin import CMConfig, CountMinSketch
+from sketchlib.datagen import generate_token_table
+from sketchlib.hll import HllSketch
+from sketchlib.incremental import incremental_build
+from sketchlib.multi import MultiSketch
+from sketchlib.spark_build import build_aggregator_parquet
+
+CFG = CMConfig(eps=1e-3, delta=math.exp(-3), seed=7)
+
+
+def _factory():
+    return MultiSketch((functools.partial(CountMinSketch, CFG),
+                        functools.partial(HllSketch, 10, 7)))
+
+
+def _write_part(table_dir, part, rows, seed):
+    src = str(table_dir / f"_src{part}.parquet")
+    generate_token_table(src, rows=rows, seed=seed, dist="zipf")
+    os.makedirs(table_dir / "data", exist_ok=True)
+    shutil.move(src, table_dir / "data" / f"part{part}.parquet")
+
+
+@pytest.fixture()
+def table(tmp_path):
+    _write_part(tmp_path, 0, rows=500, seed=11)
+    return tmp_path
+
+
+def test_incremental_equals_full_rebuild(spark, table, tmp_path):
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+
+    r0 = incremental_build(spark, data, "tokens", _factory,
+                           store_path=store_path, name="cm")
+    assert r0.prev_seq is None and r0.seq == 0 and not r0.no_op
+    assert r0.new_rows == 500
+
+    # table grows: append two more file sets
+    _write_part(table, 1, rows=300, seed=22)
+    r1 = incremental_build(spark, data, "tokens", _factory,
+                           store_path=store_path, name="cm")
+    assert r1.prev_seq == 0 and r1.seq == 1
+    assert r1.new_rows == 300          # scanned ONLY the appended files
+
+    _write_part(table, 2, rows=200, seed=33)
+    r2 = incremental_build(spark, data, "tokens", _factory,
+                           store_path=store_path, name="cm")
+    assert r2.new_rows == 200
+
+    full = build_aggregator_parquet(spark, data, "tokens", _factory)
+    assert r2.sketch.to_bytes() == full.sketch.to_bytes()
+    assert full.n_rows == 1000
+
+
+def test_no_new_files_is_a_no_op(spark, table, tmp_path):
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    r0 = incremental_build(spark, data, "tokens", _factory,
+                           store_path=store_path, name="cm")
+    r1 = incremental_build(spark, data, "tokens", _factory,
+                           store_path=store_path, name="cm")
+    assert r1.no_op and r1.seq == r0.seq == 0
+    assert r1.new_files == 0 and r1.new_rows == 0
+    assert r1.sketch.to_bytes() == r0.sketch.to_bytes()
+
+
+def test_mutated_file_refused_and_rebuild_recovers(spark, table, tmp_path):
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    incremental_build(spark, data, "tokens", _factory,
+                      store_path=store_path, name="cm")
+
+    # in-place rewrite: same paths, different content/size
+    for name in os.listdir(data):
+        with open(os.path.join(data, name), "ab") as f:
+            f.write(b"\x00" * 13)
+    with pytest.raises(ValueError, match="not append-only"):
+        incremental_build(spark, data, "tokens", _factory,
+                          store_path=store_path, name="cm")
+
+    # recovery: full rescan under the same name, manifest reset
+    shutil.rmtree(data)
+    _write_part(table, 9, rows=400, seed=44)
+    rb = incremental_build(spark, data, "tokens", _factory,
+                           store_path=store_path, name="cm", rebuild=True)
+    assert rb.seq == 1 and rb.new_rows == 400
+
+    # post-rebuild increments diff against the NEW table state only
+    _write_part(table, 10, rows=100, seed=55)
+    r2 = incremental_build(spark, data, "tokens", _factory,
+                           store_path=store_path, name="cm")
+    assert r2.new_rows == 100
+    full = build_aggregator_parquet(spark, data, "tokens", _factory)
+    assert r2.sketch.to_bytes() == full.sketch.to_bytes()
+
+
+def test_removed_file_refused(spark, table, tmp_path):
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    incremental_build(spark, data, "tokens", _factory,
+                      store_path=store_path, name="cm")
+    victim = sorted(os.listdir(data))[0]
+    os.remove(os.path.join(data, victim))
+    with pytest.raises(ValueError, match="not append-only"):
+        incremental_build(spark, data, "tokens", _factory,
+                          store_path=store_path, name="cm")
+
+
+def test_incremental_with_extract_hook(spark, table, tmp_path):
+    from sketchlib.ngrams import array_bigrams
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    fac = functools.partial(CountMinSketch, CFG)
+    incremental_build(spark, data, "tokens", fac, store_path=store_path,
+                      name="bigrams", extract_array=array_bigrams)
+    _write_part(table, 1, rows=250, seed=66)
+    r1 = incremental_build(spark, data, "tokens", fac,
+                           store_path=store_path, name="bigrams",
+                           extract_array=array_bigrams)
+    full = build_aggregator_parquet(spark, data, "tokens", fac,
+                                    extract_array=array_bigrams)
+    assert r1.sketch.to_bytes() == full.sketch.to_bytes()
+
+
+def test_names_are_independent(spark, table, tmp_path):
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    fac = functools.partial(CountMinSketch, CFG)
+    incremental_build(spark, data, "tokens", fac,
+                      store_path=store_path, name="a")
+    _write_part(table, 1, rows=100, seed=77)
+    rb = incremental_build(spark, data, "tokens", fac,
+                           store_path=store_path, name="b")
+    assert rb.seq == 0 and rb.new_rows == 600   # b sees the whole table
+    ra = incremental_build(spark, data, "tokens", fac,
+                           store_path=store_path, name="a")
+    assert ra.new_rows == 100                   # a only the delta
+    assert ra.sketch.to_bytes() == rb.sketch.to_bytes()
