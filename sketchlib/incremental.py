@@ -79,24 +79,29 @@ def _current_files(table_path: str) -> dict[str, int]:
     return out
 
 
-def _ingested_files(spark: SparkSession, store_path: str, name: str,
-                    base_seq: int) -> dict[str, int]:
-    """{relative_path: size} already folded into the latest sketch of
-    ``name``: union of the manifest deltas since the last full (re)build
-    (``base_seq`` — rows below it belong to a pre-rebuild table state and
-    must not poison the diff). Missing manifest table == nothing
-    ingested."""
+def _manifest_state(spark: SparkSession, store_path: str, name: str,
+                    base_seq: int) -> tuple[int | None, dict[str, int]]:
+    """(max manifest seq, {relative_path: size}) for ``name`` in ONE
+    manifest read, considering only rows at/after the last full (re)build
+    (``base_seq`` — rows below it describe a pre-rebuild table state and
+    must not poison the diff; the (re)build's own rows sit AT base_seq,
+    so the max is unaffected unless the manifest append itself is missing
+    — exactly the crash window the max is checked for). Missing manifest
+    table == nothing ingested == (None, {})."""
     from pyspark.errors import AnalysisException
     try:
         df = spark.read.parquet(store_path + "/ingested")
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return {}
+            return None, {}
         raise
     rows = (df.filter((F.col("name") == name)
                       & (F.col("seq") >= base_seq))
-            .select("file", "file_size").collect())
-    return {r["file"]: int(r["file_size"]) for r in rows}
+            .select("seq", "file", "file_size").collect())
+    if not rows:
+        return None, {}
+    return (max(int(r["seq"]) for r in rows),
+            {r["file"]: int(r["file_size"]) for r in rows})
 
 
 def _append_manifest(spark: SparkSession, store_path: str, name: str,
@@ -107,22 +112,8 @@ def _append_manifest(spark: SparkSession, store_path: str, name: str,
     # the window detectable (latest sketch seq > max manifest seq for the
     # name) and incremental_build refuses to proceed across it.
     rows = [(name, seq, f, sz) for f, sz in sorted(files.items())]
-    (spark.createDataFrame(rows, _MANIFEST_SCHEMA)
-     .coalesce(1).write.mode("append").parquet(store_path + "/ingested"))
-
-
-def _max_manifest_seq(spark: SparkSession, store_path: str,
-                      name: str) -> int | None:
-    from pyspark.errors import AnalysisException
-    try:
-        df = spark.read.parquet(store_path + "/ingested")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
-    row = (df.filter(F.col("name") == name)
-           .agg(F.max("seq").alias("m")).collect()[0])
-    return None if row["m"] is None else int(row["m"])
+    (store.one_part_df(spark, rows, _MANIFEST_SCHEMA)
+     .write.mode("append").parquet(store_path + "/ingested"))
 
 
 @dataclass
@@ -161,7 +152,7 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
     """
     t0 = time.perf_counter()
     current = _current_files(table_path)
-    prev = store.latest_entry(spark, store_path, name)
+    prev = store.latest_sketch(spark, store_path, name)
     prev_seq = None if prev is None else prev[0]
     # seq of the last full (re)build: manifest rows older than it describe
     # a table state that no longer exists and are excluded from the diff
@@ -170,14 +161,14 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
     if prev_seq is None or rebuild:
         new = current
     else:
-        man_seq = _max_manifest_seq(spark, store_path, name)
+        man_seq, ingested = _manifest_state(spark, store_path, name,
+                                            base_seq)
         if man_seq is None or man_seq < prev_seq:
             raise IOError(
                 f"sketch {name!r} seq {prev_seq} has no manifest rows at "
                 f"that seq (manifest max: {man_seq}) — a prior call "
                 "crashed between publish and manifest append; re-run with "
                 "rebuild=True")
-        ingested = _ingested_files(spark, store_path, name, base_seq)
         mutated = {f for f, sz in ingested.items()
                    if current.get(f, sz) != sz}
         removed = ingested.keys() - current.keys()
@@ -191,9 +182,8 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
         new = {f: sz for f, sz in current.items() if f not in ingested}
 
     if not new and prev_seq is not None and not rebuild:
-        sketch = store.load_sketch(spark, store_path, name, seq=prev_seq)
         return IncrementalResult(
-            sketch=sketch, seq=prev_seq, prev_seq=prev_seq, new_files=0,
+            sketch=prev[2], seq=prev_seq, prev_seq=prev_seq, new_files=0,
             new_rows=0, wall_s=time.perf_counter() - t0,
             lineage=pd.DataFrame())
 
@@ -203,7 +193,7 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
         n_slices=n_slices, extract_array=extract_array, files=abs_files)
     sketch = res.sketch
     if prev_seq is not None and not rebuild:
-        base = store.load_sketch(spark, store_path, name, seq=prev_seq)
+        base = prev[2]
         base.merge(sketch)
         sketch = base
     full = prev_seq is None or rebuild
