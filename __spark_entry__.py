@@ -1500,6 +1500,64 @@ def _q_incremental_sketch_update(spark, sf_dir):
               "table_rows int, delta_only boolean, byte_identical boolean")
 
 
+def _q_snapshot_diff_topk(spark, sf_dir):
+    """Snapshot diff (sketchlib.incremental.snapshot_diff): Count-Min is
+    LINEAR, so for two published seqs over an append-only table the
+    counter-wise difference new − old is bit-for-bit the sketch of the
+    appended delta (merge identity inverted; CountMinSketch.subtract).
+    "Which tokens grew the most between Monday's and Friday's publish"
+    becomes two KB-scale store reads — no data scanned. Here: publish
+    seq0, append, publish seq1, diff, and probe the top-10 delta tokens.
+    Self-asserts byte_identical (diff == a direct build over ONLY the
+    appended file) and est_ge_exact per row (the one-sided CM bound
+    holds on the delta because the diff IS the delta's CM). Rows-only:
+    store round-trips and sketch estimates aren't SQL-expressible."""
+    import functools
+    import shutil
+    import tempfile
+    import numpy as np
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.incremental import incremental_build, snapshot_diff
+    from sketchlib.spark_build import build_aggregator_parquet
+
+    fac = functools.partial(CountMinSketch, CM_CFG)
+    root = tempfile.mkdtemp(prefix="sketchlib_sdiff_")
+    data, store = f"{root}/data", f"{root}/store"
+    os.makedirs(data)
+    try:
+        generate_token_table(f"{root}/_p.parquet", rows=20000, seed=111)
+        shutil.move(f"{root}/_p.parquet", f"{data}/initial.parquet")
+        incremental_build(spark, data, "tokens", fac,
+                          store_path=store, name="cm")
+        generate_token_table(f"{root}/_p.parquet", rows=5000, seed=222)
+        shutil.move(f"{root}/_p.parquet", f"{data}/append.parquet")
+        incremental_build(spark, data, "tokens", fac,
+                          store_path=store, name="cm")
+
+        delta = snapshot_diff(spark, store, "cm", seq_old=0)
+        direct = build_aggregator_parquet(
+            spark, data, "tokens", fac, files=[f"{data}/append.parquet"])
+        byte_identical = delta.to_bytes() == direct.sketch.to_bytes()
+
+        top = (spark.read.parquet(f"{data}/append.parquet")
+               .select(F.explode("tokens").alias("token"))
+               .groupBy("token").agg(F.count("*").alias("exact_growth"))
+               .orderBy(F.desc("exact_growth"), "token").limit(10)
+               .collect())
+        keys = np.array([r["token"] for r in top], dtype=np.int64)
+        ests = delta.point_query_batch(keys)
+        rows = [(int(k), int(r["exact_growth"]), int(e),
+                 bool(int(e) >= int(r["exact_growth"])),
+                 bool(byte_identical))
+                for k, r, e in zip(keys, top, ests)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "token long, exact_growth long, diff_est long, "
+              "est_ge_exact boolean, byte_identical boolean")
+
+
 def _q_mg_topk_words(spark, sf_dir):
     """Misra-Gries frequent-items summary (deterministic counterpart of
     the CM top-k): top-20 exact words vs MG lower-bound estimates. Self-
@@ -2512,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pysource_token_table": _q_pysource_token_table,
         "sketch_store_roundtrip": _q_sketch_store_roundtrip,
         "incremental_sketch_update": _q_incremental_sketch_update,
+        "snapshot_diff_topk": _q_snapshot_diff_topk,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

@@ -348,6 +348,33 @@ class CountMinSketch:
         self.total_count += other.total_count
         return self
 
+    def subtract(self, other: "CountMinSketch") -> "CountMinSketch":
+        """In-place elementwise subtract — merge inverted. CM is a LINEAR
+        sketch (the table is a sum of per-item contributions), so for two
+        snapshots of the SAME append-only stream, new.subtract(old) is
+        bit-for-bit the sketch of the appended delta: table_new =
+        table_old + table_delta exactly (the merge identity), hence
+        table_new − table_old = table_delta, and every CM guarantee
+        (one-sided error ≤ ε·‖f_delta‖₁ w.p. ≥ 1−δ) holds on the delta.
+
+        ``other`` must be a prefix snapshot: any counter going negative
+        means the operands are NOT snapshots of one stream (or are
+        swapped), and the result would not be a valid CM — refused, with
+        self unmodified. Signed differences of unrelated streams belong
+        to CountSketch.subtract, whose estimates are unbiased under
+        negative counts."""
+        self._check_mergeable(other)
+        if (int(other.n_items) > int(self.n_items)
+                or np.any(self.table < other.table)):
+            raise ValueError(
+                "subtrahend is not a prefix snapshot of this sketch "
+                "(a counter would go negative); CM subtraction is only "
+                "exact for snapshots of one append-only stream")
+        self.table -= other.table
+        self.n_items -= other.n_items
+        self.total_count -= other.total_count
+        return self
+
     def clear(self) -> None:  # cm.h:818-822
         self.table[:] = 0
         self.n_items = 0

@@ -216,6 +216,21 @@ class CountSketch:
         self.total_count += other.total_count
         return self
 
+    def subtract(self, other: "CountSketch") -> "CountSketch":
+        """Elementwise subtract, in place — merge inverted. The signed
+        table is a sum of ±1-signed per-item contributions (linear), so
+        subtraction of ANY two same-config sketches is well-defined: the
+        result estimates the signed frequency difference f_a − f_b,
+        unbiased, with the usual ε·‖f_a − f_b‖₂ error. For snapshots of
+        one append-only stream the result is bit-for-bit the sketch of
+        the appended delta (same identity as CountMinSketch.subtract,
+        without the non-negativity restriction)."""
+        self._check(other)
+        self.table -= other.table
+        self.n_items -= other.n_items
+        self.total_count -= other.total_count
+        return self
+
     # -- misc ----------------------------------------------------------------
 
     def clear(self) -> None:

@@ -210,3 +210,28 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
         sketch=sketch, seq=seq, prev_seq=prev_seq, new_files=len(new),
         new_rows=res.n_rows, wall_s=time.perf_counter() - t0,
         lineage=res.lineage)
+
+
+def snapshot_diff(spark: SparkSession, store_path: str, name: str,
+                  seq_old: int, seq_new: int | None = None):
+    """The sketch of the data appended between two published seqs of
+    ``name`` — WITHOUT scanning any data. Linear sketches (Count-Min,
+    Count-Sketch) are counter-wise sums of per-item contributions, so
+    for snapshots of one append-only stream table_new − table_old is
+    bit-for-bit the sketch of the delta (the merge identity inverted;
+    tested byte-identical to a direct build over the appended files).
+    Every estimate guarantee then holds on the delta itself — "which
+    tokens grew the most between Monday's and Friday's publish" is a
+    pure store operation costing two KB-scale reads.
+
+    ``seq_new`` defaults to the latest publish. Non-linear sketches
+    (HLL, Bloom, KLL, MG, theta, MultiSketch containing them) have no
+    subtraction — refused by type, never approximated silently."""
+    new = store.load_sketch(spark, store_path, name, seq=seq_new)
+    old = store.load_sketch(spark, store_path, name, seq=seq_old)
+    if not hasattr(new, "subtract"):
+        raise TypeError(
+            f"{type(new).__name__} is not a linear sketch: snapshot "
+            "diffs need counter-wise subtraction (CountMinSketch or "
+            "CountSketch)")
+    return new.subtract(old)
