@@ -100,8 +100,9 @@ def _manifest_state(spark: SparkSession, store_path: str, name: str,
             .select("seq", "file", "file_size").collect())
     if not rows:
         return None, {}
+    # commit-marker rows (file="") count for the max seq, never the dict
     return (max(int(r["seq"]) for r in rows),
-            {r["file"]: int(r["file_size"]) for r in rows})
+            {r["file"]: int(r["file_size"]) for r in rows if r["file"]})
 
 
 def _append_manifest(spark: SparkSession, store_path: str, name: str,
@@ -110,8 +111,11 @@ def _append_manifest(spark: SparkSession, store_path: str, name: str,
     # seq published with its delta missing from the manifest, so a retry
     # would double-fold those files. The seq-pinned manifest rows make
     # the window detectable (latest sketch seq > max manifest seq for the
-    # name) and incremental_build refuses to proceed across it.
-    rows = [(name, seq, f, sz) for f, sz in sorted(files.items())]
+    # name) and incremental_build refuses to proceed across it. The
+    # commit-marker row (file="", size=-1) makes that detection work even
+    # for a publish over an EMPTY table, which folds zero files.
+    rows = [(name, seq, "", -1)]
+    rows += [(name, seq, f, sz) for f, sz in sorted(files.items())]
     (store.one_part_df(spark, rows, _MANIFEST_SCHEMA)
      .write.mode("append").parquet(store_path + "/ingested"))
 
@@ -187,7 +191,13 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
             new_rows=0, wall_s=time.perf_counter() - t0,
             lineage=pd.DataFrame())
 
-    abs_files = [os.path.join(table_path, f) for f in sorted(new)]
+    if os.path.isdir(table_path):
+        abs_files = [os.path.join(table_path, f) for f in sorted(new)]
+    else:
+        # single-file table: the one "relative path" is the file itself
+        # (appends to it are impossible without mutating — the size diff
+        # catches that and routes to rebuild=True)
+        abs_files = [table_path] if new else []
     res = build_aggregator_parquet(
         spark, table_path, values_col, factory, fanout=fanout,
         n_slices=n_slices, extract_array=extract_array, files=abs_files)

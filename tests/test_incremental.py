@@ -133,6 +133,41 @@ def test_incremental_with_extract_hook(spark, table, tmp_path):
     assert r1.sketch.to_bytes() == full.sketch.to_bytes()
 
 
+def test_single_file_table_and_empty_dir(spark, tmp_path):
+    fac = functools.partial(CountMinSketch, CFG)
+    # single-FILE table path: builds, no-ops, and detects mutation
+    f = str(tmp_path / "single.parquet")
+    generate_token_table(f, rows=500, seed=11)
+    st = str(tmp_path / "st1")
+    r0 = incremental_build(spark, f, "tokens", fac, store_path=st, name="cm")
+    assert r0.new_rows == 500
+    full = build_aggregator_parquet(spark, f, "tokens", fac)
+    assert r0.sketch.to_bytes() == full.sketch.to_bytes()
+    r1 = incremental_build(spark, f, "tokens", fac, store_path=st, name="cm")
+    assert r1.no_op
+    with open(f, "ab") as fh:
+        fh.write(b"\x00" * 7)
+    with pytest.raises(ValueError, match="not append-only"):
+        incremental_build(spark, f, "tokens", fac, store_path=st, name="cm")
+    # empty-dir table: publishes an empty seq-0 sketch, later appends fold
+    d = tmp_path / "empty"
+    os.makedirs(d)
+    st2 = str(tmp_path / "st2")
+    r = incremental_build(spark, str(d), "tokens", fac,
+                          store_path=st2, name="cm")
+    assert r.seq == 0 and r.new_rows == 0
+    _write_part2(d, 0, rows=200, seed=44)
+    r = incremental_build(spark, str(d), "tokens", fac,
+                          store_path=st2, name="cm")
+    assert r.new_rows == 200
+
+
+def _write_part2(table_dir, part, rows, seed):
+    src = str(table_dir / f"_s{part}.parquet")
+    generate_token_table(src, rows=rows, seed=seed, dist="zipf")
+    shutil.move(src, table_dir / f"part{part}.parquet")
+
+
 def test_names_are_independent(spark, table, tmp_path):
     store_path = str(tmp_path / "store")
     data = str(table / "data")
