@@ -1500,6 +1500,62 @@ def _q_incremental_sketch_update(spark, sf_dir):
               "table_rows int, delta_only boolean, byte_identical boolean")
 
 
+def _q_grouped_incremental_update(spark, sf_dir):
+    """PER-GROUP incremental maintenance
+    (sketchlib.incremental.incremental_build_grouped): one CM per source
+    kept current across append commits, scanning only appended files;
+    ONLY groups present in a delta are republished (a daily append
+    touching 3 of 10k sources rewrites 3 KB-scale store rows). Commit
+    point is the single manifest append; orphan publishes from a crashed
+    epoch are ignored by the committed-epoch pin and re-published
+    deterministically. Self-asserts per step: delta_only (rows scanned ==
+    rows appended) and byte_identical (every group's sketch == the
+    from-scratch grouped build over the whole table). Rows-only:
+    store/manifest round-trips aren't SQL-expressible."""
+    import functools
+    import shutil
+    import tempfile
+    from sketchlib import serde
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.incremental import incremental_build_grouped
+    from sketchlib.spark_build import build_grouped_parquet
+
+    fac = functools.partial(CountMinSketch, CM_CFG)
+    root = tempfile.mkdtemp(prefix="sketchlib_gincr_")
+    data, store = f"{root}/data", f"{root}/store"
+    os.makedirs(data)
+    steps = [("initial", 12000, 101), ("append_1", 4000, 202),
+             ("append_2", 1500, 303)]
+    try:
+        rows = []
+        for label, n_rows, seed in steps:
+            generate_token_table(f"{root}/_p.parquet", rows=n_rows,
+                                 seed=seed, dist="zipf")
+            shutil.move(f"{root}/_p.parquet", f"{data}/{label}.parquet")
+            r = incremental_build_grouped(
+                spark, data, "source", "tokens", fac,
+                store_path=store, name="per_src")
+            full = {str(g["key"]): serde.loads(bytes(g["sketch"])).to_bytes()
+                    for g in build_grouped_parquet(
+                        spark, data, "source", "tokens", fac).collect()}
+            ident = (set(full) == set(r.sketches) and all(
+                r.sketches[g].to_bytes() == b for g, b in full.items()))
+            rows.append((label, int(r.seq), int(r.new_rows),
+                         int(r.updated_groups), len(r.sketches),
+                         bool(r.new_rows == n_rows), bool(ident)))
+        r = incremental_build_grouped(spark, data, "source", "tokens", fac,
+                                      store_path=store, name="per_src")
+        rows.append(("no_op", int(r.seq), 0, int(r.updated_groups),
+                     len(r.sketches),
+                     bool(r.no_op and r.updated_groups == 0), bool(ident)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "step string, epoch int, delta_rows int, updated_groups int, "
+              "total_groups int, delta_only boolean, byte_identical boolean")
+
+
 def _q_snapshot_diff_topk(spark, sf_dir):
     """Snapshot diff (sketchlib.incremental.snapshot_diff): Count-Min is
     LINEAR, so for two published seqs over an append-only table the
@@ -2571,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_store_roundtrip": _q_sketch_store_roundtrip,
         "incremental_sketch_update": _q_incremental_sketch_update,
         "snapshot_diff_topk": _q_snapshot_diff_topk,
+        "grouped_incremental_update": _q_grouped_incremental_update,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

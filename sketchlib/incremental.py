@@ -52,7 +52,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from . import store
-from .spark_build import build_aggregator_parquet
+from .spark_build import build_aggregator_parquet, build_grouped_parquet
 
 _MANIFEST_SCHEMA = "name string, seq long, file string, file_size long"
 
@@ -106,15 +106,18 @@ def _manifest_state(spark: SparkSession, store_path: str, name: str,
 
 
 def _append_manifest(spark: SparkSession, store_path: str, name: str,
-                     seq: int, files: dict[str, int]) -> None:
+                     seq: int, files: dict[str, int],
+                     base_epoch: int = -1) -> None:
     # Written AFTER save_sketch: a crash between the two leaves the new
     # seq published with its delta missing from the manifest, so a retry
     # would double-fold those files. The seq-pinned manifest rows make
     # the window detectable (latest sketch seq > max manifest seq for the
     # name) and incremental_build refuses to proceed across it. The
-    # commit-marker row (file="", size=-1) makes that detection work even
-    # for a publish over an EMPTY table, which folds zero files.
-    rows = [(name, seq, "", -1)]
+    # commit-marker row (file="") makes that detection work even for a
+    # publish over an EMPTY table, which folds zero files; its file_size
+    # carries the lineage's base epoch for the GROUPED path (-1 on the
+    # global path, which keeps its base in the published sketch's meta).
+    rows = [(name, seq, "", base_epoch)]
     rows += [(name, seq, f, sz) for f, sz in sorted(files.items())]
     (store.one_part_df(spark, rows, _MANIFEST_SCHEMA)
      .write.mode("append").parquet(store_path + "/ingested"))
@@ -220,6 +223,149 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
         sketch=sketch, seq=seq, prev_seq=prev_seq, new_files=len(new),
         new_rows=res.n_rows, wall_s=time.perf_counter() - t0,
         lineage=res.lineage)
+
+
+def _grouped_manifest_state(
+        spark: SparkSession, store_path: str,
+        name: str) -> tuple[int | None, int, dict[str, int]]:
+    """(committed epoch, base epoch, ingested files) for a GROUPED
+    maintenance lineage, from the manifest alone. Commit-marker rows
+    (file="") carry the base epoch of the current lineage in file_size;
+    the highest marker seq is the committed epoch — group-sketch rows
+    published above it belong to a crashed, uncommitted epoch and are
+    ignored (and deterministically re-published) rather than refused."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(store_path + "/ingested")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None, 0, {}
+        raise
+    rows = (df.filter(F.col("name") == name)
+            .select("seq", "file", "file_size").collect())
+    markers = [(int(r["seq"]), int(r["file_size"]))
+               for r in rows if not r["file"]]
+    if not markers:
+        return None, 0, {}
+    epoch, base = max(markers)
+    base = max(base, 0)   # global-path markers write -1; grouped >= 0
+    ingested = {r["file"]: int(r["file_size"]) for r in rows
+                if r["file"] and base <= int(r["seq"]) <= epoch}
+    return epoch, base, ingested
+
+
+def _diff_files(current: dict[str, int], ingested: dict[str, int],
+                table_path: str, name: str) -> dict[str, int]:
+    """Files in ``current`` not yet ingested; refuses in-place rewrites
+    (shared append-only contract of both maintenance paths)."""
+    mutated = {f for f, sz in ingested.items() if current.get(f, sz) != sz}
+    removed = ingested.keys() - current.keys()
+    if mutated or removed:
+        raise ValueError(
+            f"table {table_path} is not append-only vs sketch {name!r}: "
+            f"{len(mutated)} file(s) changed size, {len(removed)} removed "
+            "— the delta cannot be identified by listing; re-run with "
+            f"rebuild=True (e.g. {sorted(mutated | removed)[:3]})")
+    return {f: sz for f, sz in current.items() if f not in ingested}
+
+
+def _abs_files(table_path: str, new: dict[str, int]) -> list[str]:
+    if os.path.isdir(table_path):
+        return [os.path.join(table_path, f) for f in sorted(new)]
+    return [table_path] if new else []
+
+
+@dataclass
+class GroupedIncrementalResult:
+    sketches: dict            # group -> CURRENT sketch (all live groups)
+    seq: int                  # committed epoch of the result
+    prev_seq: int | None
+    new_files: int
+    new_rows: int
+    updated_groups: int       # groups republished by THIS call
+    wall_s: float
+
+    @property
+    def no_op(self) -> bool:
+        return self.prev_seq == self.seq
+
+
+def incremental_build_grouped(spark: SparkSession, table_path: str,
+                              key_col: str, values_col: str, factory, *,
+                              store_path: str, name: str,
+                              rebuild: bool = False, fanout: int = 8,
+                              n_slices: int | None = None,
+                              meta: dict | None = None
+                              ) -> GroupedIncrementalResult:
+    """Grouped counterpart of incremental_build: keep ONE sketch per
+    ``key_col`` value (e.g. per-source corpus profiles) current over an
+    append-only table, scanning only appended files. Groups are stored
+    as ``{name}/{group}`` rows; ONLY groups present in the delta are
+    republished — a daily append touching 3 of 10k sources rewrites 3
+    KB-scale rows. Per-group results are byte-identical to from-scratch
+    grouped builds (merge associativity, as in the global path; tested).
+
+    Crash safety differs from the global path by construction: the
+    manifest append (commit marker + file rows, ONE write) is the commit
+    point, group publishes land first at epoch+1, and the loader pins
+    ``seq <= committed epoch`` — so a crash between publish and commit
+    leaves orphan rows that are ignored and deterministically
+    re-published on retry (same bytes, same sha) instead of refused.
+
+    Driver fan-in per call: (groups in the delta) x blob size — the same
+    bound the grouped build's own collect pays; at 10^12 scale the delta
+    touches few groups, which is the point."""
+    t0 = time.perf_counter()
+    if "/" in name:
+        raise ValueError(f"grouped sketch name may not contain '/': {name!r}")
+    current = _current_files(table_path)
+    epoch, base, ingested = _grouped_manifest_state(spark, store_path, name)
+
+    if epoch is None or rebuild:
+        new = current
+        groups: dict[str, object] = {}
+        next_epoch = 0 if epoch is None else epoch + 1
+        next_base = next_epoch
+    else:
+        new = _diff_files(current, ingested, table_path, name)
+        groups = store.load_group_sketches(spark, store_path, name,
+                                           max_seq=epoch, min_seq=base)
+        next_epoch, next_base = epoch + 1, base
+        if not new:
+            return GroupedIncrementalResult(
+                sketches=groups, seq=epoch, prev_seq=epoch, new_files=0,
+                new_rows=0, updated_groups=0,
+                wall_s=time.perf_counter() - t0)
+
+    from . import serde
+    rows = []
+    if new:
+        gdf = build_grouped_parquet(
+            spark, table_path, key_col, values_col, factory,
+            fanout=fanout, n_slices=n_slices,
+            files=_abs_files(table_path, new))
+        rows = gdf.collect()
+    new_rows = 0
+    entries = []
+    for r in rows:
+        g, delta = str(r["key"]), serde.loads(bytes(r["sketch"]))
+        new_rows += int(r["n_rows"])
+        if g in groups:
+            groups[g].merge(delta)
+        else:
+            groups[g] = delta
+        entries.append((f"{name}/{g}", next_epoch, groups[g],
+                        int(r["n_rows"])))
+    store.save_sketches_bulk(
+        spark, store_path, entries,
+        meta={**(meta or {}), "incremental_from": epoch,
+              "delta_files": len(new), "rebuild": bool(rebuild)})
+    _append_manifest(spark, store_path, name, next_epoch, new,
+                     base_epoch=next_base)
+    return GroupedIncrementalResult(
+        sketches=groups, seq=next_epoch, prev_seq=epoch,
+        new_files=len(new), new_rows=new_rows,
+        updated_groups=len(entries), wall_s=time.perf_counter() - t0)
 
 
 def snapshot_diff(spark: SparkSession, store_path: str, name: str,

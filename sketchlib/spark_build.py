@@ -1387,12 +1387,14 @@ def build_grouped_aggregator(df: DataFrame, key_col: str, values_col: str,
 def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
                           tokens_col: str, cfg_or_factory, *,
                           cu: bool = False, fanout: int = 8,
-                          n_slices: int | None = None) -> DataFrame:
+                          n_slices: int | None = None,
+                          files: list[str] | None = None) -> DataFrame:
     """Per-key sketches over a parquet table via Python-side columnar reads —
     the grouped counterpart of build_sketch_parquet (same ColumnarToRow
     bypass, same per-row-group slicing). ``cfg_or_factory`` is a CMConfig or
     a zero-arg sketch factory. Returns (key, sketch, n_rows, n_items,
-    total_count)."""
+    total_count). ``files`` restricts the scan to an explicit file list
+    (the incremental-maintenance delta, as in build_aggregator_parquet)."""
     import pyarrow.parquet as pq
 
     if isinstance(cfg_or_factory, CMConfig):
@@ -1401,7 +1403,7 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
     else:
         factory = cfg_or_factory
 
-    rgs = _list_row_groups(path)
+    rgs = _list_row_groups(path, files=files)
     if n_slices is None:
         n_slices = _default_n_slices(spark, len(rgs))
     n_slices, rows_assign = _slice_assignments(rgs, n_slices)

@@ -192,6 +192,70 @@ def latest_sketch(spark: SparkSession, path: str,
     return int(r["seq"]), json.loads(r["meta_json"]), serde.loads(blob)
 
 
+def save_sketches_bulk(spark: SparkSession, path: str,
+                       entries: list[tuple[str, int, object, int]],
+                       meta: dict | None = None) -> None:
+    """Append many ``(name, seq, sketch, n_rows)`` rows in ONE parquet
+    write — the grouped-publish path, where per-group save_sketch calls
+    would cost one Spark job per group. Same row format and integrity
+    contract as save_sketch; no lineage rows (grouped builds carry their
+    audit trail in the caller's manifest meta). Driver memory holds all
+    blobs at once — bounded by (groups touched × blob size), the same
+    fan-in the grouped build's collect already paid."""
+    rows = []
+    for name, seq, sketch, n_rows in entries:
+        blob = sketch.to_bytes()
+        rows.append((name, int(seq),
+                     bytes(blob[:4]).decode("ascii", "replace"), blob,
+                     hashlib.sha256(blob).hexdigest(), int(n_rows),
+                     json.dumps(meta or {}, sort_keys=True)))
+    if rows:
+        (one_part_df(spark, rows, _SKETCH_SCHEMA)
+         .write.mode("append").parquet(path + "/sketches"))
+
+
+def load_group_sketches(spark: SparkSession, path: str, prefix: str,
+                        max_seq: int | None = None,
+                        min_seq: int | None = None) -> dict[str, object]:
+    """{group: sketch} for every name of the form ``prefix/<group>``, in
+    ONE store read. Per group, the row with the highest seq wins (sha
+    tie-break, as in load_sketch) — optionally bounded to
+    ``min_seq <= seq <= max_seq``: max_seq is the committed-epoch pin
+    that lets grouped incremental maintenance ignore orphan publishes
+    from a crashed, uncommitted epoch; min_seq is the last full-rebuild
+    epoch, below which rows describe a table state that no longer
+    exists. Groups republish only when touched, so a group's latest seq
+    is typically BELOW the current epoch."""
+    from pyspark.errors import AnalysisException
+    p = prefix + "/"
+    try:
+        df = spark.read.parquet(path + "/sketches")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return {}
+        raise
+    df = df.filter(F.col("name").startswith(p))
+    if max_seq is not None:
+        df = df.filter(F.col("seq") <= max_seq)
+    if min_seq is not None:
+        df = df.filter(F.col("seq") >= min_seq)
+    out: dict[str, object] = {}
+    best: dict[str, tuple[int, str]] = {}
+    for r in df.select("name", "seq", "blob", "sha256").collect():
+        g = r["name"][len(p):]
+        key = (int(r["seq"]), r["sha256"])
+        if g in best and key <= best[g]:
+            continue
+        blob = bytes(r["blob"])
+        digest = hashlib.sha256(blob).hexdigest()
+        if digest != r["sha256"]:
+            raise IOError(f"sketch {r['name']!r} seq {r['seq']} corrupt: "
+                          f"sha {digest[:16]} != {r['sha256'][:16]}")
+        best[g] = key
+        out[g] = serde.loads(blob)
+    return out
+
+
 def list_sketches(spark: SparkSession, path: str) -> DataFrame:
     """One row per (name, latest seq): kind, size, n_rows, meta_json."""
     df = spark.read.parquet(path + "/sketches")
