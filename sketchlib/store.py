@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -264,6 +265,64 @@ def list_sketches(spark: SparkSession, path: str) -> DataFrame:
             .select("name", "seq", "kind",
                     F.length("blob").alias("bytes"),
                     "sha256", "n_rows", "meta_json"))
+
+
+def compact_store(spark: SparkSession, path: str) -> dict[str, dict]:
+    """Merge each store table's many small append files into ONE file.
+
+    Every publish appends a file, so a daily-publish store accumulates
+    365 files/year per table — harmless for correctness (loads pick
+    winning rows) but a listing/open cost on every read. Compaction
+    rewrites sketches/, lineage/ and ingested/ each into a single zstd
+    parquet file, PRESERVING every row: history is a feature
+    (snapshot_diff needs old seqs; the manifest's current lineage drives
+    incremental diffs), so nothing is pruned — only exact duplicate rows
+    (left by a crashed prior compaction) are dropped.
+
+    Always-readable by construction: the compacted file is written INTO
+    the live directory first, then the old part files are removed — a
+    reader at any instant sees either the old files, old+new (duplicate
+    rows, which winning-row selection and dict-building both tolerate),
+    or just the new file. A crash mid-removal leaves duplicates that the
+    next compaction cleans. No renames of the directory itself, so the
+    store never appears missing/empty mid-compact.
+
+    Driver-side rewrite via pyarrow (the store is KB-MB scale by
+    design); requires a pyarrow-readable path (local/posix — object
+    stores would go through their own compaction). Single-writer
+    contract as everywhere in the store: don't compact concurrently
+    with a publish. Returns {table: {files_before, files_after, rows}}.
+    """
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for table in ("sketches", "lineage", "ingested"):
+        d = os.path.join(path, table)
+        if not os.path.isdir(d):
+            continue
+        parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if not parts:
+            continue
+        import pyarrow.dataset as pads
+        t = pads.dataset([os.path.join(d, p) for p in parts],
+                         format="parquet").to_table()
+        pdf = t.to_pandas()
+        before = len(pdf)
+        pdf = pdf.drop_duplicates()     # only crash-left exact dupes
+        import pyarrow as pa
+        out = os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, schema=t.schema,
+                                            preserve_index=False),
+                       out, compression="zstd")
+        for f in os.listdir(d):
+            full = os.path.join(d, f)
+            if full != out and os.path.isfile(full):
+                os.remove(full)
+        stats[table] = {"files_before": len(parts), "files_after": 1,
+                        "rows": len(pdf), "dupes_dropped": before - len(pdf)}
+    return stats
 
 
 def load_lineage(spark: SparkSession, path: str, name: str,

@@ -171,3 +171,85 @@ def test_latest_entry_and_same_seq_tiebreak(spark, tmp_path):
     assert ent[1]["writer"] == expect[1]
     assert store.latest_entry(spark, path, "nope") is None
     assert store.latest_entry(spark, str(tmp_path / "absent"), "x") is None
+
+
+def test_compact_store_preserves_everything(spark, tmp_path):
+    """Compaction merges each table into one file while every read —
+    latest, seq-pinned, grouped, manifest state, snapshot diff — returns
+    byte-identical results; a second compaction is a no-op-shaped pass,
+    and crash-left duplicate rows are dropped."""
+    import functools
+    import math
+    import os
+    import shutil
+
+    from sketchlib import store
+    from sketchlib.countmin import CMConfig, CountMinSketch
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.incremental import (_grouped_manifest_state,
+                                       incremental_build,
+                                       incremental_build_grouped,
+                                       snapshot_diff)
+
+    cfg = CMConfig(eps=1e-3, delta=math.exp(-3), seed=7)
+    fac = functools.partial(CountMinSketch, cfg)
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    st = str(tmp_path / "store")
+
+    def _part(name, rows, seed):
+        src = str(tmp_path / "_s.parquet")
+        generate_token_table(src, rows=rows, seed=seed, dist="zipf")
+        shutil.move(src, os.path.join(data, name))
+
+    _part("p0.parquet", 600, 1)
+    incremental_build(spark, data, "tokens", fac, store_path=st, name="cm")
+    incremental_build_grouped(spark, data, "source", "tokens", fac,
+                              store_path=st, name="g")
+    _part("p1.parquet", 300, 2)
+    incremental_build(spark, data, "tokens", fac, store_path=st, name="cm")
+    incremental_build_grouped(spark, data, "source", "tokens", fac,
+                              store_path=st, name="g")
+
+    before = {
+        "latest": store.load_sketch(spark, st, "cm").to_bytes(),
+        "pinned": store.load_sketch(spark, st, "cm", seq=0).to_bytes(),
+        "groups": {g: s.to_bytes() for g, s in
+                   store.load_group_sketches(spark, st, "g").items()},
+        "gstate": _grouped_manifest_state(spark, st, "g"),
+        "diff": snapshot_diff(spark, st, "cm", seq_old=0).to_bytes(),
+    }
+    n_files = len([f for f in os.listdir(st + "/sketches")
+                   if f.endswith(".parquet")])
+    assert n_files > 1
+
+    stats = store.compact_store(spark, st)
+    assert stats["sketches"]["files_after"] == 1
+    assert stats["ingested"]["files_after"] == 1
+    spark.catalog.clearCache()
+
+    after = {
+        "latest": store.load_sketch(spark, st, "cm").to_bytes(),
+        "pinned": store.load_sketch(spark, st, "cm", seq=0).to_bytes(),
+        "groups": {g: s.to_bytes() for g, s in
+                   store.load_group_sketches(spark, st, "g").items()},
+        "gstate": _grouped_manifest_state(spark, st, "g"),
+        "diff": snapshot_diff(spark, st, "cm", seq_old=0).to_bytes(),
+    }
+    assert before == after
+
+    # incremental maintenance keeps working across the compaction
+    _part("p2.parquet", 200, 3)
+    r = incremental_build(spark, data, "tokens", fac,
+                          store_path=st, name="cm")
+    assert r.new_rows == 200
+
+    # crash-left duplicates: copy the compacted file, compact again
+    d = st + "/sketches"
+    comp = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(d, comp[0]),
+                os.path.join(d, "compact-crashdupe.parquet"))
+    stats2 = store.compact_store(spark, st)
+    assert stats2["sketches"]["dupes_dropped"] > 0
+    assert (store.load_sketch(spark, st, "cm").to_bytes()
+            == r.sketch.to_bytes())
