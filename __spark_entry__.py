@@ -1500,6 +1500,65 @@ def _q_incremental_sketch_update(spark, sf_dir):
               "table_rows int, delta_only boolean, byte_identical boolean")
 
 
+def _q_snapshot_distinct_growth(spark, sf_dir):
+    """DISTINCT-token growth between two published snapshots — the
+    non-linear companion to snapshot_diff_topk. Count subtraction needs a
+    linear sketch, but the Theta/KMV bottom-k sample supports set
+    DIFFERENCE directly (sketchlib.theta.estimate_difference), so
+    "how many never-before-seen tokens did this append introduce" is
+    answered from two KB-scale store reads of incrementally-maintained
+    theta snapshots — no scan, no HLL inclusion-exclusion blow-up.
+    Self-asserts |est − exact| <= 5·RSE·union (the published KMV bound,
+    difference error scaling with the union sample) and that the theta
+    snapshots were maintained delta-only. Rows-only: hash-sample
+    estimates are not SQL-expressible."""
+    import functools
+    import shutil
+    import tempfile
+    from sketchlib.incremental import incremental_build
+    from sketchlib.theta import ThetaSketch
+    from sketchlib import store as store_mod
+
+    fac = functools.partial(ThetaSketch, 4096)
+    root = tempfile.mkdtemp(prefix="sketchlib_thgrow_")
+    data, store = f"{root}/data", f"{root}/store"
+    os.makedirs(data)
+    try:
+        from sketchlib.datagen import generate_token_table
+        generate_token_table(f"{root}/_p.parquet", rows=12000,
+                             seed=111, dist="zipf")
+        shutil.move(f"{root}/_p.parquet", f"{data}/initial.parquet")
+        incremental_build(spark, data, "tokens", fac,
+                          store_path=store, name="theta")
+        generate_token_table(f"{root}/_p.parquet", rows=4000,
+                             seed=222, dist="zipf")
+        shutil.move(f"{root}/_p.parquet", f"{data}/append.parquet")
+        r1 = incremental_build(spark, data, "tokens", fac,
+                               store_path=store, name="theta")
+        delta_only = bool(r1.new_rows == 4000)
+
+        old = store_mod.load_sketch(spark, store, "theta", seq=0)
+        new = store_mod.load_sketch(spark, store, "theta", seq=1)
+        est_growth = new.estimate_difference(old)
+
+        init_tok = (spark.read.parquet(f"{data}/initial.parquet")
+                    .select(F.explode("tokens").alias("t")).distinct())
+        app_tok = (spark.read.parquet(f"{data}/append.parquet")
+                   .select(F.explode("tokens").alias("t")).distinct())
+        exact_growth = app_tok.join(init_tok, "t", "left_anti").count()
+        exact_union = init_tok.union(app_tok).distinct().count()
+        tol = 5 * new.rse() * exact_union
+        row = (float(est_growth), int(exact_growth), int(exact_union),
+               float(tol), bool(abs(est_growth - exact_growth) <= tol),
+               delta_only)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "est_growth double, exact_growth bigint, "
+               "exact_union bigint, tol double, within_bound boolean, "
+               "delta_only boolean")
+
+
 def _q_grouped_incremental_update(spark, sf_dir):
     """PER-GROUP incremental maintenance
     (sketchlib.incremental.incremental_build_grouped): one CM per source
@@ -1516,6 +1575,7 @@ def _q_grouped_incremental_update(spark, sf_dir):
     import shutil
     import tempfile
     from sketchlib import serde
+    from sketchlib import store as store_mod
     from sketchlib.countmin import CountMinSketch
     from sketchlib.datagen import generate_token_table
     from sketchlib.incremental import incremental_build_grouped
@@ -1539,15 +1599,19 @@ def _q_grouped_incremental_update(spark, sf_dir):
             full = {str(g["key"]): serde.loads(bytes(g["sketch"])).to_bytes()
                     for g in build_grouped_parquet(
                         spark, data, "source", "tokens", fac).collect()}
-            ident = (set(full) == set(r.sketches) and all(
-                r.sketches[g].to_bytes() == b for g, b in full.items()))
+            # the PERSISTED committed state must equal the from-scratch
+            # grouped build per group, byte for byte
+            loaded = store_mod.load_group_sketches(spark, store,
+                                                   "per_src", max_seq=r.seq)
+            ident = (set(full) == set(loaded) and all(
+                loaded[g].to_bytes() == b for g, b in full.items()))
             rows.append((label, int(r.seq), int(r.new_rows),
-                         int(r.updated_groups), len(r.sketches),
+                         int(r.updated_groups), len(loaded),
                          bool(r.new_rows == n_rows), bool(ident)))
         r = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                       store_path=store, name="per_src")
         rows.append(("no_op", int(r.seq), 0, int(r.updated_groups),
-                     len(r.sketches),
+                     len(loaded),
                      bool(r.no_op and r.updated_groups == 0), bool(ident)))
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2628,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_sketch_update": _q_incremental_sketch_update,
         "snapshot_diff_topk": _q_snapshot_diff_topk,
         "grouped_incremental_update": _q_grouped_incremental_update,
+        "snapshot_distinct_growth": _q_snapshot_distinct_growth,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

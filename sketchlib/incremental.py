@@ -277,7 +277,7 @@ def _abs_files(table_path: str, new: dict[str, int]) -> list[str]:
 
 @dataclass
 class GroupedIncrementalResult:
-    sketches: dict            # group -> CURRENT sketch (all live groups)
+    sketches: dict            # group -> sketch, UPDATED groups only
     seq: int                  # committed epoch of the result
     prev_seq: int | None
     new_files: int
@@ -312,28 +312,28 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
     leaves orphan rows that are ignored and deterministically
     re-published on retry (same bytes, same sha) instead of refused.
 
-    Driver fan-in per call: (groups in the delta) x blob size — the same
-    bound the grouped build's own collect pays; at 10^12 scale the delta
-    touches few groups, which is the point."""
+    Driver fan-in per call: (groups in the delta) x blob size — only the
+    delta's groups are loaded from the store and only they are returned
+    in ``sketches``; groups the delta doesn't touch are never read (use
+    store.load_group_sketches for the full current set). At 10^12 scale
+    the delta touches few groups, which is the point."""
     t0 = time.perf_counter()
     if "/" in name:
         raise ValueError(f"grouped sketch name may not contain '/': {name!r}")
     current = _current_files(table_path)
     epoch, base, ingested = _grouped_manifest_state(spark, store_path, name)
 
-    if epoch is None or rebuild:
+    full = epoch is None or rebuild
+    if full:
         new = current
-        groups: dict[str, object] = {}
         next_epoch = 0 if epoch is None else epoch + 1
         next_base = next_epoch
     else:
         new = _diff_files(current, ingested, table_path, name)
-        groups = store.load_group_sketches(spark, store_path, name,
-                                           max_seq=epoch, min_seq=base)
         next_epoch, next_base = epoch + 1, base
         if not new:
             return GroupedIncrementalResult(
-                sketches=groups, seq=epoch, prev_seq=epoch, new_files=0,
+                sketches={}, seq=epoch, prev_seq=epoch, new_files=0,
                 new_rows=0, updated_groups=0,
                 wall_s=time.perf_counter() - t0)
 
@@ -345,6 +345,11 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
             fanout=fanout, n_slices=n_slices,
             files=_abs_files(table_path, new))
         rows = gdf.collect()
+    groups: dict[str, object] = {}
+    if not full and rows:
+        groups = store.load_group_sketches(
+            spark, store_path, name, max_seq=epoch, min_seq=base,
+            groups=[str(r["key"]) for r in rows])
     new_rows = 0
     entries = []
     for r in rows:

@@ -217,7 +217,8 @@ def save_sketches_bulk(spark: SparkSession, path: str,
 
 def load_group_sketches(spark: SparkSession, path: str, prefix: str,
                         max_seq: int | None = None,
-                        min_seq: int | None = None) -> dict[str, object]:
+                        min_seq: int | None = None,
+                        groups: list[str] | None = None) -> dict[str, object]:
     """{group: sketch} for every name of the form ``prefix/<group>``, in
     ONE store read. Per group, the row with the highest seq wins (sha
     tie-break, as in load_sketch) — optionally bounded to
@@ -226,7 +227,10 @@ def load_group_sketches(spark: SparkSession, path: str, prefix: str,
     from a crashed, uncommitted epoch; min_seq is the last full-rebuild
     epoch, below which rows describe a table state that no longer
     exists. Groups republish only when touched, so a group's latest seq
-    is typically BELOW the current epoch."""
+    is typically BELOW the current epoch. ``groups`` restricts the read
+    to those group values (an isin filter the parquet scan can push
+    down) — the incremental path loads only the delta's groups, never
+    the whole fleet."""
     from pyspark.errors import AnalysisException
     p = prefix + "/"
     try:
@@ -236,6 +240,8 @@ def load_group_sketches(spark: SparkSession, path: str, prefix: str,
             return {}
         raise
     df = df.filter(F.col("name").startswith(p))
+    if groups is not None:
+        df = df.filter(F.col("name").isin([p + g for g in groups]))
     if max_seq is not None:
         df = df.filter(F.col("seq") <= max_seq)
     if min_seq is not None:

@@ -184,6 +184,7 @@ def test_grouped_incremental_equals_full_rebuild(spark, table, tmp_path):
     data = str(table / "data")
     fac = functools.partial(CountMinSketch, CFG)
 
+    from sketchlib import store as store_mod
     r0 = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                    store_path=store_path, name="per_src")
     assert r0.prev_seq is None and r0.seq == 0 and r0.new_rows == 500
@@ -192,15 +193,18 @@ def test_grouped_incremental_equals_full_rebuild(spark, table, tmp_path):
                                    store_path=store_path, name="per_src")
     assert r1.seq == 1 and r1.new_rows == 300      # delta-only scan
     full = _grouped_bytes(spark, data, fac)
-    assert set(r1.sketches) == set(full)
-    for g, blob in full.items():
-        assert r1.sketches[g].to_bytes() == blob   # per-group byte-identity
+    # updated groups returned in-memory; the persisted committed state
+    # matches the from-scratch grouped build per group, byte for byte
+    for g, s in r1.sketches.items():
+        assert s.to_bytes() == full[g]
+    loaded = store_mod.load_group_sketches(spark, store_path, "per_src",
+                                           max_seq=r1.seq)
+    assert {g: s.to_bytes() for g, s in loaded.items()} == full
 
-    # no-op: nothing appended, nothing scanned, same groups returned
+    # no-op: nothing appended, nothing scanned, nothing republished
     r2 = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                    store_path=store_path, name="per_src")
-    assert r2.no_op and r2.updated_groups == 0
-    assert {g: s.to_bytes() for g, s in r2.sketches.items()} == full
+    assert r2.no_op and r2.updated_groups == 0 and r2.sketches == {}
 
 
 def test_grouped_untouched_groups_not_republished(spark, tmp_path):
@@ -229,7 +233,7 @@ def test_grouped_untouched_groups_not_republished(spark, tmp_path):
     r = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                   store_path=st, name="g")
     assert r.updated_groups == 1
-    assert set(r.sketches) == {"a", "b", "c"}
+    assert set(r.sketches) == {"b"}        # only the touched group loaded
     # store rows: only b has an epoch-1 row
     rows = (spark.read.parquet(st + "/sketches")
             .select("name", "seq").collect())
@@ -261,7 +265,8 @@ def test_grouped_crash_window_is_idempotent(spark, table, tmp_path):
                                   store_path=store_path, name="g")
     assert r.seq == 1 and r.new_rows == 300
     full = _grouped_bytes(spark, data, fac)
-    assert {g: s.to_bytes() for g, s in r.sketches.items()} == full
+    for g, s in r.sketches.items():
+        assert s.to_bytes() == full[g]
     # and the post-commit state loads correctly despite the junk orphan
     # (higher sha could shadow: the real row wins only because retry
     # published the correct bytes at the same seq — verify against full)
@@ -305,7 +310,13 @@ def test_grouped_rebuild_drops_stale_groups(spark, tmp_path):
     _write("p2.parquet", ["kept"])
     r2 = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                    store_path=st, name="g")
-    assert set(r2.sketches) == {"kept", "brand_new"}  # still excluded
+    assert set(r2.sketches) == {"kept"}
+    # loader at the committed epoch still excludes the pre-rebuild group
+    from sketchlib import store as store_mod
+    loaded = store_mod.load_group_sketches(
+        spark, st, "g", max_seq=r2.seq,
+        min_seq=1)   # base epoch of the rebuild lineage
+    assert set(loaded) == {"kept", "brand_new"}
 
 
 def test_names_are_independent(spark, table, tmp_path):
