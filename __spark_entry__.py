@@ -1500,6 +1500,56 @@ def _q_incremental_sketch_update(spark, sf_dir):
               "table_rows int, delta_only boolean, byte_identical boolean")
 
 
+def _q_incremental_table_sketch(spark, sf_dir):
+    """Incremental maintenance in the ε-beyond-executor-memory regime
+    (sketchlib.incremental.incremental_build_table): the published
+    artifact is a distributed (row, col, cnt) counter TABLE — no dense
+    blob ever exists — and a fold merges delta triples into the previous
+    epoch by counter-coordinate groupBy-sum, touching nothing on the
+    driver. Self-asserts byte_identical (maintained table == from-scratch
+    table build, via the sketch_from_table bridge at this feasible ε) and
+    probe_match (point_query_table estimates == the dense sketch's).
+    Rows-only: epoch/manifest round-trips aren't SQL-expressible."""
+    import shutil
+    import tempfile
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.incremental import incremental_build_table
+    from sketchlib.spark_build import (build_sketch_table,
+                                       point_query_table,
+                                       sketch_from_table)
+
+    root = tempfile.mkdtemp(prefix="sketchlib_tincr_")
+    data, store = f"{root}/data", f"{root}/store"
+    os.makedirs(data)
+    try:
+        rows_out = []
+        for label, n_rows, seed in (("initial", 15000, 101),
+                                    ("append", 5000, 202)):
+            generate_token_table(f"{root}/_p.parquet", rows=n_rows,
+                                 seed=seed, dist="zipf")
+            shutil.move(f"{root}/_p.parquet", f"{data}/{label}.parquet")
+            r = incremental_build_table(spark, data, "tokens", CM_CFG,
+                                        store_path=store, name="tb")
+            full = build_sketch_table(spark.read.parquet(data),
+                                      "tokens", CM_CFG)
+            ident = (sketch_from_table(r.table, CM_CFG).to_bytes()
+                     == sketch_from_table(full, CM_CFG).to_bytes())
+            dense = sketch_from_table(r.table, CM_CFG)
+            keys = (spark.read.parquet(data)
+                    .select(F.explode("tokens").alias("t"))
+                    .distinct().limit(10))
+            probes = point_query_table(r.table, keys, "t", CM_CFG).collect()
+            pmatch = all(int(p["est"]) == int(dense.point_query(int(p["t"])))
+                         for p in probes)
+            rows_out.append((label, int(r.seq), int(r.new_files),
+                             bool(ident), bool(pmatch)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows_out, "step string, epoch int, delta_files int, "
+                  "byte_identical boolean, probe_match boolean")
+
+
 def _q_snapshot_distinct_growth(spark, sf_dir):
     """DISTINCT-token growth between two published snapshots — the
     non-linear companion to snapshot_diff_topk. Count subtraction needs a
@@ -2693,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_topk": _q_snapshot_diff_topk,
         "grouped_incremental_update": _q_grouped_incremental_update,
         "snapshot_distinct_growth": _q_snapshot_distinct_growth,
+        "incremental_table_sketch": _q_incremental_table_sketch,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

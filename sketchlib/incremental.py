@@ -373,6 +373,86 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
         updated_groups=len(entries), wall_s=time.perf_counter() - t0)
 
 
+@dataclass
+class TableIncrementalResult:
+    table: object             # DataFrame over the committed counter table
+    path: str                 # parquet location of that table
+    seq: int
+    prev_seq: int | None
+    new_files: int
+    wall_s: float
+
+    @property
+    def no_op(self) -> bool:
+        return self.prev_seq == self.seq
+
+
+def incremental_build_table(spark: SparkSession, table_path: str,
+                            values_col: str, cfg, *, store_path: str,
+                            name: str, rebuild: bool = False,
+                            flush_triples: int = 1 << 22
+                            ) -> TableIncrementalResult:
+    """Incremental maintenance for the sketch-AS-table path
+    (spark_build.build_sketch_table) — the regime where d×w×8 bytes
+    exceeds executor memory (ε below ~1e-8) and no dense blob ever
+    exists. The published artifact is a distributed (row, col, cnt)
+    parquet table per epoch; a fold builds triples over ONLY the
+    appended files and merges them into the previous epoch's table by
+    counter-coordinate groupBy-sum — additions commute, so the merged
+    counters are IDENTICAL to a from-scratch table build (tested via the
+    sketch_from_table byte-identity bridge at feasible ε). Nothing
+    touches the driver: the fold is one triples scan of the delta plus
+    one nnz-bounded shuffle, vs a full 10^12-row rescan for a rebuild.
+
+    Store layout: ``<store>/tables/<name>/seq=<k>/``; the shared
+    manifest (commit marker + file rows, one append) commits epoch k.
+    Crash safety is the grouped path's: the epoch-(k+1) table written
+    before a crashed commit is orphaned, ignored (reads pin the
+    committed epoch) and deterministically overwritten on retry. Do not
+    reuse a blob-sketch name for a table sketch — they share the
+    manifest namespace."""
+    t0 = time.perf_counter()
+    from .spark_build import _TRIPLE_SCHEMA, build_sketch_table
+    current = _current_files(table_path)
+    epoch, base, ingested = _grouped_manifest_state(spark, store_path, name)
+
+    full = epoch is None or rebuild
+    if full:
+        new = current
+        next_epoch = 0 if epoch is None else epoch + 1
+        next_base = next_epoch
+    else:
+        new = _diff_files(current, ingested, table_path, name)
+        next_epoch, next_base = epoch + 1, base
+        if not new:
+            path = f"{store_path}/tables/{name}/seq={epoch}"
+            return TableIncrementalResult(
+                table=spark.read.parquet(path), path=path, seq=epoch,
+                prev_seq=epoch, new_files=0,
+                wall_s=time.perf_counter() - t0)
+
+    abs_files = _abs_files(table_path, new)
+    if abs_files:
+        delta = build_sketch_table(spark.read.parquet(*abs_files),
+                                   values_col, cfg,
+                                   flush_triples=flush_triples)
+    else:
+        delta = spark.createDataFrame([], _TRIPLE_SCHEMA)
+    if not full:
+        prev_tab = spark.read.parquet(
+            f"{store_path}/tables/{name}/seq={epoch}")
+        delta = (prev_tab.unionByName(delta).groupBy("row", "col")
+                 .agg(F.sum("cnt").alias("cnt")))
+    out = f"{store_path}/tables/{name}/seq={next_epoch}"
+    delta.write.mode("overwrite").parquet(out)
+    _append_manifest(spark, store_path, name, next_epoch, new,
+                     base_epoch=next_base)
+    return TableIncrementalResult(
+        table=spark.read.parquet(out), path=out, seq=next_epoch,
+        prev_seq=epoch, new_files=len(new),
+        wall_s=time.perf_counter() - t0)
+
+
 def snapshot_diff(spark: SparkSession, store_path: str, name: str,
                   seq_old: int, seq_new: int | None = None):
     """The sketch of the data appended between two published seqs of

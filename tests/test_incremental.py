@@ -319,6 +319,41 @@ def test_grouped_rebuild_drops_stale_groups(spark, tmp_path):
     assert set(loaded) == {"kept", "brand_new"}
 
 
+def test_table_incremental_equals_full_rebuild(spark, table, tmp_path):
+    """Sketch-AS-table maintenance: counter-coordinate groupBy merges of
+    delta triples equal a from-scratch table build (byte-identity via the
+    sketch_from_table bridge), across two folds and a no-op."""
+    from pyspark.sql import functions as F
+    from sketchlib.incremental import incremental_build_table
+    from sketchlib.spark_build import (build_sketch_table,
+                                       point_query_table,
+                                       sketch_from_table)
+    st = str(tmp_path / "store")
+    data = str(table / "data")
+    r0 = incremental_build_table(spark, data, "tokens", CFG,
+                                 store_path=st, name="tb")
+    assert r0.prev_seq is None and r0.seq == 0
+
+    _write_part(table, 1, rows=300, seed=22)
+    r1 = incremental_build_table(spark, data, "tokens", CFG,
+                                 store_path=st, name="tb")
+    assert r1.seq == 1 and r1.new_files == 1
+    full_tab = build_sketch_table(spark.read.parquet(data), "tokens", CFG)
+    assert (sketch_from_table(r1.table, CFG).to_bytes()
+            == sketch_from_table(full_tab, CFG).to_bytes())
+
+    r2 = incremental_build_table(spark, data, "tokens", CFG,
+                                 store_path=st, name="tb")
+    assert r2.no_op and r2.seq == 1
+
+    # probes against the maintained table match the dense sketch
+    dense = sketch_from_table(r2.table, CFG)
+    keys = (spark.read.parquet(data)
+            .select(F.explode("tokens").alias("t")).distinct().limit(5))
+    for row in point_query_table(r2.table, keys, "t", CFG).collect():
+        assert int(row["est"]) == int(dense.point_query(int(row["t"])))
+
+
 def test_names_are_independent(spark, table, tmp_path):
     store_path = str(tmp_path / "store")
     data = str(table / "data")

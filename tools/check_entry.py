@@ -77,7 +77,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
     # passes as "N rows". Recall-style flags (in_exact_topk) are NOT here
     # — those are legitimately false for approximate answers.
     ASSERT_COLS = {"est_ge_exact", "within_bound", "guarantee_holds",
-                   "matches_batch", "byte_identical", "delta_only",
+                   "matches_batch", "byte_identical", "delta_only", "probe_match",
                    "rawlog_equals_two_sketch", "tables_equal",
                    "equals_dense", "exact_recovery", "psd_ok",
                    "all_above_threshold", "all_dups_found",
