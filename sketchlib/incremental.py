@@ -453,6 +453,41 @@ def incremental_build_table(spark: SparkSession, table_path: str,
         wall_s=time.perf_counter() - t0)
 
 
+def snapshot_diff_table(spark: SparkSession, store_path: str, name: str,
+                        seq_old: int, seq_new: int | None = None):
+    """Table-regime counterpart of snapshot_diff: the counter-wise
+    difference of two published (row, col, cnt) epochs IS the counter
+    table of the data appended between them (same linearity as the dense
+    subtract — the groupBy-sum merge is coordinate-wise addition). A
+    full-outer join on (row, col) with coalesced-zero subtraction; rows
+    that cancel to zero are dropped, matching what a direct delta build
+    never emits. Distributed end to end — no driver state, any ε.
+
+    ``seq_new`` defaults to the committed epoch. Non-prefix epochs (any
+    counter going negative) are refused, as in CountMinSketch.subtract —
+    checked distributively with one aggregation."""
+    epoch, _, _ = _grouped_manifest_state(spark, store_path, name)
+    if epoch is None:
+        raise KeyError(f"no table sketch named {name!r} in {store_path}")
+    if seq_new is None:
+        seq_new = epoch
+    new = spark.read.parquet(f"{store_path}/tables/{name}/seq={seq_new}")
+    old = spark.read.parquet(f"{store_path}/tables/{name}/seq={seq_old}")
+    diff = (new.withColumnRenamed("cnt", "cnt_new")
+            .join(old.withColumnRenamed("cnt", "cnt_old"),
+                  ["row", "col"], "full_outer")
+            .select("row", "col",
+                    (F.coalesce("cnt_new", F.lit(0))
+                     - F.coalesce("cnt_old", F.lit(0))).alias("cnt")))
+    neg = diff.filter(F.col("cnt") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"epoch {seq_old} is not a prefix of epoch {seq_new} for "
+            f"{name!r} (a counter would go negative) — operands swapped "
+            "or epochs from different lineages")
+    return diff.filter(F.col("cnt") > 0)
+
+
 def snapshot_diff(spark: SparkSession, store_path: str, name: str,
                   seq_old: int, seq_new: int | None = None):
     """The sketch of the data appended between two published seqs of

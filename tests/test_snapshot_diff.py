@@ -118,6 +118,39 @@ def test_snapshot_diff_from_store(spark, tmp_path):
     assert delta.to_bytes() == direct.sketch.to_bytes()
 
 
+def test_snapshot_diff_table(spark, tmp_path):
+    """Table-regime diff: epoch_new − epoch_old (full-outer counter
+    subtraction) equals a direct table build over only the appended
+    file; swapped operands are refused."""
+    import pytest as _pytest
+    from sketchlib.incremental import (incremental_build_table,
+                                       snapshot_diff_table)
+    from sketchlib.spark_build import build_sketch_table, sketch_from_table
+    data, st = str(tmp_path / "data"), str(tmp_path / "store")
+    os.makedirs(data)
+
+    def _part(name, rows, seed):
+        src = str(tmp_path / "_src.parquet")
+        generate_token_table(src, rows=rows, seed=seed, dist="zipf")
+        shutil.move(src, os.path.join(data, name))
+
+    _part("p0.parquet", 800, 21)
+    incremental_build_table(spark, data, "tokens", CFG,
+                            store_path=st, name="tb")
+    _part("p1.parquet", 300, 22)
+    incremental_build_table(spark, data, "tokens", CFG,
+                            store_path=st, name="tb")
+
+    diff = snapshot_diff_table(spark, st, "tb", seq_old=0)
+    direct = build_sketch_table(
+        spark.read.parquet(os.path.join(data, "p1.parquet")),
+        "tokens", CFG)
+    assert (sketch_from_table(diff, CFG).to_bytes()
+            == sketch_from_table(direct, CFG).to_bytes())
+    with _pytest.raises(ValueError, match="not a prefix"):
+        snapshot_diff_table(spark, st, "tb", seq_old=1, seq_new=0)
+
+
 def test_snapshot_diff_refuses_nonlinear(spark, tmp_path):
     data, st = str(tmp_path / "data"), str(tmp_path / "store")
     os.makedirs(data)
