@@ -176,17 +176,7 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
                 f"that seq (manifest max: {man_seq}) — a prior call "
                 "crashed between publish and manifest append; re-run with "
                 "rebuild=True")
-        mutated = {f for f, sz in ingested.items()
-                   if current.get(f, sz) != sz}
-        removed = ingested.keys() - current.keys()
-        if mutated or removed:
-            raise ValueError(
-                f"table {table_path} is not append-only vs sketch "
-                f"{name!r}: {len(mutated)} file(s) changed size, "
-                f"{len(removed)} removed — the delta cannot be identified "
-                "by listing; re-run with rebuild=True "
-                f"(e.g. {sorted(mutated | removed)[:3]})")
-        new = {f: sz for f, sz in current.items() if f not in ingested}
+        new = _diff_files(current, ingested, table_path, name)
 
     if not new and prev_seq is not None and not rebuild:
         return IncrementalResult(
@@ -194,16 +184,10 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
             new_rows=0, wall_s=time.perf_counter() - t0,
             lineage=pd.DataFrame())
 
-    if os.path.isdir(table_path):
-        abs_files = [os.path.join(table_path, f) for f in sorted(new)]
-    else:
-        # single-file table: the one "relative path" is the file itself
-        # (appends to it are impossible without mutating — the size diff
-        # catches that and routes to rebuild=True)
-        abs_files = [table_path] if new else []
     res = build_aggregator_parquet(
         spark, table_path, values_col, factory, fanout=fanout,
-        n_slices=n_slices, extract_array=extract_array, files=abs_files)
+        n_slices=n_slices, extract_array=extract_array,
+        files=_abs_files(table_path, new))
     sketch = res.sketch
     if prev_seq is not None and not rebuild:
         base = prev[2]
