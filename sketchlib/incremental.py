@@ -52,31 +52,34 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from . import store
-from .spark_build import build_aggregator_parquet, build_grouped_parquet
+from .spark_build import (build_aggregator_parquet, build_grouped_parquet,
+                          walk_parquet_files)
 
 _MANIFEST_SCHEMA = "name string, seq long, file string, file_size long"
 
 
 def _current_files(table_path: str) -> dict[str, int]:
-    """{relative_path: size} for every parquet data file under the table.
-    Same walk/refusal rules as spark_build._list_row_groups: recursive,
-    hive-partitioned layouts refused (partition values live in dir names,
-    invisible to a raw row-group scan)."""
+    """{relative_path: size} for every parquet data file under the table,
+    via spark_build.walk_parquet_files — the SAME lister the build
+    planners use, so the manifest can never disagree with what a build
+    scans (hive-partitioned layouts refused there)."""
     if not os.path.isdir(table_path):
         return {os.path.basename(table_path): os.path.getsize(table_path)}
-    out: dict[str, int] = {}
-    for root, dirs, names in os.walk(table_path):
-        dirs.sort()
-        for d in dirs:
-            if "=" in d:
-                raise ValueError(
-                    f"{table_path} is a hive-partitioned dataset ({d}/): "
-                    "use build_sketch(spark.read.parquet(path), ...)")
-        for name in sorted(names):
-            if name.endswith(".parquet"):
-                full = os.path.join(root, name)
-                out[os.path.relpath(full, table_path)] = os.path.getsize(full)
-    return out
+    return {os.path.relpath(f, table_path): os.path.getsize(f)
+            for f in walk_parquet_files(table_path)}
+
+
+def _read_ingested(spark: SparkSession, store_path: str):
+    """The store's ``ingested/`` manifest DataFrame, or None when no
+    manifest exists yet. Only "table does not exist" maps to None; any
+    other read failure surfaces (same hardening rule as the store)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(store_path + "/ingested")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def _manifest_state(spark: SparkSession, store_path: str, name: str,
@@ -88,13 +91,9 @@ def _manifest_state(spark: SparkSession, store_path: str, name: str,
     so the max is unaffected unless the manifest append itself is missing
     — exactly the crash window the max is checked for). Missing manifest
     table == nothing ingested == (None, {})."""
-    from pyspark.errors import AnalysisException
-    try:
-        df = spark.read.parquet(store_path + "/ingested")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None, {}
-        raise
+    df = _read_ingested(spark, store_path)
+    if df is None:
+        return None, {}
     rows = (df.filter((F.col("name") == name)
                       & (F.col("seq") >= base_seq))
             .select("seq", "file", "file_size").collect())
@@ -195,11 +194,17 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
         sketch = base
     full = prev_seq is None or rebuild
     next_seq = 0 if prev_seq is None else prev_seq + 1
+    # n_rows on the published row is CUMULATIVE (the rows the sketch
+    # covers — what audits compare against total_count); the delta's own
+    # count lives in meta.delta_rows
+    prev_rows = 0 if full else int(prev[1].get("table_rows", 0))
+    table_rows = prev_rows + int(res.n_rows)
     seq = store.save_sketch(
         spark, store_path, name, sketch, lineage=res.lineage,
-        n_rows=res.n_rows, seq=next_seq,
+        n_rows=table_rows, seq=next_seq,
         meta={**(meta or {}), "incremental_from": prev_seq,
               "delta_files": len(new), "delta_rows": res.n_rows,
+              "table_rows": table_rows,
               "rebuild": bool(rebuild),
               "manifest_base": next_seq if full else base_seq})
     _append_manifest(spark, store_path, name, seq, new)
@@ -217,14 +222,11 @@ def _grouped_manifest_state(
     (file="") carry the base epoch of the current lineage in file_size;
     the highest marker seq is the committed epoch — group-sketch rows
     published above it belong to a crashed, uncommitted epoch and are
-    ignored (and deterministically re-published) rather than refused."""
-    from pyspark.errors import AnalysisException
-    try:
-        df = spark.read.parquet(store_path + "/ingested")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None, 0, {}
-        raise
+    ignored (retries republish at a FRESH seq, see
+    incremental_build_grouped) rather than refused."""
+    df = _read_ingested(spark, store_path)
+    if df is None:
+        return None, 0, {}
     rows = (df.filter(F.col("name") == name)
             .select("seq", "file", "file_size").collect())
     markers = [(int(r["seq"]), int(r["file_size"]))
@@ -291,15 +293,19 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
 
     Crash safety differs from the global path by construction: the
     manifest append (commit marker + file rows, ONE write) is the commit
-    point, group publishes land first at epoch+1, and the loader pins
-    ``seq <= committed epoch`` — so a crash between publish and commit
-    leaves orphan rows that are ignored and deterministically
-    re-published on retry (same bytes, same sha) instead of refused.
+    point and group publishes land first — but a retry may fold a
+    BIGGER delta than the crashed attempt (files appended in between),
+    so retries publish at a FRESH seq above any orphan row (one max-seq
+    store read) rather than reusing the orphan's; orphans can then never
+    tie with, let alone shadow, a committed row, because every group an
+    orphan touches is also in the retry's (superset) delta and wins by
+    seq. NULL group keys are refused loudly — str() coercion would
+    silently merge NULL with the literal string "None".
 
     Driver fan-in per call: (groups in the delta) x blob size — only the
     delta's groups are loaded from the store and only they are returned
     in ``sketches``; groups the delta doesn't touch are never read (use
-    store.load_group_sketches for the full current set). At 10^12 scale
+    current_group_sketches for the committed full set). At 10^12 scale
     the delta touches few groups, which is the point."""
     t0 = time.perf_counter()
     if "/" in name:
@@ -308,18 +314,21 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
     epoch, base, ingested = _grouped_manifest_state(spark, store_path, name)
 
     full = epoch is None or rebuild
-    if full:
-        new = current
-        next_epoch = 0 if epoch is None else epoch + 1
-        next_base = next_epoch
-    else:
+    if not full:
         new = _diff_files(current, ingested, table_path, name)
-        next_epoch, next_base = epoch + 1, base
         if not new:
             return GroupedIncrementalResult(
                 sketches={}, seq=epoch, prev_seq=epoch, new_files=0,
                 new_rows=0, updated_groups=0,
                 wall_s=time.perf_counter() - t0)
+    else:
+        new = current
+    # fresh-seq rule: publish above any orphan row from a crashed epoch
+    next_epoch = 0 if epoch is None else epoch + 1
+    orphan_max = store.max_seq_for_prefix(spark, store_path, name)
+    if orphan_max is not None:
+        next_epoch = max(next_epoch, orphan_max + 1)
+    next_base = next_epoch if full else base
 
     from . import serde
     rows = []
@@ -329,6 +338,11 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
             fanout=fanout, n_slices=n_slices,
             files=_abs_files(table_path, new))
         rows = gdf.collect()
+    if any(r["key"] is None for r in rows):
+        raise ValueError(
+            f"{key_col} contains NULL keys: a null group is refused "
+            "(str() coercion would silently merge it with the string "
+            "'None') — filter or fillna the key column first")
     groups: dict[str, object] = {}
     if not full and rows:
         groups = store.load_group_sketches(
@@ -355,6 +369,30 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
         sketches=groups, seq=next_epoch, prev_seq=epoch,
         new_files=len(new), new_rows=new_rows,
         updated_groups=len(entries), wall_s=time.perf_counter() - t0)
+
+
+def grouped_epoch(spark: SparkSession, store_path: str,
+                  name: str) -> tuple[int | None, int]:
+    """(committed epoch, base epoch) of a grouped/table maintenance
+    lineage — the pins a correct external read needs: uncommitted orphan
+    rows sit ABOVE the committed epoch, dead pre-rebuild rows BELOW the
+    base. (None, 0) when nothing is committed yet."""
+    epoch, base, _ = _grouped_manifest_state(spark, store_path, name)
+    return epoch, base
+
+
+def current_group_sketches(spark: SparkSession, store_path: str,
+                           name: str) -> dict[str, object]:
+    """The COMMITTED full group set of a grouped maintenance lineage:
+    store.load_group_sketches pinned to the committed epoch (excludes
+    crashed-epoch orphans) and the rebuild base (excludes groups dropped
+    by the last rebuild). This is the read external consumers want —
+    an unpinned load_group_sketches sees orphans and dead groups."""
+    epoch, base = grouped_epoch(spark, store_path, name)
+    if epoch is None:
+        return {}
+    return store.load_group_sketches(spark, store_path, name,
+                                     max_seq=epoch, min_seq=base)
 
 
 @dataclass
@@ -447,14 +485,27 @@ def snapshot_diff_table(spark: SparkSession, store_path: str, name: str,
     that cancel to zero are dropped, matching what a direct delta build
     never emits. Distributed end to end — no driver state, any ε.
 
-    ``seq_new`` defaults to the committed epoch. Non-prefix epochs (any
-    counter going negative) are refused, as in CountMinSketch.subtract —
-    checked distributively with one aggregation."""
-    epoch, _, _ = _grouped_manifest_state(spark, store_path, name)
+    ``seq_new`` defaults to the committed epoch. Epochs outside the
+    current lineage are refused by the manifest pins (seq_old below the
+    last rebuild's base describes a table state that no longer exists —
+    its counters may subtract without going negative yet mean nothing;
+    seq_new above the committed epoch would read a crashed, uncommitted
+    directory). Within the lineage, non-prefix operands (any counter
+    going negative) are refused, as in CountMinSketch.subtract. The
+    joined diff is cached around the negativity check so the caller's
+    first action doesn't recompute the shuffle; unpersist the returned
+    frame when done with it."""
+    epoch, base, _ = _grouped_manifest_state(spark, store_path, name)
     if epoch is None:
         raise KeyError(f"no table sketch named {name!r} in {store_path}")
     if seq_new is None:
         seq_new = epoch
+    if not base <= seq_old <= seq_new <= epoch:
+        raise ValueError(
+            f"epochs ({seq_old}, {seq_new}) outside the current lineage "
+            f"of {name!r} (base {base}, committed {epoch}): below-base "
+            "epochs predate the last rebuild, above-committed epochs are "
+            "crashed orphans")
     new = spark.read.parquet(f"{store_path}/tables/{name}/seq={seq_new}")
     old = spark.read.parquet(f"{store_path}/tables/{name}/seq={seq_old}")
     diff = (new.withColumnRenamed("cnt", "cnt_new")
@@ -462,13 +513,14 @@ def snapshot_diff_table(spark: SparkSession, store_path: str, name: str,
                   ["row", "col"], "full_outer")
             .select("row", "col",
                     (F.coalesce("cnt_new", F.lit(0))
-                     - F.coalesce("cnt_old", F.lit(0))).alias("cnt")))
+                     - F.coalesce("cnt_old", F.lit(0))).alias("cnt"))
+            .cache())
     neg = diff.filter(F.col("cnt") < 0).limit(1).count()
     if neg:
+        diff.unpersist()
         raise ValueError(
             f"epoch {seq_old} is not a prefix of epoch {seq_new} for "
-            f"{name!r} (a counter would go negative) — operands swapped "
-            "or epochs from different lineages")
+            f"{name!r} (a counter would go negative) — operands swapped")
     return diff.filter(F.col("cnt") > 0)
 
 
@@ -486,12 +538,31 @@ def snapshot_diff(spark: SparkSession, store_path: str, name: str,
 
     ``seq_new`` defaults to the latest publish. Non-linear sketches
     (HLL, Bloom, KLL, MG, theta, MultiSketch containing them) have no
-    subtraction — refused by type, never approximated silently."""
-    new = store.load_sketch(spark, store_path, name, seq=seq_new)
-    old = store.load_sketch(spark, store_path, name, seq=seq_old)
+    subtraction — refused by type, never approximated silently. Seqs
+    from different lineages are refused too: after a rebuild=True, seqs
+    below the rebuild describe a table state that no longer exists, and
+    their subtraction can pass the negative-counter check (deletions
+    masked by colliding additions) while meaning nothing — the published
+    meta's manifest_base records the lineage boundary and is enforced
+    here."""
+    ent_new = store.latest_sketch(spark, store_path, name, seq=seq_new)
+    ent_old = store.latest_sketch(spark, store_path, name, seq=seq_old)
+    if ent_new is None or ent_old is None:
+        missing = seq_new if ent_new is None else seq_old
+        raise KeyError(f"no sketch named {name!r}"
+                       + (f" at seq {missing}" if missing is not None
+                          else ""))
+    new, old = ent_new[2], ent_old[2]
     if not hasattr(new, "subtract"):
         raise TypeError(
             f"{type(new).__name__} is not a linear sketch: snapshot "
             "diffs need counter-wise subtraction (CountMinSketch or "
             "CountSketch)")
+    lineage_base = int(ent_new[1].get("manifest_base", 0))
+    if ent_old[0] < lineage_base:
+        raise ValueError(
+            f"seq {ent_old[0]} predates the lineage of seq {ent_new[0]} "
+            f"(rebuilt at seq {lineage_base}): the old snapshot describes "
+            "a table state that no longer exists, so their difference is "
+            "meaningless even where no counter goes negative")
     return new.subtract(old)

@@ -287,35 +287,39 @@ def _list_row_groups(path: str,
     walking ``path`` — the incremental-maintenance path, where only the
     files appended since the last published sketch are read."""
     import pyarrow.parquet as pq
-    if files is not None:
-        files = sorted(files)
-        out = []
-        for f in files:
-            md = pq.read_metadata(f)
-            for i in range(md.num_row_groups):
-                out.append((f, i, md.row_group(i).num_rows))
-        return out
-    files = []
-    if os.path.isdir(path):
-        for root, dirs, names in os.walk(path):
-            dirs.sort()
-            for d in dirs:
-                if "=" in d:
-                    raise ValueError(
-                        f"{path} is a hive-partitioned dataset ({d}/): "
-                        "partition-column values are not inside the files; "
-                        "use build_sketch(spark.read.parquet(path), ...)")
-            for name in sorted(names):
-                if name.endswith(".parquet"):
-                    files.append(os.path.join(root, name))
-    else:
-        files = [path]
+    if files is None:
+        files = walk_parquet_files(path)
     out = []
-    for f in files:
+    for f in sorted(files):
         md = pq.read_metadata(f)
         for i in range(md.num_row_groups):
             out.append((f, i, md.row_group(i).num_rows))
     return out
+
+
+def walk_parquet_files(path: str) -> list[str]:
+    """Every .parquet data file under ``path`` (recursive, sorted), or
+    [path] for a single file. THE file-lister shared by the build
+    planners and incremental maintenance's manifest diff — one walk
+    definition so the manifest can never disagree with what a build
+    scans. Hive-partitioned layouts (key=val dirs) are REFUSED: their
+    partition-column values live in directory names, invisible to a raw
+    row-group scan."""
+    if not os.path.isdir(path):
+        return [path]
+    files = []
+    for root, dirs, names in os.walk(path):
+        dirs.sort()
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"{path} is a hive-partitioned dataset ({d}/): "
+                    "partition-column values are not inside the files; "
+                    "use build_sketch(spark.read.parquet(path), ...)")
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                files.append(os.path.join(root, name))
+    return files
 
 
 def _slice_assignments(rgs: list[tuple[str, int, int]], n_slices: int):

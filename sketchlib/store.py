@@ -163,15 +163,15 @@ def latest_entry(spark: SparkSession, path: str,
     return int(rows[0]["seq"]), json.loads(rows[0]["meta_json"])
 
 
-def latest_sketch(spark: SparkSession, path: str,
-                  name: str) -> tuple[int, dict, object] | None:
+def latest_sketch(spark: SparkSession, path: str, name: str,
+                  seq: int | None = None) -> tuple[int, dict, object] | None:
     """(seq, meta, sketch) of the latest saved version of ``name`` in ONE
-    store read; None when the store or the name doesn't exist yet. For
-    callers that need both the metadata and the sketch itself (e.g.
-    incremental maintenance: the meta drives the delta diff, the sketch
-    is the merge base) — latest_entry + load_sketch would read the store
-    twice for the same row. Same integrity and error-surfacing rules as
-    load_sketch / latest_entry."""
+    store read (or the pinned ``seq``); None when the store, the name, or
+    the pinned seq doesn't exist. For callers that need both the metadata
+    and the sketch itself (incremental maintenance: the meta drives the
+    delta diff and lineage checks, the sketch is the merge base) —
+    latest_entry + load_sketch would read the store twice for the same
+    row. Same integrity and error-surfacing rules as load_sketch."""
     from pyspark.errors import AnalysisException
     try:
         df = spark.read.parquet(path + "/sketches")
@@ -179,8 +179,10 @@ def latest_sketch(spark: SparkSession, path: str,
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
         raise
-    rows = (df.filter(F.col("name") == name)
-            .orderBy(F.col("seq").desc(), F.col("sha256").desc()).limit(1)
+    df = df.filter(F.col("name") == name)
+    if seq is not None:
+        df = df.filter(F.col("seq") == seq)
+    rows = (df.orderBy(F.col("seq").desc(), F.col("sha256").desc()).limit(1)
             .select("seq", "meta_json", "blob", "sha256").collect())
     if not rows:
         return None
@@ -191,6 +193,26 @@ def latest_sketch(spark: SparkSession, path: str,
         raise IOError(f"sketch {name!r} seq {r['seq']} corrupt: "
                       f"sha {digest[:16]} != recorded {r['sha256'][:16]}")
     return int(r["seq"]), json.loads(r["meta_json"]), serde.loads(blob)
+
+
+def max_seq_for_prefix(spark: SparkSession, path: str,
+                       prefix: str) -> int | None:
+    """Highest seq over every name of the form ``prefix/<group>``, or
+    None when the store/prefix doesn't exist. INCLUDES uncommitted
+    orphan rows from crashed grouped epochs — grouped maintenance uses
+    this to publish retries at a fresh seq strictly above any orphan, so
+    a retry folding a bigger delta can never tie (and sha-coin-flip)
+    with the crashed attempt's rows."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(path + "/sketches")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    row = (df.filter(F.col("name").startswith(prefix + "/"))
+           .agg(F.max("seq").alias("m")).collect()[0])
+    return None if row["m"] is None else int(row["m"])
 
 
 def save_sketches_bulk(spark: SparkSession, path: str,

@@ -245,36 +245,39 @@ def test_grouped_untouched_groups_not_republished(spark, tmp_path):
 
 
 def test_grouped_crash_window_is_idempotent(spark, table, tmp_path):
-    """Orphan group publishes from a crashed (uncommitted) epoch are
-    ignored by the epoch pin and deterministically re-published."""
+    """Orphan group publishes from a crashed (uncommitted) epoch can NOT
+    shadow the retry even when the retry folds a BIGGER delta (files
+    appended between crash and retry): retries publish at a fresh seq
+    strictly above every orphan row, so the committed row always wins by
+    seq — never by sha coin-flip."""
     from sketchlib import store as store_mod
-    from sketchlib.incremental import incremental_build_grouped
+    from sketchlib.incremental import (current_group_sketches,
+                                       incremental_build_grouped)
     store_path = str(tmp_path / "store")
     data = str(table / "data")
     fac = functools.partial(CountMinSketch, CFG)
     incremental_build_grouped(spark, data, "source", "tokens", fac,
                               store_path=store_path, name="g")
-    # simulate a crash: epoch-1 group rows land, the manifest commit never
-    # does (write a bogus orphan so retry must IGNORE, not reuse, it)
+    # simulate the crash: epoch-1 group rows land with DIFFERENT content
+    # than the eventual retry will publish, and the manifest commit never
+    # happens
     junk = CountMinSketch(CFG)
     junk.update_batch(np.arange(100, dtype=np.int64))
     store_mod.save_sketches_bulk(spark, store_path,
                                  [("g/web", 1, junk, 100)])
+    # more data arrives BETWEEN crash and retry — the retry's delta is a
+    # strict superset of the crashed attempt's
     _write_part(table, 1, rows=300, seed=22)
     r = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                   store_path=store_path, name="g")
-    assert r.seq == 1 and r.new_rows == 300
+    assert r.seq == 2 and r.new_rows == 300   # fresh seq, above the orphan
     full = _grouped_bytes(spark, data, fac)
     for g, s in r.sketches.items():
         assert s.to_bytes() == full[g]
-    # and the post-commit state loads correctly despite the junk orphan
-    # (higher sha could shadow: the real row wins only because retry
-    # published the correct bytes at the same seq — verify against full)
-    loaded = store_mod.load_group_sketches(spark, store_path, "g",
-                                           max_seq=1, min_seq=0)
-    for g, blob in full.items():
-        if g != "web":
-            assert loaded[g].to_bytes() == blob
+    # the committed read returns the retry's bytes for EVERY group,
+    # including the one the orphan tried to claim
+    loaded = current_group_sketches(spark, store_path, "g")
+    assert {g: s.to_bytes() for g, s in loaded.items()} == full
 
 
 def test_grouped_rebuild_drops_stale_groups(spark, tmp_path):
@@ -311,12 +314,11 @@ def test_grouped_rebuild_drops_stale_groups(spark, tmp_path):
     r2 = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                    store_path=st, name="g")
     assert set(r2.sketches) == {"kept"}
-    # loader at the committed epoch still excludes the pre-rebuild group
-    from sketchlib import store as store_mod
-    loaded = store_mod.load_group_sketches(
-        spark, st, "g", max_seq=r2.seq,
-        min_seq=1)   # base epoch of the rebuild lineage
-    assert set(loaded) == {"kept", "brand_new"}
+    # the committed read (public pins) still excludes the pre-rebuild
+    # group, with no hand-coded seq bounds
+    from sketchlib.incremental import current_group_sketches
+    assert set(current_group_sketches(spark, st, "g")) == {"kept",
+                                                           "brand_new"}
 
 
 def test_table_incremental_equals_full_rebuild(spark, table, tmp_path):

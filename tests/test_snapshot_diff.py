@@ -147,8 +147,60 @@ def test_snapshot_diff_table(spark, tmp_path):
         "tokens", CFG)
     assert (sketch_from_table(diff, CFG).to_bytes()
             == sketch_from_table(direct, CFG).to_bytes())
-    with _pytest.raises(ValueError, match="not a prefix"):
+    with _pytest.raises(ValueError, match="outside the current lineage"):
         snapshot_diff_table(spark, st, "tb", seq_old=1, seq_new=0)
+
+
+def test_snapshot_diff_refuses_cross_lineage(spark, tmp_path):
+    """Seqs below a rebuild's manifest_base describe a dead table state;
+    both diff paths refuse them even when no counter would go negative."""
+    from sketchlib.incremental import (incremental_build,
+                                       incremental_build_table,
+                                       snapshot_diff, snapshot_diff_table)
+    data, st = str(tmp_path / "data"), str(tmp_path / "store")
+    os.makedirs(data)
+    fac = functools.partial(CountMinSketch, CFG)
+
+    def _part(name, rows, seed):
+        src = str(tmp_path / "_src.parquet")
+        generate_token_table(src, rows=rows, seed=seed, dist="zipf")
+        shutil.move(src, os.path.join(data, name))
+
+    _part("p0.parquet", 300, 1)
+    incremental_build(spark, data, "tokens", fac, store_path=st, name="cm")
+    # rewrite: a strictly larger file at the same path (no counter in the
+    # rebuilt sketch is below the seq-0 one) then rebuild
+    _part("p0.parquet", 900, 1)
+    incremental_build(spark, data, "tokens", fac, store_path=st,
+                      name="cm", rebuild=True)
+    with pytest.raises(ValueError, match="predates the lineage"):
+        snapshot_diff(spark, st, "cm", seq_old=0)
+
+    incremental_build_table(spark, data, "tokens", CFG,
+                            store_path=st, name="tb")
+    _part("p1.parquet", 200, 2)
+    incremental_build_table(spark, data, "tokens", CFG,
+                            store_path=st, name="tb", rebuild=True)
+    with pytest.raises(ValueError, match="outside the current lineage"):
+        snapshot_diff_table(spark, st, "tb", seq_old=0)
+
+
+def test_grouped_null_keys_refused(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from sketchlib.incremental import incremental_build_grouped
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    t = pa.table({
+        "doc_id": ["a", "b"],
+        "tokens": pa.array([[1, 2], [3]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1], type=pa.int32()),
+        "source": pa.array(["web", None], type=pa.string())})
+    pq.write_table(t, os.path.join(data, "p.parquet"))
+    fac = functools.partial(CountMinSketch, CFG)
+    with pytest.raises(ValueError, match="NULL keys"):
+        incremental_build_grouped(spark, data, "source", "tokens", fac,
+                                  store_path=str(tmp_path / "st"), name="g")
 
 
 def test_snapshot_diff_refuses_nonlinear(spark, tmp_path):
