@@ -147,9 +147,13 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
     scanning only files appended since the last call. Returns the current
     sketch either way; publishes a new seq only when there was new data.
 
-    The result is byte-identical to a from-scratch build over the whole
-    table (merge associativity — tested), so callers never trade accuracy
-    for the 1000x scan saving.
+    For merge-order-invariant sketches (CM, Count-Sketch, HLL, Bloom,
+    theta — and MultiSketches of them) the result is byte-identical to a
+    from-scratch build over the whole table (merge associativity —
+    tested), so callers never trade accuracy for the 1000x scan saving.
+    KLL/t-digest/Misra-Gries fold correctly too (their guarantees
+    survive any merge tree) but their bytes depend on merge-tree shape,
+    so expect bound-level equivalence with a rebuild, not bit equality.
 
     ``factory`` must construct the same sketch configuration every call —
     merging mismatched configs raises, it never silently degrades.

@@ -356,6 +356,37 @@ def test_table_incremental_equals_full_rebuild(spark, table, tmp_path):
         assert int(row["est"]) == int(dense.point_query(int(row["t"])))
 
 
+def test_incremental_kll_bound_level(spark, table, tmp_path):
+    """Non-byte-invariant sketches (KLL) fold correctly too: quantile
+    estimates from the incrementally-maintained sketch stay within the
+    rank-error bound of the exact token distribution over the WHOLE
+    table (bit equality is not the contract for merge-tree-shaped
+    bytes — the docstring says so)."""
+    from pyspark.sql import functions as F
+    from sketchlib.incremental import incremental_build
+    from sketchlib.kll import KllSketch
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    fac = functools.partial(KllSketch, 200)
+    incremental_build(spark, data, "tokens", fac,
+                      store_path=store_path, name="kll")
+    _write_part(table, 1, rows=400, seed=55)
+    r = incremental_build(spark, data, "tokens", fac,
+                          store_path=store_path, name="kll")
+    assert r.new_rows == 400
+    toks = (spark.read.parquet(data)
+            .select(F.explode("tokens").alias("t")))
+    n = toks.count()
+    for q in (0.25, 0.5, 0.9):
+        est = r.sketch.quantile(q)
+        # zipf tokens are ATOMIC (single values carry >10% mass), so a
+        # valid eps-approximate quantile satisfies the interval rule
+        # P(t < est) - eps <= q <= P(t <= est) + eps, not a point check
+        lo = toks.filter(F.col("t") < est).count() / n
+        hi = toks.filter(F.col("t") <= est).count() / n
+        assert lo - 0.05 <= q <= hi + 0.05, (q, est, lo, hi)
+
+
 def test_names_are_independent(spark, table, tmp_path):
     store_path = str(tmp_path / "store")
     data = str(table / "data")
