@@ -1625,10 +1625,10 @@ def _q_grouped_incremental_update(spark, sf_dir):
     import shutil
     import tempfile
     from sketchlib import serde
-    from sketchlib import store as store_mod
     from sketchlib.countmin import CountMinSketch
     from sketchlib.datagen import generate_token_table
-    from sketchlib.incremental import incremental_build_grouped
+    from sketchlib.incremental import (current_group_sketches,
+                                       incremental_build_grouped)
     from sketchlib.spark_build import build_grouped_parquet
 
     fac = functools.partial(CountMinSketch, CM_CFG)
@@ -1649,10 +1649,9 @@ def _q_grouped_incremental_update(spark, sf_dir):
             full = {str(g["key"]): serde.loads(bytes(g["sketch"])).to_bytes()
                     for g in build_grouped_parquet(
                         spark, data, "source", "tokens", fac).collect()}
-            # the PERSISTED committed state must equal the from-scratch
-            # grouped build per group, byte for byte
-            loaded = store_mod.load_group_sketches(spark, store,
-                                                   "per_src", max_seq=r.seq)
+            # the PERSISTED committed state (public pinned reader) must
+            # equal the from-scratch grouped build per group, byte for byte
+            loaded = current_group_sketches(spark, store, "per_src")
             ident = (set(full) == set(loaded) and all(
                 loaded[g].to_bytes() == b for g, b in full.items()))
             rows.append((label, int(r.seq), int(r.new_rows),
