@@ -71,15 +71,9 @@ def _current_files(table_path: str) -> dict[str, int]:
 
 def _read_ingested(spark: SparkSession, store_path: str):
     """The store's ``ingested/`` manifest DataFrame, or None when no
-    manifest exists yet. Only "table does not exist" maps to None; any
-    other read failure surfaces (same hardening rule as the store)."""
-    from pyspark.errors import AnalysisException
-    try:
-        return spark.read.parquet(store_path + "/ingested")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
+    manifest exists yet (store.read_table contract: only "table does
+    not exist" maps to None)."""
+    return store.read_table(spark, store_path + "/ingested")
 
 
 def _manifest_state(spark: SparkSession, store_path: str, name: str,

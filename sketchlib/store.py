@@ -57,17 +57,37 @@ def one_part_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         spark.sparkContext.parallelize(rows, numSlices=1), schema)
 
 
-def _next_seq(spark: SparkSession, path: str, name: str) -> int:
-    # Only "table does not exist yet" maps to seq 0; any other read
-    # failure (permissions, corrupt footer, transient FS error) must
-    # surface, not silently restart the sequence.
+def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """A store table DataFrame, or None when the table doesn't exist
+    yet. ONLY "path does not exist" maps to None — any other read
+    failure (permissions, corrupt footer, transient FS error) must
+    surface, never be mistaken for an empty store. The single place the
+    version-sensitive Spark error-message match lives (also used by
+    incremental's manifest reader)."""
     from pyspark.errors import AnalysisException
     try:
-        df = spark.read.parquet(path + "/sketches")
+        return spark.read.parquet(path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return 0
+            return None
         raise
+
+
+def _winners(df: DataFrame) -> DataFrame:
+    """One row per name: highest (seq, sha256) — THE winner rule shared
+    by every reader (sha desc breaks same-seq writer-race ties
+    deterministically; exact-duplicate rows collapse to one)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("name").orderBy(F.col("seq").desc(),
+                                           F.col("sha256").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _next_seq(spark: SparkSession, path: str, name: str) -> int:
+    df = read_table(spark, path + "/sketches")
+    if df is None:
+        return 0
     row = (df.filter(F.col("name") == name)
            .agg(F.max("seq").alias("m")).collect()[0])
     return 0 if row["m"] is None else int(row["m"]) + 1
@@ -146,15 +166,11 @@ def latest_entry(spark: SparkSession, path: str,
     Only "store does not exist yet" maps to None — any OTHER read
     failure (permissions, corrupt footer, transient FS error) must
     surface: mapping it to None would bypass the replay guard in
-    streaming._late_merge_store and double-fold a late slice (same
-    hardening rule as _next_seq above)."""
-    from pyspark.errors import AnalysisException
-    try:
-        df = spark.read.parquet(path + "/sketches")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
+    streaming._late_merge_store and double-fold a late slice (the
+    read_table contract)."""
+    df = read_table(spark, path + "/sketches")
+    if df is None:
+        return None
     rows = (df.filter(F.col("name") == name)
             .orderBy(F.col("seq").desc(), F.col("sha256").desc()).limit(1)
             .select("seq", "meta_json").collect())
@@ -172,13 +188,9 @@ def latest_sketch(spark: SparkSession, path: str, name: str,
     delta diff and lineage checks, the sketch is the merge base) —
     latest_entry + load_sketch would read the store twice for the same
     row. Same integrity and error-surfacing rules as load_sketch."""
-    from pyspark.errors import AnalysisException
-    try:
-        df = spark.read.parquet(path + "/sketches")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
+    df = read_table(spark, path + "/sketches")
+    if df is None:
+        return None
     df = df.filter(F.col("name") == name)
     if seq is not None:
         df = df.filter(F.col("seq") == seq)
@@ -203,13 +215,9 @@ def max_seq_for_prefix(spark: SparkSession, path: str,
     this to publish retries at a fresh seq strictly above any orphan, so
     a retry folding a bigger delta can never tie (and sha-coin-flip)
     with the crashed attempt's rows."""
-    from pyspark.errors import AnalysisException
-    try:
-        df = spark.read.parquet(path + "/sketches")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
+    df = read_table(spark, path + "/sketches")
+    if df is None:
+        return None
     row = (df.filter(F.col("name").startswith(prefix + "/"))
            .agg(F.max("seq").alias("m")).collect()[0])
     return None if row["m"] is None else int(row["m"])
@@ -252,15 +260,17 @@ def load_group_sketches(spark: SparkSession, path: str, prefix: str,
     is typically BELOW the current epoch. ``groups`` restricts the read
     to those group values (an isin filter the parquet scan can push
     down) — the incremental path loads only the delta's groups, never
-    the whole fleet."""
-    from pyspark.errors import AnalysisException
+    the whole fleet.
+
+    Winner selection happens IN Spark (_winners) before blobs move, so
+    the driver receives exactly one blob per group regardless of how
+    many historical versions exist, and superseded rows are never
+    hashed or deserialized — a corrupt superseded version cannot fail a
+    read of intact winners."""
     p = prefix + "/"
-    try:
-        df = spark.read.parquet(path + "/sketches")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return {}
-        raise
+    df = read_table(spark, path + "/sketches")
+    if df is None:
+        return {}
     df = df.filter(F.col("name").startswith(p))
     if groups is not None:
         df = df.filter(F.col("name").isin([p + g for g in groups]))
@@ -269,27 +279,25 @@ def load_group_sketches(spark: SparkSession, path: str, prefix: str,
     if min_seq is not None:
         df = df.filter(F.col("seq") >= min_seq)
     out: dict[str, object] = {}
-    best: dict[str, tuple[int, str]] = {}
-    for r in df.select("name", "seq", "blob", "sha256").collect():
+    for r in (_winners(df)
+              .select("name", "seq", "blob", "sha256").collect()):
         g = r["name"][len(p):]
-        key = (int(r["seq"]), r["sha256"])
-        if g in best and key <= best[g]:
-            continue
         blob = bytes(r["blob"])
         digest = hashlib.sha256(blob).hexdigest()
         if digest != r["sha256"]:
             raise IOError(f"sketch {r['name']!r} seq {r['seq']} corrupt: "
                           f"sha {digest[:16]} != {r['sha256'][:16]}")
-        best[g] = key
         out[g] = serde.loads(blob)
     return out
 
 
 def list_sketches(spark: SparkSession, path: str) -> DataFrame:
-    """One row per (name, latest seq): kind, size, n_rows, meta_json."""
-    df = spark.read.parquet(path + "/sketches")
-    latest = df.groupBy("name").agg(F.max("seq").alias("seq"))
-    return (df.join(latest, ["name", "seq"])
+    """EXACTLY one row per name — its winning version (highest seq, sha
+    tie-break), the same winner every loader returns. A plain
+    max-seq join would emit two rows per name after a same-seq writer
+    race or a crash-left duplicate, making listings disagree with
+    loads."""
+    return (_winners(spark.read.parquet(path + "/sketches"))
             .select("name", "seq", "kind",
                     F.length("blob").alias("bytes"),
                     "sha256", "n_rows", "meta_json"))
@@ -307,13 +315,18 @@ def compact_store(spark: SparkSession, path: str) -> dict[str, dict]:
     incremental diffs), so nothing is pruned — only exact duplicate rows
     (left by a crashed prior compaction) are dropped.
 
-    Always-readable by construction: the compacted file is written INTO
-    the live directory first, then the old part files are removed — a
-    reader at any instant sees either the old files, old+new (duplicate
-    rows, which winning-row selection and dict-building both tolerate),
-    or just the new file. A crash mid-removal leaves duplicates that the
-    next compaction cleans. No renames of the directory itself, so the
-    store never appears missing/empty mid-compact.
+    Never-missing by construction: the compacted file is written INTO
+    the live directory first, then ONLY the part files it actually read
+    are removed — a FRESH read at any instant sees the old snapshot,
+    old+new (duplicate rows, which winning-row selection tolerates), or
+    just the new file; the directory itself is never renamed so the
+    store never appears missing/empty mid-compact. A part file appended
+    by a racing publish (a contract violation — see below) is NOT
+    deleted, so its rows survive even then. Two caveats: a reader
+    holding a PLAN or cache whose file listing predates the compaction
+    can hit FileNotFoundException on the removed parts (re-read, or
+    spark.catalog.clearCache(), after compacting); and a crash
+    mid-removal leaves duplicates that the next compaction cleans.
 
     Driver-side rewrite via pyarrow (the store is KB-MB scale by
     design); requires a pyarrow-readable path (local/posix — object
@@ -344,9 +357,16 @@ def compact_store(spark: SparkSession, path: str) -> dict[str, dict]:
         pq.write_table(pa.Table.from_pandas(pdf, schema=t.schema,
                                             preserve_index=False),
                        out, compression="zstd")
-        for f in os.listdir(d):
+        # delete exactly the snapshot we read (plus spark's write markers
+        # and checksum companions) — never a file that appeared since
+        for p in parts:
+            for f in (p, f".{p}.crc"):
+                full = os.path.join(d, f)
+                if os.path.isfile(full):
+                    os.remove(full)
+        for f in ("_SUCCESS", "._SUCCESS.crc"):
             full = os.path.join(d, f)
-            if full != out and os.path.isfile(full):
+            if os.path.isfile(full):
                 os.remove(full)
         stats[table] = {"files_before": len(parts), "files_after": 1,
                         "rows": len(pdf), "dupes_dropped": before - len(pdf)}

@@ -253,3 +253,54 @@ def test_compact_store_preserves_everything(spark, tmp_path):
     assert stats2["sketches"]["dupes_dropped"] > 0
     assert (store.load_sketch(spark, st, "cm").to_bytes()
             == r.sketch.to_bytes())
+
+
+def test_corrupt_superseded_row_does_not_break_group_reads(spark, tmp_path):
+    """Winner selection happens before integrity checks, so a bit-rotted
+    HISTORICAL version can't fail a read whose winners are intact — and
+    the corrupt row still raises when it IS the winner."""
+    import numpy as np
+    from sketchlib import store
+    from sketchlib.countmin import CMConfig, CountMinSketch
+
+    path = str(tmp_path / "store")
+    cfg = CMConfig(eps=1e-2, delta=0.05, seed=1)
+    good = CountMinSketch(cfg)
+    good.update_batch(np.arange(50, dtype=np.int64))
+    # seq 0: a row whose recorded sha does NOT match its blob (bit rot)
+    row = [("g/a", 0, "CM01", good.to_bytes(), "0" * 64, -1, "{}")]
+    (store.one_part_df(spark, row, store._SKETCH_SCHEMA)
+     .write.mode("append").parquet(path + "/sketches"))
+    # seq 1: an intact winner for the same group
+    store.save_sketch(spark, path, "g/a", good)
+    loaded = store.load_group_sketches(spark, path, "g")
+    assert loaded["a"].to_bytes() == good.to_bytes()
+    # when the corrupt row IS the winner, the read must still refuse
+    with pytest.raises(IOError, match="corrupt"):
+        store.load_group_sketches(spark, path, "g", max_seq=0)
+
+
+def test_list_sketches_one_row_per_name_after_race(spark, tmp_path):
+    """A same-seq writer race (two different blobs at one seq) must not
+    make listings emit duplicate names — the listing shows the same
+    winner every loader returns."""
+    import hashlib as _h
+    import numpy as np
+    from sketchlib import store
+    from sketchlib.countmin import CMConfig, CountMinSketch
+
+    path = str(tmp_path / "store")
+    cfg = CMConfig(eps=1e-2, delta=0.05, seed=1)
+    a = CountMinSketch(cfg)
+    a.update_batch(np.arange(10, dtype=np.int64))
+    b = CountMinSketch(cfg)
+    b.update_batch(np.arange(20, dtype=np.int64))
+    store.save_sketch(spark, path, "raced", a)
+    row = [("raced", 0, "CM01", b.to_bytes(),
+            _h.sha256(b.to_bytes()).hexdigest(), -1, "{}")]
+    (store.one_part_df(spark, row, store._SKETCH_SCHEMA)
+     .write.mode("append").parquet(path + "/sketches"))
+    listing = store.list_sketches(spark, path).collect()
+    assert len(listing) == 1
+    winner = store.load_sketch(spark, path, "raced")
+    assert listing[0]["sha256"] == _h.sha256(winner.to_bytes()).hexdigest()
