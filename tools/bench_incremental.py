@@ -111,6 +111,34 @@ def main(cpus: int = 32, sizes_csv: str = "400000,800000,1600000") -> None:
             "rows_growth": round(hi["rows"] / lo["rows"], 2),
             "cpus": cpus}))
 
+    # the other two maintenance regimes at the largest size: grouped
+    # (per-source fleet, only touched groups republished) and table
+    # (ε-beyond-memory, counter-coordinate merge) — same 1% delta
+    from sketchlib.incremental import (incremental_build_grouped,
+                                       incremental_build_table)
+    rows = int(sizes_csv.split(",")[-1])
+    base = os.path.join(repo, "data", f"token_sequences_{rows}.parquet")
+    for regime, fold in (
+            ("grouped", lambda sp, d, s: incremental_build_grouped(
+                sp, d, "source", "tokens", fac, store_path=s, name="g")),
+            ("table", lambda sp, d, s: incremental_build_table(
+                sp, d, "tokens", cfg, store_path=s, name="t"))):
+        root = tempfile.mkdtemp(prefix="sketchlib_incr_bench_")
+        data, st = os.path.join(root, "data"), os.path.join(root, "store")
+        os.makedirs(data)
+        shutil.copy(base, os.path.join(data, "base.parquet"))
+        try:
+            fold(spark, data, st)                      # initial (untimed)
+            dsrc = os.path.join(root, "_d.parquet")
+            generate_token_table(dsrc, rows=max(1, rows // 100), seed=9003)
+            shutil.move(dsrc, os.path.join(data, "delta.parquet"))
+            t0 = time.perf_counter()
+            fold(spark, data, st)
+            print(json.dumps({"regime": regime, "rows": rows,
+                              "fold_s": round(time.perf_counter() - t0, 3)}))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 32,
