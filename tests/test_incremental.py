@@ -356,6 +356,56 @@ def test_table_incremental_equals_full_rebuild(spark, table, tmp_path):
         assert int(row["est"]) == int(dense.point_query(int(row["t"])))
 
 
+def test_incremental_random_schedule(spark, tmp_path):
+    """Property: under ANY schedule of appends, no-ops and rebuilds, the
+    maintained sketch is byte-identical to a from-scratch build over the
+    table's current state after EVERY operation (hypothesis-driven, few
+    examples — each schedule spins real Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(50, 400),
+                  st.integers(1, 10_000)),
+        st.just(("noop",)),
+        st.just(("rebuild",)))
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(op, min_size=2, max_size=5))
+    def run(schedule):
+        import tempfile
+        fac = functools.partial(CountMinSketch, CFG)
+        root = tempfile.mkdtemp(dir=str(tmp_path))
+        data, stp = os.path.join(root, "d"), os.path.join(root, "s")
+        os.makedirs(data)
+        part = 0
+        for step in [("append", 200, 999)] + list(schedule):
+            if step[0] == "append":
+                _, rows, seed = step
+                src = os.path.join(root, "_s.parquet")
+                generate_token_table(src, rows=rows, seed=seed,
+                                     dist="zipf")
+                shutil.move(src, os.path.join(data, f"p{part}.parquet"))
+                part += 1
+                r = incremental_build(spark, data, "tokens", fac,
+                                      store_path=stp, name="cm")
+                assert r.new_rows == rows
+            elif step[0] == "noop":
+                r = incremental_build(spark, data, "tokens", fac,
+                                      store_path=stp, name="cm")
+                assert r.no_op
+            else:
+                r = incremental_build(spark, data, "tokens", fac,
+                                      store_path=stp, name="cm",
+                                      rebuild=True)
+            full = build_aggregator_parquet(spark, data, "tokens", fac)
+            assert r.sketch.to_bytes() == full.sketch.to_bytes()
+        shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_incremental_kll_bound_level(spark, table, tmp_path):
     """Non-byte-invariant sketches (KLL) fold correctly too: quantile
     estimates from the incrementally-maintained sketch stay within the
