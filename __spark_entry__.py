@@ -1500,6 +1500,56 @@ def _q_incremental_sketch_update(spark, sf_dir):
               "table_rows int, delta_only boolean, byte_identical boolean")
 
 
+def _q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source vocabulary-overlap MATRIX from one grouped scan
+    (sketchlib.theta.overlap_matrix): per-source Theta sketches over the
+    token domain, then all G(G-1)/2 pairwise union/intersection/Jaccard
+    estimates as KB-scale driver ops — vs a self-join per pair over the
+    raw corpus. Self-asserts every pair's intersection within the KMV
+    bound (5·RSE·exact_union). Rows-only: bottom-k hash-sample estimates
+    are not SQL-expressible."""
+    import functools
+    from sketchlib import serde
+    from sketchlib.spark_build import build_grouped_aggregator
+    from sketchlib.theta import ThetaSketch, overlap_matrix
+
+    toks = _tokenized_docs(spark, sf_dir)
+    gdf = build_grouped_aggregator(toks, "source", "tokens",
+                                   functools.partial(ThetaSketch, 4096))
+    sketches = {str(r["key"]): serde.loads(bytes(r["sketch"]))
+                for r in gdf.collect()}
+    rse = next(iter(sketches.values())).rse()
+
+    vocab = (toks.select("source", F.explode("tokens").alias("t"))
+             .distinct().cache())
+    sizes = {r["source"]: r["n"] for r in
+             vocab.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = {(r["sa"], r["sb"]): r["n"] for r in
+             (a.join(b, "t")
+              .filter(F.col("a.source") < F.col("b.source"))
+              .groupBy(F.col("a.source").alias("sa"),
+                       F.col("b.source").alias("sb"))
+              .agg(F.count("*").alias("n")).collect())}
+    vocab.unpersist()
+
+    rows = []
+    for sa, sb, est_u, est_i, est_j in overlap_matrix(sketches):
+        exact_i = inter.get((sa, sb), 0)
+        exact_u = sizes[sa] + sizes[sb] - exact_i
+        tol = 5 * rse * exact_u
+        rows.append((sa, sb, float(est_i), int(exact_i),
+                     round(float(est_j), 6),
+                     round(exact_i / exact_u, 6) if exact_u else 0.0,
+                     bool(abs(est_i - exact_i) <= tol
+                          and abs(est_u - exact_u) <= tol)))
+    return spark.createDataFrame(
+        rows, "source_a string, source_b string, est_intersection double, "
+              "exact_intersection bigint, est_jaccard double, "
+              "exact_jaccard double, within_bound boolean"
+    ).orderBy("source_a", "source_b")
+
+
 def _q_incremental_table_sketch(spark, sf_dir):
     """Incremental maintenance in the ε-beyond-executor-memory regime
     (sketchlib.incremental.incremental_build_table): the published
@@ -2743,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_incremental_update": _q_grouped_incremental_update,
         "snapshot_distinct_growth": _q_snapshot_distinct_growth,
         "incremental_table_sketch": _q_incremental_table_sketch,
+        "source_overlap_matrix": _q_source_overlap_matrix,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,

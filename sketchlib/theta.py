@@ -176,3 +176,23 @@ class ThetaSketch:
         if vals.shape[0] > k:
             raise ValueError("ThetaSketch blob holds more than k values")
         return ThetaSketch(k=k, seed=seed, values=vals, n_items=n_items)
+
+
+def overlap_matrix(sketches: dict) -> list[tuple]:
+    """Pairwise set-overlap estimates across named Theta sketches:
+    [(a, b, est_union, est_intersection, est_jaccard)] for every a < b
+    in sorted-name order. G per-group sketches from ONE grouped scan
+    give all G(G-1)/2 overlaps as KB-scale driver ops — the
+    cross-source vocabulary-overlap matrix that would otherwise take a
+    self-join per pair (or one G^2 shuffle) over the raw corpus. Each
+    estimate carries the usual KMV bound: error <= ~1/sqrt(k-2) of the
+    UNION size (intersection/difference error scales with the union's
+    sample, not their own)."""
+    names = sorted(sketches)
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            u = sketches[a].estimate_union(sketches[b])
+            x = sketches[a].estimate_intersection(sketches[b])
+            out.append((a, b, u, x, (x / u if u > 0 else 0.0)))
+    return out

@@ -391,3 +391,29 @@ def test_theta_distributed_build_matches_local(spark):
     assert np.array_equal(res.sketch.values, local.values)
     assert res.sketch.estimate() == local.estimate()
     assert res.sketch.n_items == 120_000
+
+
+def test_theta_overlap_matrix_bound():
+    """overlap_matrix: all pairwise union/intersection estimates within
+    the KMV bound on sets large enough that estimates are genuinely
+    approximate (50k-80k distinct per set, k=4096)."""
+    from sketchlib.theta import ThetaSketch, overlap_matrix
+    rng = np.random.default_rng(7)
+    universe = rng.choice(10_000_000, size=200_000, replace=False)
+    sets = {f"s{i}": universe[rng.random(len(universe)) < p]
+            for i, p in enumerate((0.25, 0.3, 0.4))}
+    sk = {}
+    for name, vals in sets.items():
+        t = ThetaSketch(4096)
+        t.update_batch(vals.astype(np.int64))
+        sk[name] = t
+    pairs = overlap_matrix(sk)
+    assert len(pairs) == 3
+    rse = next(iter(sk.values())).rse()
+    for a, b, est_u, est_i, est_j in pairs:
+        ea, eb = set(sets[a].tolist()), set(sets[b].tolist())
+        exact_u, exact_i = len(ea | eb), len(ea & eb)
+        tol = 5 * rse * exact_u
+        assert abs(est_u - exact_u) <= tol, (a, b, est_u, exact_u)
+        assert abs(est_i - exact_i) <= tol, (a, b, est_i, exact_i)
+        assert abs(est_j - exact_i / exact_u) <= 5 * rse, (a, b)
