@@ -2659,6 +2659,63 @@ def _q_corpus_profile_by_source(spark, sf_dir):
               "hll_within_bound boolean, mg_sound boolean")
 
 
+def _q_cm_token_13grams(spark, sf_dir):
+    """Token 13-GRAM frequency sketching (sketchlib.ngrams.array_ngrams):
+    the conventional decontamination shingle length, polynomial-hashed to
+    int64 straight from the Arrow list buffers (exact bit-packing stops
+    at bigrams; the hash's ~2^-63 collision rate is far below the
+    sketch's own). CM + MG consume the shingle stream in ONE MultiSketch
+    scan through the same distributed build topology as unigrams —
+    compose with bloom_antijoin over an exploded shingle table for the
+    doc-level decontamination filter. Self-asserts per exact-top-20
+    shingle (exact counts from the unit-tested local extractor): CM est
+    >= exact within eps*(total shingles); MG sound. Rows-only:
+    hash-domain keys are not SQL-expressible."""
+    import functools
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.mg import MisraGries
+    from sketchlib.multi import MultiSketch
+    from sketchlib.ngrams import array_ngrams, batch_ngrams
+    from sketchlib.spark_build import build_aggregator
+
+    N = 13
+    toks = _tokenized_docs(spark, sf_dir)
+    res = build_aggregator(
+        toks, "tokens",
+        functools.partial(MultiSketch, (
+            functools.partial(CountMinSketch, CM_CFG),
+            functools.partial(MisraGries, 1024))),
+        extract=functools.partial(batch_ngrams, n=N))
+    cm, mg = res.sketch.parts
+
+    # exact companion: the same (unit-tested) extractor run locally over
+    # the collected token arrays — validates the DISTRIBUTED build+merge
+    # against a single-pass local count
+    local = pa.array([r["tokens"] for r in toks.select("tokens").collect()],
+                     type=pa.list_(pa.int32()))
+    keys = array_ngrams(local, N)
+    uniq, cnts = np.unique(keys, return_counts=True)
+    order = np.lexsort((uniq, -cnts))[:20]
+    bound = CM_CFG.eps * cm.total_count
+    mg_bound = mg.error_bound()
+    rows = []
+    for i in order:
+        k, exact = int(uniq[i]), int(cnts[i])
+        est = int(cm.point_query(k))
+        mg_est = int(mg.point_query(k))
+        rows.append((k, exact, est,
+                     bool(est >= exact), bool(est - exact <= bound),
+                     mg_est, bool(exact - mg_bound <= mg_est <= exact)))
+    return spark.createDataFrame(
+        rows, "shingle long, exact_cnt long, cm_est long, "
+              "est_ge_exact boolean, within_bound boolean, "
+              "mg_est long, mg_sound boolean")
+
+
 def _q_cm_token_bigrams(spark, sf_dir):
     """Token-BIGRAM frequency sketching over the input-hint sequences
     (sketchlib.ngrams): adjacent int32 pairs are packed to one int64
@@ -2831,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _q_corpus_profile,
         "corpus_profile_by_source": _q_corpus_profile_by_source,
         "cm_token_bigrams": _q_cm_token_bigrams,
+        "cm_token_13grams": _q_cm_token_13grams,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

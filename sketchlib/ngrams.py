@@ -58,6 +58,63 @@ def array_bigrams(col) -> np.ndarray:
     return (a << np.int64(31)) | b
 
 
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+
+
+def array_ngrams(col, n: int, seed: int = 1337) -> np.ndarray:
+    """Hashed within-row n-grams of a list<int32/int64> column: one
+    int64 key per window of ``n`` adjacent tokens, polynomial-hashed
+    (Horner, 64-bit wraparound, odd multiplier) — the shingle stream for
+    token-level contamination screens (n=13 is the conventional
+    decontamination length) and phrase sketching beyond bigrams, where
+    exact bit-packing no longer fits 64 bits. NOT invertible, unlike
+    array_bigrams' packing; collisions are ~2^-63 per pair, far below
+    any sketch's own collision rate. Vectorized: n shifted views of the
+    flat buffer, windows crossing row boundaries masked via a cumulative
+    boundary count — no explode, no per-row Python. Also usable as the
+    ``extract_array`` hook of the parquet-direct builder (wrap with
+    functools.partial for the n/seed)."""
+    if n < 2:
+        raise ValueError("array_ngrams needs n >= 2 (unigrams are the "
+                         "token stream itself)")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    if flat.shape[0] < n:
+        return np.empty(0, dtype=np.int64)
+    lens = pc.list_value_length(col)
+    if lens.null_count:
+        lens = pc.fill_null(lens, 0)
+    ends = np.cumsum(lens.to_numpy(zero_copy_only=False).astype(np.int64))
+    # crosses[i] == 1 when (i, i+1) spans two rows; a window starting at
+    # i is valid iff no boundary falls among its n-1 internal pairs
+    crosses = np.zeros(flat.shape[0], dtype=np.int64)
+    pos = ends[:-1] - 1
+    pos = pos[(pos >= 0) & (pos < flat.shape[0] - 1)]
+    crosses[pos] = 1
+    csum = np.concatenate(([0], np.cumsum(crosses)))
+    n_windows = flat.shape[0] - n + 1
+    valid = (csum[n - 1:n - 1 + n_windows] - csum[:n_windows]) == 0
+    # seed mix in Python ints: numpy SCALAR uint64 overflow warns (array
+    # ops wrap silently, which the Horner loop below relies on)
+    h0 = (int(seed) * int(_POLY_C)) & 0xFFFFFFFFFFFFFFFF
+    h = np.full(n_windows, np.uint64(h0), dtype=np.uint64)
+    for j in range(n):
+        h *= _POLY_C
+        h += flat[j:j + n_windows]
+    h ^= h >> np.uint64(29)
+    h *= _POLY_C
+    h &= np.uint64(0x7FFFFFFFFFFFFFFF)      # non-negative int64 keys
+    return h[valid].astype(np.int64)
+
+
+def batch_ngrams(batch: pa.RecordBatch, col_idx: int, *, n: int,
+                 seed: int = 1337) -> np.ndarray:
+    """RecordBatch adapter for ``array_ngrams`` — partial over (n, seed)
+    to get the ``extract`` hook shape build_aggregator expects."""
+    return array_ngrams(batch.column(col_idx), n, seed=seed)
+
+
 def unpack_bigram(key: int) -> tuple[int, int]:
     """Inverse of the (a << 31) | b packing."""
     return int(key) >> 31, int(key) & int(_MASK31)

@@ -140,3 +140,59 @@ def test_bigram_query_survives_empty_docs(spark, tmp_path):
     out = E.queries()["cm_token_bigrams"](spark, sf).collect()
     assert len(out) > 0
     assert all(r["est_ge_exact"] and r["within_bound"] for r in out)
+
+
+def _ref_ngrams(rows, n, seed):
+    """Per-row Python reference of array_ngrams' polynomial hash."""
+    C = 0x9E3779B97F4A7C15
+    M = (1 << 64) - 1
+    out = []
+    for r in rows:
+        if r is None or len(r) < n:
+            continue
+        for i in range(len(r) - n + 1):
+            h = (seed * C) & M
+            for x in r[i:i + n]:
+                h = (h * C + int(x)) & M
+            h ^= h >> 29
+            h = (h * C) & M
+            out.append(h & 0x7FFFFFFFFFFFFFFF)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n", [2, 3, 5, 13])
+@pytest.mark.parametrize("rows", [
+    [[1, 2, 3, 4, 5], [6, 7], [8]],
+    [[], [9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22], None],
+    [None, None, []],
+    [[2**31 - 1] * 15, [0] * 3],
+    [],
+])
+def test_array_ngrams_matches_reference(rows, n):
+    from sketchlib.ngrams import array_ngrams
+    col = pa.array(rows, type=pa.list_(pa.int32()))
+    got = array_ngrams(col, n, seed=7)
+    assert sorted(got.tolist()) == _ref_ngrams(rows, n, 7)
+    assert got.dtype == np.int64
+    if got.shape[0]:
+        assert np.all(got >= 0)
+
+
+def test_array_ngrams_random_ragged():
+    from sketchlib.ngrams import array_ngrams
+    rng = np.random.default_rng(3)
+    rows = []
+    for _ in range(200):
+        k = int(rng.integers(0, 20))
+        rows.append(None if k == 19
+                    else rng.integers(0, 2**31, size=k).tolist())
+    col = pa.array(rows, type=pa.list_(pa.int32()))
+    for n in (2, 3, 13):
+        assert (sorted(array_ngrams(col, n, seed=11).tolist())
+                == _ref_ngrams(rows, n, 11))
+
+
+def test_array_ngrams_n_validation():
+    from sketchlib.ngrams import array_ngrams
+    with pytest.raises(ValueError, match="n >= 2"):
+        array_ngrams(pa.array([[1, 2]], type=pa.list_(pa.int32())), 1)
