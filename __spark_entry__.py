@@ -2659,6 +2659,42 @@ def _q_corpus_profile_by_source(spark, sf_dir):
               "hll_within_bound boolean, mg_sound boolean")
 
 
+def _q_token_13gram_decontamination(spark, sf_dir):
+    """END-TO-END token-level decontamination
+    (sketchlib.pipeline.token_decontaminate): screen the corpus (sources
+    != src0) against an eval set (src0) at 13-gram granularity — Bloom
+    prescreen built in one eval scan, corpus shingles that the Bloom
+    calls absent never shuffle, survivors verified EXACTLY by semi-join.
+    Self-asserts join_identical: the screened per-doc match counts equal
+    a plain all-shingles join with no Bloom (no false negatives — absent
+    is definitive; no false positives — the verify join is exact).
+    Rows-only: hash-domain shingles are not SQL-expressible."""
+    from sketchlib.ngrams import shingle_table
+    from sketchlib.pipeline import token_decontaminate
+
+    toks = _tokenized_docs(spark, sf_dir)
+    evalset = toks.filter(F.col("source") == "src0")
+    corpus = toks.filter(F.col("source") != "src0")
+    got = {r["doc_id"]: r["matched_shingles"] for r in
+           token_decontaminate(spark, corpus, evalset).collect()}
+
+    c_sh = shingle_table(corpus, "tokens", "doc_id", 13)
+    e_sh = (shingle_table(evalset, "tokens", "doc_id", 13)
+            .select("shingle").distinct())
+    exact = {r["doc_id"]: r["m"] for r in
+             (c_sh.join(e_sh, "shingle", "left_semi")
+              .groupBy("doc_id")
+              .agg(F.count_distinct("shingle").alias("m")).collect())}
+    identical = (set(got) >= set(exact)
+                 and all(got[d] == exact.get(d, 0) for d in got))
+    contaminated = sum(1 for m in got.values() if m > 0)
+    return spark.createDataFrame(
+        [(len(got), int(evalset.count()), contaminated,
+          int(sum(got.values())), bool(identical))],
+        "corpus_docs int, eval_docs int, contaminated_docs int, "
+        "matched_shingles int, join_identical boolean")
+
+
 def _q_cm_token_13grams(spark, sf_dir):
     """Token 13-GRAM frequency sketching (sketchlib.ngrams.array_ngrams):
     the conventional decontamination shingle length, polynomial-hashed to
@@ -2889,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile_by_source": _q_corpus_profile_by_source,
         "cm_token_bigrams": _q_cm_token_bigrams,
         "cm_token_13grams": _q_cm_token_13grams,
+        "token_13gram_decontamination": _q_token_13gram_decontamination,
     }
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}

@@ -108,6 +108,59 @@ def array_ngrams(col, n: int, seed: int = 1337) -> np.ndarray:
     return h[valid].astype(np.int64)
 
 
+def array_ngrams_per_row(col, n: int,
+                         seed: int = 1337) -> tuple[np.ndarray, np.ndarray]:
+    """(keys, per_row_counts) — array_ngrams plus the row alignment:
+    valid windows never cross rows and come out in position order, so
+    row i owns the next ``max(len_i - n + 1, 0)`` keys. The building
+    block for (doc_id, shingle) tables (np.repeat row ids by counts)."""
+    keys = array_ngrams(col, n, seed=seed)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.list_value_length(col)
+    if lens.null_count:
+        lens = pc.fill_null(lens, 0)
+    counts = np.maximum(
+        lens.to_numpy(zero_copy_only=False).astype(np.int64) - (n - 1), 0)
+    if int(counts.sum()) != keys.shape[0]:   # pragma: no cover
+        raise RuntimeError("row-count/window alignment broke: "
+                           f"{int(counts.sum())} != {keys.shape[0]}")
+    return keys, counts
+
+
+def shingle_table(df, tokens_col: str, id_col: str, n: int,
+                  seed: int = 1337):
+    """(id, shingle) DataFrame: every within-row n-gram hash paired with
+    its row's id — the exploded shingle table, built by ONE mapInArrow
+    pass (array_ngrams_per_row + np.repeat of the id column), no
+    Catalyst explode of n-sized slices and no per-row Python. At 10^12
+    sequences this is the probe side of a decontamination screen: feed
+    it through a Bloom prescreen (joins.bloom_antijoin /
+    pipeline.token_decontaminate) so only probable matches shuffle."""
+    import pyarrow as _pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(batches):
+        for batch in batches:
+            ii = batch.schema.get_field_index(id_col)
+            ti = batch.schema.get_field_index(tokens_col)
+            keys, counts = array_ngrams_per_row(batch.column(ti), n,
+                                                seed=seed)
+            ids = batch.column(ii).take(
+                _pa.array(np.repeat(np.arange(len(counts)), counts)))
+            # parquet scans hand strings dictionary-encoded; Spark's
+            # Arrow reader can't consume dictionary vectors back
+            if _pa.types.is_dictionary(ids.type):
+                ids = ids.cast(ids.type.value_type)
+            yield _pa.RecordBatch.from_arrays(
+                [ids, _pa.array(keys, type=_pa.int64())],
+                names=[id_col, "shingle"])
+
+    return (df.select(id_col, tokens_col)
+            .mapInArrow(fn, schema=f"{id_col} {id_type}, shingle long"))
+
+
 def batch_ngrams(batch: pa.RecordBatch, col_idx: int, *, n: int,
                  seed: int = 1337) -> np.ndarray:
     """RecordBatch adapter for ``array_ngrams`` — partial over (n, seed)

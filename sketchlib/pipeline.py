@@ -756,3 +756,58 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
     return (ids.join(cc, "node", "left")
             .select(F.col("node").alias(id_col),
                     F.coalesce("cluster", "node").alias("cluster_id")))
+
+
+def token_decontaminate(spark, corpus: DataFrame, evalset: DataFrame, *,
+                        id_col: str = "doc_id", tokens_col: str = "tokens",
+                        n: int = 13, fpr: float = 0.002,
+                        seed: int = 1337) -> DataFrame:
+    """Token-level decontamination screen: per corpus document, how many
+    of its ``n``-gram shingles also appear in ``evalset`` — EXACT, with
+    the shuffle paid only by the Bloom-claimed-probable slice.
+
+    The canonical training-data hygiene op (n=13 is the conventional
+    shingle length): docs sharing shingles with an eval/benchmark set
+    leak test data into training. Pipeline: (1) ONE scan of the eval set
+    builds a mergeable Bloom over its shingle hashes (ngrams.batch_ngrams
+    extraction, capacity sized by a Catalyst aggregate of window counts);
+    (2) the corpus shingle table (ngrams.shingle_table, mapInArrow — no
+    explode of n-sized slices) is prescreened by the broadcast Bloom
+    probe, so claimed-absent shingles — the overwhelming majority —
+    never shuffle; (3) the survivors (true matches + ~fpr false claims)
+    are verified EXACTLY against the eval shingle table with a distinct
+    semi-join. No false negatives (Bloom absent is definitive), no false
+    positives (the join is exact), so the result equals the plain
+    all-shingles join at ~fpr of its shuffle.
+
+    Returns (id_col, matched_shingles) for every corpus doc, 0 for clean
+    ones — ``filter(matched_shingles == 0)`` is the decontaminated
+    corpus."""
+    import functools
+
+    from .bloom import BloomFilter
+    from .ngrams import batch_ngrams, shingle_table
+    from .spark_build import build_aggregator, sketch_probe_col
+
+    windows = F.greatest(F.size(tokens_col) - F.lit(n - 1), F.lit(0))
+    cap = (evalset.select(F.sum(windows).alias("w")).collect()[0]["w"]
+           or 0) + 1
+    bloom = build_aggregator(
+        evalset, tokens_col,
+        functools.partial(BloomFilter, capacity=int(cap), fpr=fpr,
+                          seed=seed),
+        extract=functools.partial(batch_ngrams, n=n, seed=seed)).sketch
+
+    corpus_sh = shingle_table(corpus, tokens_col, id_col, n, seed=seed)
+    candidates = corpus_sh.filter(
+        sketch_probe_col(spark, bloom, F.col("shingle"),
+                         method="contains_batch", rtype="boolean"))
+    eval_sh = (shingle_table(evalset, tokens_col, id_col, n, seed=seed)
+               .select("shingle").distinct())
+    matches = (candidates.join(eval_sh, "shingle", "left_semi")
+               .groupBy(id_col)
+               .agg(F.count_distinct("shingle").alias("matched_shingles")))
+    return (corpus.select(id_col).distinct()
+            .join(matches, id_col, "left")
+            .select(id_col, F.coalesce("matched_shingles", F.lit(0))
+                    .alias("matched_shingles")))

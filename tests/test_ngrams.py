@@ -196,3 +196,57 @@ def test_array_ngrams_n_validation():
     from sketchlib.ngrams import array_ngrams
     with pytest.raises(ValueError, match="n >= 2"):
         array_ngrams(pa.array([[1, 2]], type=pa.list_(pa.int32())), 1)
+
+
+def test_shingle_table_matches_reference(spark):
+    from sketchlib.ngrams import shingle_table
+    rows = [("a", list(range(20))), ("b", [1, 2]), ("c", []),
+            ("d", list(range(100, 116)))]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = sorted((r["doc_id"], r["shingle"])
+                 for r in shingle_table(df, "tokens", "doc_id", 13).collect())
+    ref = []
+    for doc, toks in rows:
+        for k in _ref_ngrams([toks], 13, 1337):
+            ref.append((doc, k))
+    assert got == sorted(ref)
+    assert not [d for d, _ in got if d in ("b", "c")]   # too short
+
+
+def test_token_decontaminate_exact_and_pruned(spark):
+    """The Bloom-prescreened screen equals the plain all-shingles join:
+    planted overlaps found with exact counts, clean docs at 0."""
+    from sketchlib.ngrams import shingle_table
+    from sketchlib.pipeline import token_decontaminate
+    rng = np.random.default_rng(5)
+    evalset = spark.createDataFrame(
+        [(f"e{i}", rng.integers(0, 2**31, size=40).tolist())
+         for i in range(5)], "doc_id string, tokens array<int>")
+    eval_rows = {r["doc_id"]: r["tokens"]
+                 for r in evalset.collect()}
+    corpus_rows = []
+    for i in range(30):
+        toks = rng.integers(0, 2**31, size=60).tolist()
+        if i % 5 == 0:   # plant a 20-token eval span => 8 shared 13-grams
+            span = eval_rows[f"e{i % 5 + (i // 5) % 5}"][3:23]
+            toks[10:30] = span
+        corpus_rows.append((f"d{i}", toks))
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "doc_id string, tokens array<int>")
+
+    got = {r["doc_id"]: r["matched_shingles"]
+           for r in token_decontaminate(spark, corpus, evalset).collect()}
+
+    # oracle: plain join of the two shingle tables, no bloom
+    c_sh = shingle_table(corpus, "tokens", "doc_id", 13)
+    e_sh = (shingle_table(evalset, "tokens", "doc_id", 13)
+            .select("shingle").distinct())
+    from pyspark.sql import functions as F
+    exact = {r["doc_id"]: r["m"] for r in
+             (c_sh.join(e_sh, "shingle", "left_semi")
+              .groupBy("doc_id")
+              .agg(F.count_distinct("shingle").alias("m")).collect())}
+    assert len(got) == 30
+    for d, m in got.items():
+        assert m == exact.get(d, 0), (d, m, exact.get(d))
+    assert sum(1 for m in got.values() if m > 0) >= 6   # plants found
