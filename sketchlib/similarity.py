@@ -492,6 +492,32 @@ def ivfpq_write_index(df: DataFrame, vec_col: str, id_col: str,
     read the raw vectors twice and shuffled every row through the join;
     review r3). Cell assignment reuses _cell_block, so ties break
     identically to ivf_cell_col / ivf_assign."""
+    _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path,
+                 mode="overwrite")
+
+
+def ivfpq_append_index(df: DataFrame, vec_col: str, id_col: str,
+                       centroids: np.ndarray, codebooks: np.ndarray,
+                       path: str) -> None:
+    """Incremental maintenance for the IVF-PQ layout: encode NEW vectors
+    with the index's FROZEN centroids/codebooks and append their code
+    files into the existing cell partitions — existing data is never
+    rewritten, and probes over the updated index are identical to an
+    index rebuilt from scratch over old ∪ new (same frozen models ⇒ same
+    codes, same cells; test-pinned). The vector counterpart of
+    incremental_build: a daily embedding append costs one encode pass
+    over the delta.
+
+    Caveat (inherent to every frozen-model ANN index): if the appended
+    distribution drifts far from the training sample, recall for the new
+    vectors degrades — retrain and ivfpq_write_index (the rebuild=True
+    of this path) when cell occupancy skews."""
+    _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path,
+                 mode="append")
+
+
+def _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path, *,
+                 mode: str) -> None:
     cb = codebooks
     C = np.asarray(centroids, dtype=np.float64)
 
@@ -507,7 +533,7 @@ def ivfpq_write_index(df: DataFrame, vec_col: str, id_col: str,
     (df.select(id_col, vec_col)
      .mapInPandas(fn, schema=f"{id_col} {_id_type(df, id_col)}, "
                              "code binary, cell int")
-     .write.mode("overwrite").partitionBy("cell").parquet(path))
+     .write.mode(mode).partitionBy("cell").parquet(path))
 
 
 def ivfpq_topk(spark, index_path: str, df: DataFrame, vec_col: str,

@@ -140,3 +140,45 @@ def test_ivfpq_index_prunes_and_recalls(spark, tmp_path):
             .filter(F.col("cell").isin([0]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivfpq_append_equals_rebuild(spark, tmp_path):
+    """Appending new vectors (encoded with the FROZEN centroids and
+    codebooks) into the cell partitions yields an index whose probes are
+    identical to a from-scratch index over old ∪ new — and the appended
+    vectors are findable."""
+    from sketchlib.similarity import (ivfpq_append_index, ivfpq_topk,
+                                      ivfpq_write_index,
+                                      train_ivf_centroids)
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    assert new.count() > 0
+    cents = train_ivf_centroids(old, "embedding", n_cells=8)
+    cb = pq_train(old, "embedding", m=16, ksub=64)
+
+    inc_path = str(tmp_path / "inc")
+    ivfpq_write_index(old, "embedding", "vec_id", cents, cb, inc_path)
+    ivfpq_append_index(new, "embedding", "vec_id", cents, cb, inc_path)
+    full_path = str(tmp_path / "full")
+    ivfpq_write_index(emb, "embedding", "vec_id", cents, cb, full_path)
+
+    # code tables identical row-for-row
+    inc_rows = sorted((r["vec_id"], bytes(r["code"]), r["cell"]) for r in
+                      spark.read.parquet(inc_path).collect())
+    full_rows = sorted((r["vec_id"], bytes(r["code"]), r["cell"]) for r in
+                       spark.read.parquet(full_path).collect())
+    assert inc_rows == full_rows
+
+    # a query vector FROM the appended batch finds itself through the
+    # appended index, with the same answer as the rebuilt one
+    q_id = int(new.select(F.min("vec_id")).collect()[0][0])
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == q_id).first()["embedding"],
+        np.float64)
+    got_inc = ivfpq_topk(spark, inc_path, emb, "embedding", "vec_id", q,
+                         cents, cb, k=5, n_probe=8, rerank=128).collect()
+    got_full = ivfpq_topk(spark, full_path, emb, "embedding", "vec_id", q,
+                          cents, cb, k=5, n_probe=8, rerank=128).collect()
+    assert [r["vec_id"] for r in got_inc] == [r["vec_id"] for r in got_full]
+    assert got_inc[0]["vec_id"] == q_id
