@@ -39,6 +39,23 @@ Driver-side cost is one file listing + one manifest read per call —
 O(#files) strings, the same order as any parquet directory scan the
 build itself must do. Concurrency contract is the store's: one writer
 per name (store.save_sketch).
+
+The module's full surface, one function per maintenance/analysis shape:
+
+- ``incremental_build``        — one global sketch (any mergeable type)
+- ``incremental_build_grouped``— one sketch per key (per-source fleet);
+  only groups the delta touches are read/republished; crashed epochs
+  retry at a fresh seq (commit = the single manifest append)
+- ``incremental_build_table``  — the ε-beyond-executor-memory regime:
+  (row, col, cnt) parquet epochs merged by counter-coordinate
+  groupBy-sum, no dense blob, no driver state
+- ``snapshot_diff`` / ``snapshot_diff_table`` — linear sketches
+  subtract, so new − old of two publishes IS the appended delta's
+  sketch, bit-exact (dense) / row-exact (table); cross-lineage seqs
+  refused
+- ``grouped_epoch`` / ``current_group_sketches`` — the committed pins
+  external readers need (orphans above the epoch, dead groups below
+  the base)
 """
 
 from __future__ import annotations
