@@ -490,6 +490,47 @@ def incremental_build_table(spark: SparkSession, table_path: str,
         wall_s=time.perf_counter() - t0)
 
 
+def prune_table_epochs(spark: SparkSession, store_path: str, name: str,
+                       *, keep: int = 2) -> list[int]:
+    """Delete table-regime epoch directories older than the newest
+    ``keep`` (committed epoch inclusive). Unlike the KB-scale blob store
+    — where history is cheap and snapshot diffs want it — each table
+    epoch is a FULL nnz-sized counter table, so daily folds would grow
+    storage by one table per day forever. Epochs above the committed one
+    (crashed-retry orphans) are left alone: the retry overwrites them.
+    ``snapshot_diff_table`` against a pruned epoch fails with a clear
+    error rather than a raw missing-path. Returns the pruned seqs."""
+    import shutil as _shutil
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the committed epoch itself)")
+    epoch, _, _ = _grouped_manifest_state(spark, store_path, name)
+    if epoch is None:
+        return []
+    root = os.path.join(store_path, "tables", name)
+    if not os.path.isdir(root):
+        return []
+    pruned = []
+    for d in os.listdir(root):
+        if not d.startswith("seq="):
+            continue
+        s = int(d.split("=", 1)[1])
+        if s <= epoch - keep:
+            _shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            pruned.append(s)
+    return sorted(pruned)
+
+
+def _read_epoch_table(spark: SparkSession, store_path: str, name: str,
+                      seq: int):
+    df = store.read_table(spark,
+                          f"{store_path}/tables/{name}/seq={seq}")
+    if df is None:
+        raise KeyError(
+            f"table epoch {seq} of {name!r} is gone — pruned by "
+            "prune_table_epochs (diffs need both epochs retained)")
+    return df
+
+
 def snapshot_diff_table(spark: SparkSession, store_path: str, name: str,
                         seq_old: int, seq_new: int | None = None):
     """Table-regime counterpart of snapshot_diff: the counter-wise
@@ -521,8 +562,8 @@ def snapshot_diff_table(spark: SparkSession, store_path: str, name: str,
             f"of {name!r} (base {base}, committed {epoch}): below-base "
             "epochs predate the last rebuild, above-committed epochs are "
             "crashed orphans")
-    new = spark.read.parquet(f"{store_path}/tables/{name}/seq={seq_new}")
-    old = spark.read.parquet(f"{store_path}/tables/{name}/seq={seq_old}")
+    new = _read_epoch_table(spark, store_path, name, seq_new)
+    old = _read_epoch_table(spark, store_path, name, seq_old)
     diff = (new.withColumnRenamed("cnt", "cnt_new")
             .join(old.withColumnRenamed("cnt", "cnt_old"),
                   ["row", "col"], "full_outer")

@@ -437,6 +437,39 @@ def test_incremental_kll_bound_level(spark, table, tmp_path):
         assert lo - 0.05 <= q <= hi + 0.05, (q, est, lo, hi)
 
 
+def test_prune_table_epochs(spark, table, tmp_path):
+    """Old table-regime epochs (full nnz-sized tables) can be pruned to
+    the newest `keep`; maintenance keeps working, and diffing a pruned
+    epoch fails with a clear error, not a raw missing path."""
+    from sketchlib.incremental import (incremental_build_table,
+                                       prune_table_epochs,
+                                       snapshot_diff_table)
+    from sketchlib.spark_build import build_sketch_table, sketch_from_table
+    st = str(tmp_path / "store")
+    data = str(table / "data")
+    incremental_build_table(spark, data, "tokens", CFG,
+                            store_path=st, name="tb")
+    for part, seed in ((1, 22), (2, 33)):
+        _write_part(table, part, rows=150, seed=seed)
+        incremental_build_table(spark, data, "tokens", CFG,
+                                store_path=st, name="tb")
+
+    assert prune_table_epochs(spark, st, "tb", keep=1) == [0, 1]
+    with pytest.raises(KeyError, match="pruned"):
+        snapshot_diff_table(spark, st, "tb", seq_old=0)
+
+    # maintenance continues from the retained committed epoch
+    _write_part(table, 3, rows=100, seed=44)
+    r = incremental_build_table(spark, data, "tokens", CFG,
+                                store_path=st, name="tb")
+    assert r.seq == 3 and r.new_files == 1
+    full = build_sketch_table(spark.read.parquet(data), "tokens", CFG)
+    assert (sketch_from_table(r.table, CFG).to_bytes()
+            == sketch_from_table(full, CFG).to_bytes())
+    with pytest.raises(ValueError, match="keep must be >= 1"):
+        prune_table_epochs(spark, st, "tb", keep=0)
+
+
 def test_names_are_independent(spark, table, tmp_path):
     store_path = str(tmp_path / "store")
     data = str(table / "data")
