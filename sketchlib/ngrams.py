@@ -7,9 +7,11 @@ key packs two 31-bit tokens into one int64 ((a << 31) | b — exact and
 invertible, no hash collisions before the sketch), so every mergeable
 sketch here (CM frequency, MG certain heavy hitters, HLL distinct
 bigrams, ...) consumes bigram streams through the same build topologies
-as unigrams, including the one-scan MultiSketch profile. At 10^12
-sequences the bigram stream is ~|tokens| long; nothing new shuffles —
-the same KB partial blobs move.
+as unigrams, including the one-scan MultiSketch profile. Beyond bigrams,
+``array_ngrams`` polynomial-hashes windows of any n (13 is the
+conventional decontamination shingle length). At 10^12 sequences the
+n-gram stream is ~|tokens| long; nothing new shuffles — the same KB
+partial blobs move.
 
 No counterpart in the reference (CountMinDB is key-value only); follows
 the same update path as cm.h:272-316 once keys are packed.
@@ -22,6 +24,29 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _MASK31 = np.int64((1 << 31) - 1)
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+
+
+def _flat_lens(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, per-row lengths) of a list<int> column — THE
+    shared flatten for every extractor here. Fails loudly on null
+    ELEMENTS inside lists: Arrow's to_numpy then degrades to float64,
+    turning nulls into platform-dependent garbage and rounding int64
+    tokens above 2^53 — silent hash corruption (and decontamination
+    false negatives) if allowed through. Null ROWS are fine (length 0)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.flatten()
+    if values.null_count:
+        raise ValueError(
+            "token lists contain null ELEMENTS: flattening would degrade "
+            "to float64 and hash platform-dependent garbage — drop or "
+            "fill element nulls first (null/empty ROWS are fine)")
+    flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(col)
+    if lens.null_count:
+        lens = pc.fill_null(lens, 0)
+    return flat, lens.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def batch_bigrams(batch: pa.RecordBatch, col_idx: int) -> np.ndarray:
@@ -36,15 +61,10 @@ def array_bigrams(col) -> np.ndarray:
     the flat buffer, mask out the pairs that would cross row boundaries
     (and anything in a null/empty/singleton row). Also the
     ``extract_array`` hook for the parquet-direct builder."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, lens = _flat_lens(col)
     if flat.shape[0] < 2:
         return np.empty(0, dtype=np.int64)
-    lens = pc.list_value_length(col)
-    if lens.null_count:
-        lens = pc.fill_null(lens, 0)
-    ends = np.cumsum(lens.to_numpy(zero_copy_only=False).astype(np.int64))
+    ends = np.cumsum(lens)
     valid = np.ones(flat.shape[0] - 1, dtype=bool)
     pos = ends[:-1] - 1                     # last value index of each row
     pos = pos[(pos >= 0) & (pos < valid.shape[0])]
@@ -56,9 +76,6 @@ def array_bigrams(col) -> np.ndarray:
     if a.size and (((a | b) >> np.int64(31)) != 0).any():
         raise ValueError("array_bigrams requires tokens in [0, 2**31)")
     return (a << np.int64(31)) | b
-
-
-_POLY_C = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
 
 
 def array_ngrams(col, n: int, seed: int = 1337) -> np.ndarray:
@@ -74,18 +91,32 @@ def array_ngrams(col, n: int, seed: int = 1337) -> np.ndarray:
     boundary count — no explode, no per-row Python. Also usable as the
     ``extract_array`` hook of the parquet-direct builder (wrap with
     functools.partial for the n/seed)."""
+    return _ngrams_impl(col, n, seed)[0]
+
+
+def array_ngrams_per_row(col, n: int,
+                         seed: int = 1337) -> tuple[np.ndarray, np.ndarray]:
+    """(keys, per_row_counts) — array_ngrams plus the row alignment:
+    valid windows never cross rows and come out in position order, so
+    row i owns the next ``max(len_i - n + 1, 0)`` keys. The building
+    block for (doc_id, shingle) tables (np.repeat row ids by counts)."""
+    keys, counts = _ngrams_impl(col, n, seed)
+    if int(counts.sum()) != keys.shape[0]:   # pragma: no cover
+        raise RuntimeError("row-count/window alignment broke: "
+                           f"{int(counts.sum())} != {keys.shape[0]}")
+    return keys, counts
+
+
+def _ngrams_impl(col, n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     if n < 2:
         raise ValueError("array_ngrams needs n >= 2 (unigrams are the "
                          "token stream itself)")
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    flat, lens = _flat_lens(col)
+    counts = np.maximum(lens - (n - 1), 0)
+    flat = flat.astype(np.uint64)
     if flat.shape[0] < n:
-        return np.empty(0, dtype=np.int64)
-    lens = pc.list_value_length(col)
-    if lens.null_count:
-        lens = pc.fill_null(lens, 0)
-    ends = np.cumsum(lens.to_numpy(zero_copy_only=False).astype(np.int64))
+        return np.empty(0, dtype=np.int64), counts
+    ends = np.cumsum(lens)
     # crosses[i] == 1 when (i, i+1) spans two rows; a window starting at
     # i is valid iff no boundary falls among its n-1 internal pairs
     crosses = np.zeros(flat.shape[0], dtype=np.int64)
@@ -105,27 +136,7 @@ def array_ngrams(col, n: int, seed: int = 1337) -> np.ndarray:
     h ^= h >> np.uint64(29)
     h *= _POLY_C
     h &= np.uint64(0x7FFFFFFFFFFFFFFF)      # non-negative int64 keys
-    return h[valid].astype(np.int64)
-
-
-def array_ngrams_per_row(col, n: int,
-                         seed: int = 1337) -> tuple[np.ndarray, np.ndarray]:
-    """(keys, per_row_counts) — array_ngrams plus the row alignment:
-    valid windows never cross rows and come out in position order, so
-    row i owns the next ``max(len_i - n + 1, 0)`` keys. The building
-    block for (doc_id, shingle) tables (np.repeat row ids by counts)."""
-    keys = array_ngrams(col, n, seed=seed)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    lens = pc.list_value_length(col)
-    if lens.null_count:
-        lens = pc.fill_null(lens, 0)
-    counts = np.maximum(
-        lens.to_numpy(zero_copy_only=False).astype(np.int64) - (n - 1), 0)
-    if int(counts.sum()) != keys.shape[0]:   # pragma: no cover
-        raise RuntimeError("row-count/window alignment broke: "
-                           f"{int(counts.sum())} != {keys.shape[0]}")
-    return keys, counts
+    return h[valid].astype(np.int64), counts
 
 
 def shingle_table(df, tokens_col: str, id_col: str, n: int,
@@ -137,8 +148,6 @@ def shingle_table(df, tokens_col: str, id_col: str, n: int,
     sequences this is the probe side of a decontamination screen: feed
     it through a Bloom prescreen (joins.bloom_antijoin /
     pipeline.token_decontaminate) so only probable matches shuffle."""
-    import pyarrow as _pa
-
     id_type = df.schema[id_col].dataType.simpleString()
 
     def fn(batches):
@@ -148,13 +157,13 @@ def shingle_table(df, tokens_col: str, id_col: str, n: int,
             keys, counts = array_ngrams_per_row(batch.column(ti), n,
                                                 seed=seed)
             ids = batch.column(ii).take(
-                _pa.array(np.repeat(np.arange(len(counts)), counts)))
+                pa.array(np.repeat(np.arange(len(counts)), counts)))
             # parquet scans hand strings dictionary-encoded; Spark's
             # Arrow reader can't consume dictionary vectors back
-            if _pa.types.is_dictionary(ids.type):
+            if pa.types.is_dictionary(ids.type):
                 ids = ids.cast(ids.type.value_type)
-            yield _pa.RecordBatch.from_arrays(
-                [ids, _pa.array(keys, type=_pa.int64())],
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(keys, type=pa.int64())],
                 names=[id_col, "shingle"])
 
     return (df.select(id_col, tokens_col)

@@ -786,28 +786,35 @@ def token_decontaminate(spark, corpus: DataFrame, evalset: DataFrame, *,
     import functools
 
     from .bloom import BloomFilter
-    from .ngrams import batch_ngrams, shingle_table
+    from .ngrams import shingle_table
     from .spark_build import build_aggregator, sketch_probe_col
 
-    windows = F.greatest(F.size(tokens_col) - F.lit(n - 1), F.lit(0))
-    cap = (evalset.select(F.sum(windows).alias("w")).collect()[0]["w"]
-           or 0) + 1
-    bloom = build_aggregator(
-        evalset, tokens_col,
-        functools.partial(BloomFilter, capacity=int(cap), fpr=fpr,
-                          seed=seed),
-        extract=functools.partial(batch_ngrams, n=n, seed=seed)).sketch
-
-    corpus_sh = shingle_table(corpus, tokens_col, id_col, n, seed=seed)
-    candidates = corpus_sh.filter(
-        sketch_probe_col(spark, bloom, F.col("shingle"),
-                         method="contains_batch", rtype="boolean"))
+    # one shape serves all three eval-side needs (Bloom capacity, Bloom
+    # contents, exact verify side): the DISTINCT shingle set. Persist it
+    # so the capacity count and the Bloom build scan the eval lineage
+    # ONCE; the verify join recomputes it once more at caller-execution
+    # time (unpersisted below — a library must not leak cached RDDs).
     eval_sh = (shingle_table(evalset, tokens_col, id_col, n, seed=seed)
                .select("shingle").distinct())
-    matches = (candidates.join(eval_sh, "shingle", "left_semi")
-               .groupBy(id_col)
-               .agg(F.count_distinct("shingle").alias("matched_shingles")))
-    return (corpus.select(id_col).distinct()
-            .join(matches, id_col, "left")
-            .select(id_col, F.coalesce("matched_shingles", F.lit(0))
-                    .alias("matched_shingles")))
+    eval_sh.persist()
+    try:
+        cap = eval_sh.count() + 1       # distinct insertions size a Bloom
+        bloom = build_aggregator(
+            eval_sh, "shingle",
+            functools.partial(BloomFilter, capacity=int(cap), fpr=fpr,
+                              seed=seed)).sketch
+
+        corpus_sh = shingle_table(corpus, tokens_col, id_col, n, seed=seed)
+        candidates = corpus_sh.filter(
+            sketch_probe_col(spark, bloom, F.col("shingle"),
+                             method="contains_batch", rtype="boolean"))
+        matches = (candidates.join(eval_sh, "shingle", "left_semi")
+                   .groupBy(id_col)
+                   .agg(F.count_distinct("shingle")
+                        .alias("matched_shingles")))
+        return (corpus.select(id_col).distinct()
+                .join(matches, id_col, "left")
+                .select(id_col, F.coalesce("matched_shingles", F.lit(0))
+                        .alias("matched_shingles")))
+    finally:
+        eval_sh.unpersist(blocking=False)

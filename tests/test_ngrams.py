@@ -250,3 +250,18 @@ def test_token_decontaminate_exact_and_pruned(spark):
     for d, m in got.items():
         assert m == exact.get(d, 0), (d, m, exact.get(d))
     assert sum(1 for m in got.values() if m > 0) >= 6   # plants found
+
+
+def test_null_elements_refused():
+    """Null ELEMENTS inside token lists would degrade Arrow's flatten to
+    float64 — platform-dependent garbage hashes and decontamination
+    false negatives — so every extractor refuses them loudly. Null ROWS
+    remain fine (length 0)."""
+    from sketchlib.ngrams import array_bigrams, array_ngrams
+    bad = pa.array([[1, None, 3, 4]], type=pa.list_(pa.int32()))
+    with pytest.raises(ValueError, match="null ELEMENTS"):
+        array_ngrams(bad, 2)
+    with pytest.raises(ValueError, match="null ELEMENTS"):
+        array_bigrams(bad)
+    ok = pa.array([None, [1, 2, 3], []], type=pa.list_(pa.int32()))
+    assert array_ngrams(ok, 2).shape[0] == 2
