@@ -69,8 +69,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from . import store
-from .spark_build import (build_aggregator_parquet, build_grouped_parquet,
-                          walk_parquet_files)
+from .spark_build import (BuildResult, build_aggregator_parquet,
+                          build_grouped_parquet, walk_parquet_files)
 
 _MANIFEST_SCHEMA = "name string, seq long, file string, file_size long"
 
@@ -153,7 +153,8 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
                       extract_array=None, fanout: int | None = None,
                       n_slices: int | None = None,
                       rebuild: bool = False,
-                      meta: dict | None = None) -> IncrementalResult:
+                      meta: dict | None = None,
+                      builder=None) -> IncrementalResult:
     """Bring the published sketch ``name`` up to date with ``table_path``,
     scanning only files appended since the last call. Returns the current
     sketch either way; publishes a new seq only when there was new data.
@@ -170,6 +171,16 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
     merging mismatched configs raises, it never silently degrades.
     ``rebuild=True`` ignores the manifest, rescans everything, and resets
     the manifest at the new seq (the recovery path after a table rewrite).
+
+    ``builder`` generalizes the delta scan to ANY build path: a callable
+    ``(spark, file_list) -> BuildResult`` run over only the appended
+    files — e.g. a pairs build for weighted-item aggregators
+    (``lambda sp, fs: build_aggregator_pairs(sp.read.parquet(*fs),
+    key, weight, factory)``). It must be deterministic in the file list
+    and use the same factory configuration every call; when set,
+    values_col/extract_array/fanout/n_slices are ignored. An empty file
+    list is handled here (fresh empty sketch), so builders never see
+    zero files.
     """
     t0 = time.perf_counter()
     current = _current_files(table_path)
@@ -198,10 +209,18 @@ def incremental_build(spark: SparkSession, table_path: str, values_col: str,
             new_rows=0, wall_s=time.perf_counter() - t0,
             lineage=pd.DataFrame())
 
-    res = build_aggregator_parquet(
-        spark, table_path, values_col, factory, fanout=fanout,
-        n_slices=n_slices, extract_array=extract_array,
-        files=_abs_files(table_path, new))
+    abs_files = _abs_files(table_path, new)
+    if builder is not None:
+        if abs_files:
+            res = builder(spark, abs_files)
+        else:
+            res = BuildResult(sketch=factory(), lineage=pd.DataFrame(),
+                              n_rows=0, wall_s=0.0)
+    else:
+        res = build_aggregator_parquet(
+            spark, table_path, values_col, factory, fanout=fanout,
+            n_slices=n_slices, extract_array=extract_array,
+            files=abs_files)
     sketch = res.sketch
     if prev_seq is not None and not rebuild:
         base = prev[2]

@@ -470,6 +470,39 @@ def test_prune_table_epochs(spark, table, tmp_path):
         prune_table_epochs(spark, st, "tb", keep=0)
 
 
+def test_incremental_builder_hook_psample(spark, table, tmp_path):
+    """The builder hook generalizes maintenance to ANY build path: a
+    priority sample over (doc_id, n_tok) pairs is kept current across
+    appends, byte-identical to a from-scratch pairs build (PrioritySample
+    merges are idempotent and order-invariant)."""
+    from sketchlib.incremental import incremental_build
+    from sketchlib.psample import PrioritySample
+    from sketchlib.spark_build import build_aggregator_pairs
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    fac = functools.partial(PrioritySample, 64, 1337)
+
+    def builder(sp, files):
+        return build_aggregator_pairs(sp.read.parquet(*files),
+                                      "doc_id", "n_tok", fac)
+
+    incremental_build(spark, data, "unused", fac, store_path=store_path,
+                      name="ps", builder=builder)
+    _write_part(table, 1, rows=300, seed=22)
+    r = incremental_build(spark, data, "unused", fac,
+                          store_path=store_path, name="ps",
+                          builder=builder)
+    assert r.new_rows == 300
+    full = build_aggregator_pairs(spark.read.parquet(data),
+                                  "doc_id", "n_tok", fac)
+    assert r.sketch.to_bytes() == full.sketch.to_bytes()
+    # no-op is a no-op with the hook too
+    r2 = incremental_build(spark, data, "unused", fac,
+                           store_path=store_path, name="ps",
+                           builder=builder)
+    assert r2.no_op and r2.sketch.to_bytes() == full.sketch.to_bytes()
+
+
 def test_names_are_independent(spark, table, tmp_path):
     store_path = str(tmp_path / "store")
     data = str(table / "data")
