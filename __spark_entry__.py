@@ -1582,9 +1582,9 @@ def _q_incremental_table_sketch(spark, sf_dir):
                                         store_path=store, name="tb")
             full = build_sketch_table(spark.read.parquet(data),
                                       "tokens", CM_CFG)
-            ident = (sketch_from_table(r.table, CM_CFG).to_bytes()
-                     == sketch_from_table(full, CM_CFG).to_bytes())
             dense = sketch_from_table(r.table, CM_CFG)
+            ident = (dense.to_bytes()
+                     == sketch_from_table(full, CM_CFG).to_bytes())
             keys = (spark.read.parquet(data)
                     .select(F.explode("tokens").alias("t"))
                     .distinct().limit(10))
@@ -1707,11 +1707,18 @@ def _q_grouped_incremental_update(spark, sf_dir):
             rows.append((label, int(r.seq), int(r.new_rows),
                          int(r.updated_groups), len(loaded),
                          bool(r.new_rows == n_rows), bool(ident)))
+        # no-op: re-verify the PERSISTED state after the call too — a
+        # no-op path that republished or corrupted committed rows must
+        # fail here, not inherit the previous step's verdict
         r = incremental_build_grouped(spark, data, "source", "tokens", fac,
                                       store_path=store, name="per_src")
-        rows.append(("no_op", int(r.seq), 0, int(r.updated_groups),
-                     len(loaded),
-                     bool(r.no_op and r.updated_groups == 0), bool(ident)))
+        loaded = current_group_sketches(spark, store, "per_src")
+        ident = (set(full) == set(loaded) and all(
+            loaded[g].to_bytes() == b for g, b in full.items()))
+        rows.append(("no_op", int(r.seq), int(r.new_rows),
+                     int(r.updated_groups), len(loaded),
+                     bool(r.no_op and r.updated_groups == 0
+                          and r.new_rows == 0), bool(ident)))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -2685,7 +2692,12 @@ def _q_token_13gram_decontamination(spark, sf_dir):
              (c_sh.join(e_sh, "shingle", "left_semi")
               .groupBy("doc_id")
               .agg(F.count_distinct("shingle").alias("m")).collect())}
-    identical = (set(got) >= set(exact)
+    # identical must ALSO pin the row count to the distinct corpus docs:
+    # a regression that drops clean docs (inner instead of left join)
+    # would otherwise agree on every doc it still returns
+    n_corpus = int(corpus.select("doc_id").distinct().count())
+    identical = (len(got) == n_corpus
+                 and set(got) >= set(exact)
                  and all(got[d] == exact.get(d, 0) for d in got))
     contaminated = sum(1 for m in got.values() if m > 0)
     return spark.createDataFrame(
