@@ -76,6 +76,18 @@ def _cached_tmp(sf_dir: str, tag: str, write_fn) -> str:
     return path
 
 
+def _append_token_part(data: str, label: str, rows: int, seed: int) -> None:
+    """Simulate one append commit to a token table: a fresh deterministic
+    file landing in the table directory. generate_token_table writes
+    atomically (``.tmp`` + os.replace, and the in-flight ``.parquet.tmp``
+    is invisible to the manifest walker's ``.parquet`` filter), so the
+    maintenance calls never see a partial file — one helper instead of
+    five generate-into-scratch + shutil.move copies."""
+    from sketchlib.datagen import generate_token_table
+    generate_token_table(os.path.join(data, f"{label}.parquet"),
+                         rows=rows, seed=seed, dist="zipf")
+
+
 def _token_table_path(spark: SparkSession, sf_dir: str) -> str:
     """Tokenize-once materialization: documents.text -> the BASELINE.json
     input-hint token table (doc_id, tokens array<int>, n_tok, source) as
@@ -1457,7 +1469,6 @@ def _q_incremental_sketch_update(spark, sf_dir):
     import shutil
     import tempfile
     from sketchlib.countmin import CountMinSketch
-    from sketchlib.datagen import generate_token_table
     from sketchlib.hll import HllSketch
     from sketchlib.incremental import incremental_build
     from sketchlib.multi import MultiSketch
@@ -1474,9 +1485,7 @@ def _q_incremental_sketch_update(spark, sf_dir):
     try:
         rows, total = [], 0
         for label, n_rows, seed in steps:
-            generate_token_table(f"{root}/_p.parquet", rows=n_rows,
-                                 seed=seed, dist="zipf")
-            shutil.move(f"{root}/_p.parquet", f"{data}/{label}.parquet")
+            _append_token_part(data, label, n_rows, seed)
             total += n_rows
             r = incremental_build(spark, data, "tokens", fac,
                                   store_path=store, name="cm_hll")
@@ -1562,7 +1571,6 @@ def _q_incremental_table_sketch(spark, sf_dir):
     Rows-only: epoch/manifest round-trips aren't SQL-expressible."""
     import shutil
     import tempfile
-    from sketchlib.datagen import generate_token_table
     from sketchlib.incremental import incremental_build_table
     from sketchlib.spark_build import (build_sketch_table,
                                        point_query_table,
@@ -1575,9 +1583,7 @@ def _q_incremental_table_sketch(spark, sf_dir):
         rows_out = []
         for label, n_rows, seed in (("initial", 15000, 101),
                                     ("append", 5000, 202)):
-            generate_token_table(f"{root}/_p.parquet", rows=n_rows,
-                                 seed=seed, dist="zipf")
-            shutil.move(f"{root}/_p.parquet", f"{data}/{label}.parquet")
+            _append_token_part(data, label, n_rows, seed)
             r = incremental_build_table(spark, data, "tokens", CM_CFG,
                                         store_path=store, name="tb")
             full = build_sketch_table(spark.read.parquet(data),
@@ -1624,15 +1630,10 @@ def _q_snapshot_distinct_growth(spark, sf_dir):
     data, store = f"{root}/data", f"{root}/store"
     os.makedirs(data)
     try:
-        from sketchlib.datagen import generate_token_table
-        generate_token_table(f"{root}/_p.parquet", rows=12000,
-                             seed=111, dist="zipf")
-        shutil.move(f"{root}/_p.parquet", f"{data}/initial.parquet")
+        _append_token_part(data, "initial", 12000, 111)
         incremental_build(spark, data, "tokens", fac,
                           store_path=store, name="theta")
-        generate_token_table(f"{root}/_p.parquet", rows=4000,
-                             seed=222, dist="zipf")
-        shutil.move(f"{root}/_p.parquet", f"{data}/append.parquet")
+        _append_token_part(data, "append", 4000, 222)
         r1 = incremental_build(spark, data, "tokens", fac,
                                store_path=store, name="theta")
         delta_only = bool(r1.new_rows == 4000)
@@ -1676,7 +1677,6 @@ def _q_grouped_incremental_update(spark, sf_dir):
     import tempfile
     from sketchlib import serde
     from sketchlib.countmin import CountMinSketch
-    from sketchlib.datagen import generate_token_table
     from sketchlib.incremental import (current_group_sketches,
                                        incremental_build_grouped)
     from sketchlib.spark_build import build_grouped_parquet
@@ -1690,9 +1690,7 @@ def _q_grouped_incremental_update(spark, sf_dir):
     try:
         rows = []
         for label, n_rows, seed in steps:
-            generate_token_table(f"{root}/_p.parquet", rows=n_rows,
-                                 seed=seed, dist="zipf")
-            shutil.move(f"{root}/_p.parquet", f"{data}/{label}.parquet")
+            _append_token_part(data, label, n_rows, seed)
             r = incremental_build_grouped(
                 spark, data, "source", "tokens", fac,
                 store_path=store, name="per_src")
@@ -1743,7 +1741,6 @@ def _q_snapshot_diff_topk(spark, sf_dir):
     import tempfile
     import numpy as np
     from sketchlib.countmin import CountMinSketch
-    from sketchlib.datagen import generate_token_table
     from sketchlib.incremental import incremental_build, snapshot_diff
     from sketchlib.spark_build import build_aggregator_parquet
 
@@ -1752,12 +1749,10 @@ def _q_snapshot_diff_topk(spark, sf_dir):
     data, store = f"{root}/data", f"{root}/store"
     os.makedirs(data)
     try:
-        generate_token_table(f"{root}/_p.parquet", rows=20000, seed=111)
-        shutil.move(f"{root}/_p.parquet", f"{data}/initial.parquet")
+        _append_token_part(data, "initial", 20000, 111)
         incremental_build(spark, data, "tokens", fac,
                           store_path=store, name="cm")
-        generate_token_table(f"{root}/_p.parquet", rows=5000, seed=222)
-        shutil.move(f"{root}/_p.parquet", f"{data}/append.parquet")
+        _append_token_part(data, "append", 5000, 222)
         incremental_build(spark, data, "tokens", fac,
                           store_path=store, name="cm")
 
