@@ -532,7 +532,10 @@ def prune_table_epochs(spark: SparkSession, store_path: str, name: str,
     for d in os.listdir(root):
         if not d.startswith("seq="):
             continue
-        s = int(d.split("=", 1)[1])
+        try:
+            s = int(d.split("=", 1)[1])
+        except ValueError:
+            continue    # stray non-numeric dir (e.g. a leftover seq=tmp)
         if s <= epoch - keep:
             _shutil.rmtree(os.path.join(root, d), ignore_errors=True)
             pruned.append(s)

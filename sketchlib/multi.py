@@ -97,11 +97,19 @@ class MultiSketch:
         magic, ver, _pad, n = struct.unpack("<4sHHi", buf[:hs])
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad MultiSketch serialization")
+        if n < 0:
+            raise ValueError("truncated MultiSketch blob")
         off = hs
         parts = []
         for _ in range(n):
+            if off + 8 > len(buf):
+                raise ValueError("truncated MultiSketch blob")
             (ln,) = struct.unpack("<q", buf[off:off + 8])
             off += 8
+            # A corrupt length would mis-slice and surface as a confusing
+            # part-level serde error; fail on the clean truncation path.
+            if ln < 0 or off + ln > len(buf):
+                raise ValueError("truncated MultiSketch blob")
             parts.append(serde.loads(bytes(buf[off:off + ln])))
             off += ln
         if off != len(buf):

@@ -400,6 +400,12 @@ class PrioritySample:
             raise ValueError("truncated PrioritySample header")
         magic, ver, _pad, k, seed, n_items, tw_len, n = struct.unpack(
             "<4sHHqqqiq", buf[:hs])
+        if magic == _MAGIC and ver == 1:
+            # v1 blobs (header dq, float total-weight) may persist in
+            # older stores; give an actionable message, not "bad blob".
+            raise ValueError(
+                "unsupported PrioritySample serialization version 1 "
+                "(re-publish the sketch with the current library)")
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad PrioritySample serialization")
         if not 0 <= tw_len <= len(buf) - hs:

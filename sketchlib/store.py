@@ -357,6 +357,20 @@ def compact_store(spark: SparkSession, path: str) -> dict[str, dict]:
         pq.write_table(pa.Table.from_pandas(pdf, schema=t.schema,
                                             preserve_index=False),
                        out, compression="zstd")
+        # Durability ordering: the part-file unlinks below must not hit
+        # disk before the compacted file's data + its directory entry,
+        # or a power loss could persist the deletes first and lose the
+        # table. fsync the file, then the directory.
+        fd = os.open(out, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         # delete exactly the snapshot we read (plus spark's write markers
         # and checksum companions) — never a file that appeared since
         for p in parts:

@@ -454,6 +454,8 @@ def test_prune_table_epochs(spark, table, tmp_path):
         incremental_build_table(spark, data, "tokens", CFG,
                                 store_path=st, name="tb")
 
+    # a stray non-numeric seq dir (e.g. leftover seq=tmp) is skipped
+    os.makedirs(os.path.join(st, "tables", "tb", "seq=tmp"), exist_ok=True)
     assert prune_table_epochs(spark, st, "tb", keep=1) == [0, 1]
     with pytest.raises(KeyError, match="pruned"):
         snapshot_diff_table(spark, st, "tb", seq_old=0)

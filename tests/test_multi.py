@@ -201,3 +201,26 @@ def test_distributed_one_pass_build_matches_local(spark):
         assert k in survivors
         assert survivors[k] <= exact[k] <= survivors[k] + mg.error_bound()
     assert res.n_rows == len(vals)
+
+
+def test_corrupt_part_length_fails_cleanly():
+    """A corrupt part length must hit the clean truncation error, not
+    mis-slice into a confusing part-level serde failure."""
+    import struct
+
+    ms = MultiSketch(_factories())
+    buf = bytearray(ms.to_bytes())
+    hs = struct.calcsize("<4sHHi")
+    # oversize the first part's length beyond the blob
+    struct.pack_into("<q", buf, hs, len(buf) * 2)
+    with pytest.raises(ValueError, match="truncated MultiSketch"):
+        MultiSketch.from_bytes(bytes(buf))
+    # negative length
+    struct.pack_into("<q", buf, hs, -8)
+    with pytest.raises(ValueError, match="truncated MultiSketch"):
+        MultiSketch.from_bytes(bytes(buf))
+    # negative part count
+    buf2 = bytearray(ms.to_bytes())
+    struct.pack_into("<i", buf2, struct.calcsize("<4sHH"), -1)
+    with pytest.raises(ValueError, match="truncated MultiSketch"):
+        MultiSketch.from_bytes(bytes(buf2))

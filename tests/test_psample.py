@@ -262,3 +262,21 @@ def test_from_bytes_rejects_corrupt_tw_len():
         corrupt[tw_off:tw_off + 4] = struct.pack("<i", bad)
         with pytest.raises(ValueError, match="total-weight"):
             PrioritySample.from_bytes(bytes(corrupt))
+
+
+def test_version1_blob_gets_actionable_error():
+    """Old v1 blobs persisted in stores must fail with an explicit
+    unsupported-version message, not the generic corrupt-blob error."""
+    import struct
+
+    from sketchlib.psample import _MAGIC
+
+    ps = PrioritySample(k=4, seed=1)
+    buf = bytearray(ps.to_bytes())
+    struct.pack_into("<H", buf, 4, 1)   # rewrite version field to 1
+    with pytest.raises(ValueError, match="version 1"):
+        PrioritySample.from_bytes(bytes(buf))
+    # a genuinely wrong magic still reports the generic error
+    bad = b"XXXX" + bytes(buf[4:])
+    with pytest.raises(ValueError, match="bad PrioritySample"):
+        PrioritySample.from_bytes(bad)
