@@ -637,7 +637,8 @@ def _q_quantiles_sketch(spark, sf_dir):
     """n_chars quantiles from all three quantile sketches vs exact sort
     (rows-only; exact value included so the bound is visible)."""
     import functools
-    import numpy as np
+    import math as m
+    from pyspark.sql.window import Window
     from sketchlib.ddsketch import DDSketch
     from sketchlib.kll import KllSketch
     from sketchlib.tdigest import TDigest
@@ -646,11 +647,22 @@ def _q_quantiles_sketch(spark, sf_dir):
     dd = build_aggregator(docs, "n_chars", functools.partial(DDSketch, alpha=0.01)).sketch
     kll = build_aggregator(docs, "n_chars", functools.partial(KllSketch, k=200)).sketch
     td = build_aggregator(docs, "n_chars", functools.partial(TDigest, delta=200)).sketch
-    exact = np.sort(np.array([r["n_chars"] for r in docs.select("n_chars").collect()]))
+    # exact companion computed DISTRIBUTEDLY (the rank-pinned idiom of
+    # n_chars_quantiles) — only the six (q, value) rows reach the driver,
+    # never the column itself (a full collect would OOM at 100-TB scale)
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    n = docs.count()
+    s = docs.select(
+        "n_chars",
+        F.row_number().over(
+            Window.orderBy("n_chars", "doc_id")).alias("rn"))
+    tdf = spark.createDataFrame(
+        [(q, int(m.floor(q * (n - 1))) + 1) for q in qs], "q double, rn int")
+    exact = {r["q"]: float(r["n_chars"])
+             for r in s.join(F.broadcast(tdf), "rn").collect()}
     out = []
-    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
-        x = float(exact[int(q * (len(exact) - 1))])
-        out.append((q, x, float(dd.quantile(q)), float(kll.quantile(q)),
+    for q in qs:
+        out.append((q, exact[q], float(dd.quantile(q)), float(kll.quantile(q)),
                     float(td.quantile(q))))
     return spark.createDataFrame(
         out, "q double, exact double, dd_est double, kll_est double, td_est double")
@@ -2711,18 +2723,16 @@ def _q_cm_token_13grams(spark, sf_dir):
     scan through the same distributed build topology as unigrams —
     compose with bloom_antijoin over an exploded shingle table for the
     doc-level decontamination filter. Self-asserts per exact-top-20
-    shingle (exact counts from the unit-tested local extractor): CM est
-    >= exact within eps*(total shingles); MG sound. Rows-only:
-    hash-domain keys are not SQL-expressible."""
+    shingle (exact counts from the distributed shingle_table groupBy —
+    same hash stream, independent topology): CM est >= exact within
+    eps*(total shingles); MG sound. Rows-only: hash-domain keys are not
+    SQL-expressible."""
     import functools
-
-    import numpy as np
-    import pyarrow as pa
 
     from sketchlib.countmin import CountMinSketch
     from sketchlib.mg import MisraGries
     from sketchlib.multi import MultiSketch
-    from sketchlib.ngrams import array_ngrams, batch_ngrams
+    from sketchlib.ngrams import batch_ngrams, shingle_table
     from sketchlib.spark_build import build_aggregator
 
     N = 13
@@ -2735,19 +2745,19 @@ def _q_cm_token_13grams(spark, sf_dir):
         extract=functools.partial(batch_ngrams, n=N))
     cm, mg = res.sketch.parts
 
-    # exact companion: the same (unit-tested) extractor run locally over
-    # the collected token arrays — validates the DISTRIBUTED build+merge
-    # against a single-pass local count
-    local = pa.array([r["tokens"] for r in toks.select("tokens").collect()],
-                     type=pa.list_(pa.int32()))
-    keys = array_ngrams(local, N)
-    uniq, cnts = np.unique(keys, return_counts=True)
-    order = np.lexsort((uniq, -cnts))[:20]
+    # exact companion computed DISTRIBUTEDLY: the same hashed shingle
+    # stream via shingle_table (one mapInArrow pass), counted by a
+    # map-side-combined groupBy — only the top-20 rows reach the driver
+    # (collecting the raw token arrays would OOM at 100-TB scale)
+    top = (shingle_table(toks, "tokens", "doc_id", N)
+           .groupBy("shingle").count()
+           .orderBy(F.desc("count"), "shingle")
+           .limit(20).collect())
     bound = CM_CFG.eps * cm.total_count
     mg_bound = mg.error_bound()
     rows = []
-    for i in order:
-        k, exact = int(uniq[i]), int(cnts[i])
+    for r in top:
+        k, exact = int(r["shingle"]), int(r["count"])
         est = int(cm.point_query(k))
         mg_est = int(mg.point_query(k))
         rows.append((k, exact, est,

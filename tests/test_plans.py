@@ -320,3 +320,19 @@ def test_bucketed_join_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_no_unbounded_column_collect_in_entry_module():
+    """Driver-safety grep: no query body may collect a bare column
+    select (unbounded rows to the driver — an OOM at 100-TB scale).
+    Every .collect() must sit behind an aggregate, limit, top-k, join
+    against a bounded frame, or a KB-scale sketch/blob frame."""
+    import re
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    # collect() immediately chained onto a bare .select("col"[, "col"]) —
+    # the exact shape the r3 verdict flagged in quantiles_sketch
+    banned = re.compile(
+        r'\.select\(\s*"[A-Za-z_]+"\s*(,\s*"[A-Za-z_]+"\s*)*\)\s*\.collect\(\)')
+    hits = [m.group(0) for m in banned.finditer(src)]
+    assert not hits, hits
