@@ -2829,19 +2829,125 @@ def _q_cm_token_bigrams(spark, sf_dir):
               "mg_sound boolean")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
-    records correctness rows for at most the first 50 entries, so every
-    query with a DuckDB oracle must precede every rows-only one — the
-    registration order below is re-sorted (stably) so no oracle-eligible
-    query can fall outside the checked window. The window is now EXACTLY
-    full (50 oracled): adding a 51st oracled query would silently push
-    one outside the driver's check — tools/check_entry.py warns and
-    tools/sync_survey_inventory.py labels any overflow explicitly, so the
-    invariant is machine-checked, not just documented. Rows-only queries
-    (all past the window) are covered by pytest + the local gate, which
-    also enforces their self-assert flag columns."""
-    q = {
+# Self-assertion columns: rows-only sketch queries encode their own
+# guarantee as a boolean per row; selfcheck_summary and the local gate
+# (tools/check_entry.py) FAIL when any is false. Recall-style flags
+# (in_exact_topk) are NOT here — those are legitimately false for
+# approximate answers.
+SELF_ASSERT_COLS = {
+    "est_ge_exact", "within_bound", "guarantee_holds",
+    "matches_batch", "byte_identical", "delta_only", "probe_match",
+    "rawlog_equals_two_sketch", "tables_equal",
+    "equals_dense", "exact_recovery", "psd_ok",
+    "all_above_threshold", "all_dups_found",
+    "within_tol", "total_exact",          # psample
+    "join_identical", "pruned",           # bloom semijoin
+    "bounds_monotone", "all_rows_kept",   # range partitioner
+    "ranges_disjoint", "balanced",
+    "no_null_keys", "both_dims_prune",    # z-order layout
+    "plan_deterministic",
+    "anti_identical", "nonempty",         # bloom anti-join
+    "rerank_exact", "self_first",         # PQ ANN
+    "detection_sound",                    # skew-aware join
+    "est_tight", "hll_within_bound",      # join advisor
+    "strategy_valid",
+    "mg_sound", "no_false_negatives",     # corpus profile
+}
+
+# Number of (tail query, self-assert flag column) pairs — schema-level,
+# so it is the same at every sf. Pinned here AND in the DuckDB oracle:
+# registering a tail query with new flag columns without updating this
+# constant turns the selfcheck_summary driver row red (the local gate
+# catches the drift first).
+_TAIL_FLAG_COLS = 74
+
+_ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _norm_cell(v):
+    import datetime
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def _value_hash(rows, cols):
+    import hashlib
+    cols_sorted = sorted(cols)
+    lines = []
+    for row in rows:
+        d = dict(zip(cols, row))
+        lines.append("|".join(repr(d[c]) for c in cols_sorted))
+    lines.sort()
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def _q_selfcheck_summary(spark, sf_dir):
+    """Driver-visible roll-up of the tail past the 50-entry correctness
+    window (VERDICT r3 #2): every ``queries()`` entry from position 51 on
+    is RE-RUN here — each SELF_ASSERT_COLS flag column is checked on
+    every row, and any tail entry that also carries an ``oracle_sql()``
+    string (the one deliberate overflow, csv_source_stats) is compared
+    against DuckDB in-process with the driver's own protocol (row count,
+    column names, order-insensitive value hash). One deterministic row
+    comes back and the DuckDB oracle pins it to all-zeros/TRUE, so a
+    single broken invariant anywhere in the 51-query rows-only tail
+    turns THIS driver row red. Emitted counts are registry/schema-level
+    (row-count independent), so the oracle literals hold at every sf."""
+    import duckdb
+
+    tail = list(queries())[50:]
+    registry = _registry()
+    oracles = oracle_sql()
+
+    con = duckdb.connect()
+    for t in _ORACLE_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_flag_cols = n_false = n_ora = n_mismatch = 0
+    for name in tail:
+        df = registry[name](spark, sf_dir)
+        cols = df.columns
+        rows = [tuple(_norm_cell(v) for v in r) for r in df.collect()]
+        acols = [c for c in cols if c in SELF_ASSERT_COLS]
+        n_flag_cols += len(acols)
+        n_false += sum(1 for r in rows for c in acols
+                       if r[cols.index(c)] is False)
+        if name in oracles:
+            n_ora += 1
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(_norm_cell(v) for v in r) for r in res.fetchall()]
+            if (len(rows) != len(orows) or sorted(cols) != sorted(ocols)
+                    or _value_hash(rows, cols) != _value_hash(orows, ocols)):
+                n_mismatch += 1
+    row = (len(tail), n_flag_cols, n_false, n_ora, n_mismatch,
+           bool(n_false == 0 and n_mismatch == 0))
+    return spark.createDataFrame(
+        [row], "n_queries long, n_flag_cols long, n_false long, "
+               "n_oracle_checked long, n_oracle_mismatch long, "
+               "all_true boolean")
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Raw name -> callable registry in registration order (the stable
+    sort in queries() keeps this order within the oracled and rows-only
+    groups). csv_source_stats is registered LAST among the oracled
+    entries ON PURPOSE: with 51 oracled queries and a 50-entry driver
+    window, exactly one must overflow — it is the least marginal (the
+    jsonl twin stays in the window) and selfcheck_summary re-checks it
+    against its DuckDB oracle in-process, so it keeps an indirect
+    driver verdict."""
+    return {
         "word_freq_exact": _q_word_freq_exact,
         "source_doc_stats": _q_source_doc_stats,
         "exact_dedup": _q_exact_dedup,
@@ -2911,7 +3017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "clicks_no_purchase_30m": _q_clicks_no_purchase,
         "jsonl_source_stats": _q_jsonl_source_stats,
-        "csv_source_stats": _q_csv_source_stats,
         "bucketed_join_agg": _q_bucketed_join_agg,
         "lineitem_cube": _q_lineitem_cube,
         "event_running_totals": _q_event_running_totals,
@@ -2943,13 +3048,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_token_bigrams": _q_cm_token_bigrams,
         "cm_token_13grams": _q_cm_token_13grams,
         "token_13gram_decontamination": _q_token_13gram_decontamination,
+        "selfcheck_summary": _q_selfcheck_summary,
+        # LAST oracled on purpose — the deliberate window overflow
+        # (see the docstring above)
+        "csv_source_stats": _q_csv_source_stats,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
+    records correctness rows for at most the first 50 entries, so the
+    registration order is re-sorted (stably) oracled-first. There are 51
+    oracled queries: 50 fill the window exactly and csv_source_stats is
+    the one deliberate overflow — selfcheck_summary (inside the window)
+    re-runs EVERYTHING past position 50, enforcing the rows-only tail's
+    self-assert flag columns and csv_source_stats's DuckDB oracle, so
+    the whole tail is visible to the driver's hard signal through one
+    pinned row. tools/check_entry.py and tools/sync_survey_inventory.py
+    machine-check the window arithmetic."""
+    q = _registry()
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "word_freq_exact": """
             SELECT word, COUNT(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -3564,3 +3687,21 @@ def oracle_sql() -> dict[str, str]:
         # lsh / multimodal: engine-specific (sketch estimates, seeded hash
         # families, stubbed decode) -> rows-only checks
     }
+    # selfcheck_summary literals derived from the registry itself so the
+    # expected counts cannot drift from the code: mirror queries()'s
+    # stable oracled-first sort to find the tail past the 50-entry window
+    names = list(_registry())
+    oracled = set(d) | {"selfcheck_summary"}
+    ordered = sorted(names, key=lambda n: n not in oracled)
+    tail = ordered[50:]
+    n_tail = len(tail)
+    n_ora = sum(1 for n in tail if n in d)
+    d["selfcheck_summary"] = f"""
+        SELECT CAST({n_tail} AS BIGINT) AS n_queries,
+               CAST({_TAIL_FLAG_COLS} AS BIGINT) AS n_flag_cols,
+               CAST(0 AS BIGINT) AS n_false,
+               CAST({n_ora} AS BIGINT) AS n_oracle_checked,
+               CAST(0 AS BIGINT) AS n_oracle_mismatch,
+               TRUE AS all_true
+    """
+    return d

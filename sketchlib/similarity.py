@@ -498,7 +498,9 @@ def ivfpq_write_index(df: DataFrame, vec_col: str, id_col: str,
 
 def ivfpq_append_index(df: DataFrame, vec_col: str, id_col: str,
                        centroids: np.ndarray, codebooks: np.ndarray,
-                       path: str) -> None:
+                       path: str, *, min_recall: float | None = None,
+                       drift_queries: int = 16, drift_k: int = 10,
+                       n_probe: int = 4, rerank: int = 64) -> None:
     """Incremental maintenance for the IVF-PQ layout: encode NEW vectors
     with the index's FROZEN centroids/codebooks and append their code
     files into the existing cell partitions — existing data is never
@@ -508,16 +510,35 @@ def ivfpq_append_index(df: DataFrame, vec_col: str, id_col: str,
     incremental_build: a daily embedding append costs one encode pass
     over the delta.
 
-    Caveat (inherent to every frozen-model ANN index): if the appended
-    distribution drifts far from the training sample, recall for the new
-    vectors degrades — retrain and ivfpq_write_index (the rebuild=True
-    of this path) when cell occupancy skews."""
+    Frozen-model drift (inherent to every frozen-model ANN index): if
+    the appended distribution drifts far from the training sample,
+    recall for the new vectors degrades silently. Pass ``min_recall`` to
+    run ivfpq_drift_check on the delta BEFORE anything is written: a
+    delta whose self-recall under the frozen models falls below the
+    threshold is REFUSED (ValueError) with the re-train path — retrain
+    (train_ivf_centroids + pq_train over old ∪ new) and rebuild via
+    ivfpq_write_index. In-distribution appends pass untouched."""
+    if min_recall is not None:
+        rep = ivfpq_drift_check(df, vec_col, id_col, centroids, codebooks,
+                                n_queries=drift_queries, k=drift_k,
+                                n_probe=n_probe, rerank=rerank)
+        if rep["recall"] < min_recall:
+            raise ValueError(
+                f"ivfpq_append_index refused: frozen-model recall on the "
+                f"appended delta is {rep['recall']:.3f} < min_recall="
+                f"{min_recall} ({rep['n_queries']} probe queries, "
+                f"k={rep['k']}) — the delta's distribution has drifted "
+                "from the index's training sample. Re-train path: "
+                "train_ivf_centroids + pq_train over old ∪ new, then "
+                "rebuild with ivfpq_write_index.")
     _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path,
                  mode="append")
 
 
-def _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path, *,
-                 mode: str) -> None:
+def _ivfpq_encode(df, vec_col, id_col, centroids, codebooks) -> DataFrame:
+    """(id, code binary, cell int): one mapInPandas pass computes each
+    Arrow batch's PQ codes AND coarse cell (reading the raw vectors
+    once); shared by the index writers and the drift detector."""
     cb = codebooks
     C = np.asarray(centroids, dtype=np.float64)
 
@@ -530,10 +551,62 @@ def _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path, *,
                                 "code": [c.tobytes() for c in codes],
                                 "cell": _cell_block(X, C)})
 
-    (df.select(id_col, vec_col)
-     .mapInPandas(fn, schema=f"{id_col} {_id_type(df, id_col)}, "
-                             "code binary, cell int")
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} {_id_type(df, id_col)}, code binary, cell int")
+
+
+def _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path, *,
+                 mode: str) -> None:
+    (_ivfpq_encode(df, vec_col, id_col, centroids, codebooks)
      .write.mode(mode).partitionBy("cell").parquet(path))
+
+
+def ivfpq_drift_check(delta_df: DataFrame, vec_col: str, id_col: str,
+                      centroids: np.ndarray, codebooks: np.ndarray, *,
+                      n_queries: int = 16, k: int = 10, n_probe: int = 4,
+                      rerank: int = 64, seed: int = 1337) -> dict:
+    """Measure how well the index's FROZEN centroids/codebooks serve the
+    appended delta (VERDICT r3 #5). For a deterministic sample of the
+    delta's own vectors (ordered by xxhash64(id, seed) — re-runs probe
+    the same rows regardless of partition layout), run the full IVF-PQ
+    query shape (coarse-cell probe → ADC shortlist → exact re-rank) over
+    the delta encoded with the frozen models, and compare against the
+    brute-force exact top-k over the same delta. Returns
+    {"recall": mean, "per_query": [...], "n_queries", "k"}.
+
+    Why self-recall detects drift: in-distribution vectors spread over
+    the trained cells and quantize near their codewords, so the probe
+    finds them (recall ≈ 1). A shifted distribution collapses into few
+    (wrong) cells and its PQ codes degenerate — ADC distances stop
+    discriminating, the shortlist misses true neighbors, recall drops.
+    Cost: one encode pass over the delta plus n_queries KB-scale top-k
+    jobs — O(delta), never touches the existing index."""
+    codes = _ivfpq_encode(delta_df, vec_col, id_col, centroids,
+                          codebooks).cache()
+    sample = (delta_df.select(id_col, vec_col)
+              .filter(F.col(vec_col).isNotNull())
+              .orderBy(F.xxhash64(F.col(id_col).cast("string"),
+                                  F.lit(seed)))
+              .limit(n_queries).collect())
+    per_query = []
+    for r in sample:
+        q = np.asarray(r[vec_col], dtype=np.float64)
+        cells = [int(c) for c in _probe_cells(q, centroids, n_probe)]
+        cand = codes.filter(F.col("cell").isin(cells))
+        ann = {row[id_col] for row in
+               pq_topk_rerank(delta_df, cand, vec_col, id_col, q,
+                              codebooks, k=k, rerank=rerank).collect()}
+        dist = F.aggregate(
+            F.zip_with(vec_col, _lit_vec(q), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        exact = {row[id_col] for row in
+                 delta_df.select(id_col, dist.alias("d"))
+                 .orderBy("d", id_col).limit(k).collect()}
+        per_query.append(len(ann & exact) / k)
+    codes.unpersist()
+    recall = float(np.mean(per_query)) if per_query else 1.0
+    return {"recall": recall, "per_query": per_query,
+            "n_queries": len(per_query), "k": k}
 
 
 def ivfpq_topk(spark, index_path: str, df: DataFrame, vec_col: str,

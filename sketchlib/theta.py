@@ -178,7 +178,7 @@ class ThetaSketch:
         return ThetaSketch(k=k, seed=seed, values=vals, n_items=n_items)
 
 
-def overlap_matrix(sketches: dict) -> list[tuple]:
+def overlap_matrix(sketches: dict, max_groups: int = 1024) -> list[tuple]:
     """Pairwise set-overlap estimates across named Theta sketches:
     [(a, b, est_union, est_intersection, est_jaccard)] for every a < b
     in sorted-name order. G per-group sketches from ONE grouped scan
@@ -187,7 +187,19 @@ def overlap_matrix(sketches: dict) -> list[tuple]:
     self-join per pair (or one G^2 shuffle) over the raw corpus. Each
     estimate carries the usual KMV bound: error <= ~1/sqrt(k-2) of the
     UNION size (intersection/difference error scales with the union's
-    sample, not their own)."""
+    sample, not their own).
+
+    DRIVER-LOCAL and O(G^2) by design — right at G<=~10^3 group counts
+    (sources, languages), the wrong shape at G=10^4+ where the pair
+    space alone is 5*10^7 numpy set ops in driver Python. ``max_groups``
+    guards that cliff; past it use ``overlap_matrix_df``, which keeps
+    the pair space distributed."""
+    if len(sketches) > max_groups:
+        raise ValueError(
+            f"overlap_matrix is driver-local O(G^2); G={len(sketches)} "
+            f"exceeds max_groups={max_groups} — use "
+            "sketchlib.theta.overlap_matrix_df for a distributed pair "
+            "evaluation (or raise max_groups deliberately)")
     names = sorted(sketches)
     out = []
     for i, a in enumerate(names):
@@ -195,4 +207,119 @@ def overlap_matrix(sketches: dict) -> list[tuple]:
             u = sketches[a].estimate_union(sketches[b])
             x = sketches[a].estimate_intersection(sketches[b])
             out.append((a, b, u, x, (x / u if u > 0 else 0.0)))
+    return out
+
+
+def overlap_matrix_df(gdf, key_col: str = "key", sketch_col: str = "sketch",
+                      min_jaccard: float | None = None):
+    """Distributed ``overlap_matrix`` over a (key, theta-sketch blob)
+    DataFrame — the shape ``spark_build.build_grouped_aggregator``
+    emits. Neither the G^2 pair space nor the G*k hash samples ever
+    land on the driver, so G=10^4 groups (10^8 pairs) stay a Spark
+    problem: the samples explode to (key, hash) rows via ONE
+    mapInPandas pass, shared hashes pair up through a self equi-JOIN on
+    the hash value (output size = the true number of sample
+    collisions, not G^2*k), and the full pair matrix is a cross join
+    of the G-row per-key count frame — G^2 rows of tiny ints,
+    distributed.
+
+    Estimator note: every sample is cut to the GLOBAL minimum theta
+    (the standard common-theta KMV composition) rather than
+    overlap_matrix's per-pair min(theta_a, theta_b). Identical results
+    while no sketch is saturated (exact mode); once saturated the
+    estimates stay unbiased KMV estimates with a somewhat wider
+    variance (the effective sample per pair is k * theta*/theta_pair).
+    Hash values travel as order-preserving signed int64 (u64 XOR 2^63)
+    because Spark has no unsigned type.
+
+    Returns a DataFrame (a, b, est_union, est_intersection,
+    est_jaccard) for every key pair a < b, optionally filtered to
+    est_jaccard >= min_jaccard (at large G the full matrix is rarely
+    what downstream wants — the thresholded variant never materializes
+    the zero-overlap pairs)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import serde
+
+    gdf = gdf.select(F.col(key_col).alias("key"),
+                     F.col(sketch_col).alias("sketch"))
+
+    def meta_fn(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for key, blob in zip(pdf["key"], pdf["sketch"]):
+                sk = serde.loads(bytes(blob))
+                if not isinstance(sk, ThetaSketch):
+                    raise TypeError(
+                        f"overlap_matrix_df needs ThetaSketch blobs, got "
+                        f"{type(sk).__name__}")
+                t = sk._theta_u64()
+                # u64 -> order-preserving i64: subtract 2^63 (same map as
+                # the XOR+view on the numpy side)
+                ts = None if t is None else int(t) - (1 << 63)
+                rows.append((key, ts, sk.k, sk.seed))
+            yield pd.DataFrame(rows, columns=["key", "theta_s", "k", "seed"])
+
+    meta = (gdf.mapInPandas(meta_fn,
+                            "key string, theta_s long, k int, seed long")
+            .cache())
+    cfgs = meta.select("k", "seed").distinct().collect()
+    if len(cfgs) > 1:
+        meta.unpersist()
+        raise ValueError(f"ThetaSketch configs differ across groups: "
+                         f"{[(r['k'], r['seed']) for r in cfgs]}")
+    cut_row = meta.agg(F.min("theta_s").alias("c"),
+                       F.count("theta_s").alias("n_sat")).collect()[0]
+    # global cut theta*: None while EVERY sketch is exact (min over no
+    # saturated sketches); matches ThetaSketch._common_cut semantics
+    cut_s = int(cut_row["c"]) if cut_row["n_sat"] > 0 else None
+    # undo the i64 shift for the scale; same float64 arithmetic as
+    # _scaled_count (count / (theta_u64 / 2^64))
+    scale = 1.0 if cut_s is None else float(cut_s + (1 << 63)) / _FULL
+
+    def values_fn(pdfs):
+        for pdf in pdfs:
+            keys, vals = [], []
+            for key, blob in zip(pdf["key"], pdf["sketch"]):
+                sk = serde.loads(bytes(blob))
+                v = (sk.values ^ np.uint64(1 << 63)).view(np.int64)
+                if cut_s is not None:
+                    v = v[v < cut_s]     # strictly below, as _scaled_count
+                keys.extend([key] * v.shape[0])
+                vals.append(v)
+            yield pd.DataFrame({
+                "key": pd.Series(keys, dtype=object),
+                "v": np.concatenate(vals) if vals else
+                     np.empty(0, dtype=np.int64)})
+
+    values = gdf.mapInPandas(values_fn, "key string, v long")
+    counts = (meta.select("key")
+              .join(values.groupBy("key").agg(F.count("*").alias("n")),
+                    "key", "left")
+              .select("key", F.coalesce("n", F.lit(0)).alias("n")))
+
+    inter = (values.alias("x").join(values.alias("y"), "v")
+             .filter(F.col("x.key") < F.col("y.key"))
+             .groupBy(F.col("x.key").alias("a"), F.col("y.key").alias("b"))
+             .agg(F.count("*").alias("ni")))
+
+    ca = counts.select(F.col("key").alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("key").alias("b"), F.col("n").alias("nb"))
+    pairs = (ca.crossJoin(cb).filter(F.col("a") < F.col("b"))
+             .join(inter, ["a", "b"], "left")
+             .select("a", "b", "na", "nb",
+                     F.coalesce("ni", F.lit(0)).alias("ni")))
+    out = (pairs
+           .select("a", "b",
+                   ((F.col("na") + F.col("nb") - F.col("ni")) / F.lit(scale))
+                   .alias("est_union"),
+                   (F.col("ni") / F.lit(scale)).alias("est_intersection"))
+           .withColumn("est_jaccard",
+                       F.when(F.col("est_union") > 0,
+                              F.col("est_intersection") / F.col("est_union"))
+                       .otherwise(F.lit(0.0))))
+    if min_jaccard is not None:
+        out = out.filter(F.col("est_jaccard") >= min_jaccard)
+    meta.unpersist()
     return out

@@ -417,3 +417,90 @@ def test_theta_overlap_matrix_bound():
         assert abs(est_u - exact_u) <= tol, (a, b, est_u, exact_u)
         assert abs(est_i - exact_i) <= tol, (a, b, est_i, exact_i)
         assert abs(est_j - exact_i / exact_u) <= 5 * rse, (a, b)
+
+
+def test_theta_overlap_matrix_driver_guard():
+    """overlap_matrix is driver-local O(G^2): past max_groups it must
+    refuse with a pointer at the distributed variant."""
+    from sketchlib.theta import ThetaSketch, overlap_matrix
+    sk = {f"g{i}": ThetaSketch(8) for i in range(12)}
+    with pytest.raises(ValueError, match="overlap_matrix_df"):
+        overlap_matrix(sk, max_groups=10)
+    assert len(overlap_matrix(sk, max_groups=12)) == 66
+
+
+def _theta_blob_df(spark, sets, k=256):
+    from sketchlib.theta import ThetaSketch
+    rows, sk = [], {}
+    for name, vals in sets.items():
+        t = ThetaSketch(k)
+        t.update_batch(np.asarray(vals, dtype=np.int64))
+        sk[name] = t
+        rows.append((name, bytearray(t.to_bytes())))
+    return (spark.createDataFrame(rows, "key string, sketch binary")
+            .repartition(5), sk)
+
+
+def test_theta_overlap_matrix_df_equals_driver_in_exact_mode(spark):
+    """While no sketch is saturated both variants are EXACT set algebra,
+    so the distributed pair evaluation must reproduce the driver loop
+    bit-for-bit (union, intersection, jaccard) for every pair."""
+    from sketchlib.theta import overlap_matrix, overlap_matrix_df
+    rng = np.random.default_rng(11)
+    sets = {f"s{i:02d}": rng.choice(5_000, size=150, replace=False)
+            for i in range(12)}
+    df, sk = _theta_blob_df(spark, sets, k=256)
+    got = {(r["a"], r["b"]): (r["est_union"], r["est_intersection"],
+                              r["est_jaccard"])
+           for r in overlap_matrix_df(df).collect()}
+    want = {(a, b): (u, i, j) for a, b, u, i, j in overlap_matrix(sk)}
+    assert set(got) == set(want)
+    for pair, (u, i, j) in want.items():
+        gu, gi, gj = got[pair]
+        assert (gu, gi) == (u, i), pair
+        assert gj == pytest.approx(j)
+
+
+def test_theta_overlap_matrix_df_saturated_within_bound(spark):
+    """Saturated sketches: the common-theta estimates stay within the
+    KMV bound of the exact overlaps (wider variance than the per-pair
+    cut is fine; bias is not)."""
+    from sketchlib.theta import overlap_matrix_df
+    rng = np.random.default_rng(13)
+    universe = rng.choice(5_000_000, size=120_000, replace=False)
+    sets = {f"s{i}": universe[rng.random(len(universe)) < p]
+            for i, p in enumerate((0.3, 0.35, 0.4, 0.5))}
+    df, sk = _theta_blob_df(spark, sets, k=4096)
+    rse = next(iter(sk.values())).rse()
+    rows = overlap_matrix_df(df).collect()
+    assert len(rows) == 6
+    for r in rows:
+        ea = set(sets[r["a"]].tolist())
+        eb = set(sets[r["b"]].tolist())
+        exact_u, exact_i = len(ea | eb), len(ea & eb)
+        tol = 6 * rse * exact_u
+        assert abs(r["est_union"] - exact_u) <= tol, (r, exact_u)
+        assert abs(r["est_intersection"] - exact_i) <= tol, (r, exact_i)
+
+
+def test_theta_overlap_matrix_df_large_g_bounded_driver(spark):
+    """G=2000 groups -> 1,999,000 pairs stay distributed: the full
+    matrix is only ever counted, never collected; a thresholded slice
+    returns exactly the planted high-overlap pairs."""
+    from sketchlib.theta import overlap_matrix_df
+    rng = np.random.default_rng(17)
+    base = rng.choice(1_000_000, size=400, replace=False)
+    sets = {}
+    for i in range(2000):
+        own = rng.choice(1_000_000, size=40, replace=False)
+        # groups 0/1 and 2/3 share a large planted core; the rest are
+        # near-disjoint random picks
+        sets[f"g{i:04d}"] = (np.concatenate([base, own])
+                             if i < 4 else own)
+    df, _ = _theta_blob_df(spark, sets, k=128)
+    out = overlap_matrix_df(df, min_jaccard=0.5)
+    hot = {(r["a"], r["b"]) for r in out.collect()}
+    expect = {(f"g{a:04d}", f"g{b:04d}")
+              for a in range(4) for b in range(4) if a < b}
+    assert hot == expect
+    assert overlap_matrix_df(df).count() == 2000 * 1999 // 2
