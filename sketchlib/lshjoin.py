@@ -39,43 +39,71 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def bucket_candidate_pairs(buckets: DataFrame, bucket_cols: list[str],
-                           id_col: str, *,
-                           cap: int | None = 256) -> DataFrame:
+                           id_col: str, *, cap: int | None = 256,
+                           payload_cols: list[str] | None = None
+                           ) -> DataFrame:
     """DISTINCT (id_a, id_b) candidate pairs (id_a < id_b) from LSH bucket
     rows, with the per-bucket skew cap described in the module docstring.
     ``cap=None`` disables the cap entirely: exact all-pairs-per-bucket
     semantics (the provable-completeness mode), at the cost of O(n^2)
     candidates from a pathological bucket.
 
+    ``payload_cols``: per-id columns (functionally dependent on id_col,
+    e.g. the SimHash fingerprint) carried through to the output as
+    ``<col>_a`` / ``<col>_b`` — callers that need both sides' payloads
+    for verification get them from the SAME shuffle instead of two
+    re-attach joins on id afterwards (which cost ~2x the candidate join
+    itself at bench scale; VERDICT r3 #3). Hub payloads for over-cap
+    star pairs ride the same window pass via min_by.
+
     The window aggregates (count/min per bucket) shuffle on the same key
     as the join itself, so no extra exchange shape is introduced; a hot
     bucket lands in one task but does only linear work there.
     """
+    pay = list(payload_cols or [])
+
+    def side(df, tag):
+        cols = [F.col(id_col).alias(f"id_{tag}")]
+        cols += [F.col(c).alias(f"{c}_{tag}") for c in pay]
+        return df.select(*cols)
+
     if cap is None:
-        a = buckets.select(id_col, *bucket_cols).alias("a")
-        b = buckets.select(id_col, *bucket_cols).alias("b")
+        a = buckets.select(id_col, *pay, *bucket_cols).alias("a")
+        b = buckets.select(id_col, *pay, *bucket_cols).alias("b")
         cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
         cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         return (a.join(b, cond)
                 .select(F.col(f"a.{id_col}").alias("id_a"),
-                        F.col(f"b.{id_col}").alias("id_b")).distinct())
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        *[F.col(f"a.{c}").alias(f"{c}_a") for c in pay],
+                        *[F.col(f"b.{c}").alias(f"{c}_b") for c in pay])
+                .distinct())
     if cap < 2:
         raise ValueError("cap must be >= 2")
     w = Window.partitionBy(*bucket_cols)
-    sized = (buckets.select(id_col, *bucket_cols)
+    sized = (buckets.select(id_col, *pay, *bucket_cols)
              .withColumn("_bsz", F.count(F.lit(1)).over(w))
              .withColumn("_bmin", F.min(id_col).over(w)))
-    small = sized.filter(F.col("_bsz") <= cap).drop("_bsz", "_bmin")
+    for c in pay:
+        # the hub's payload from the same single Window pass
+        sized = sized.withColumn(f"_bmin_{c}",
+                                 F.min_by(c, id_col).over(w))
+    small = sized.filter(F.col("_bsz") <= cap)
     a = small.alias("a")
     b = small.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     small_pairs = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"))
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in pay],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in pay])
     big_pairs = (sized
                  .filter((F.col("_bsz") > cap)
                          & (F.col(id_col) != F.col("_bmin")))
                  .select(F.col("_bmin").alias("id_a"),
-                         F.col(id_col).alias("id_b")))
+                         F.col(id_col).alias("id_b"),
+                         *[F.col(f"_bmin_{c}").alias(f"{c}_a")
+                           for c in pay],
+                         *[F.col(c).alias(f"{c}_b") for c in pay]))
     return small_pairs.unionByName(big_pairs).distinct()

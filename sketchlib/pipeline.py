@@ -345,15 +345,20 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         return F.struct(F.lit(i).alias("blk"), bv.alias("bv"))
 
     blocks = fps.select(
-        id_col, F.explode(F.array(*[block(i) for i in range(n_blocks)])).alias("b")
-    ).select(id_col, F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+        id_col, "simhash",
+        F.explode(F.array(*[block(i) for i in range(n_blocks)])).alias("b")
+    ).select(id_col, "simhash",
+             F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    # fingerprints ride the candidate shuffle as payload columns — two
+    # re-attach joins on id_a/id_b here cost ~2x the candidate join
+    # itself (the r3 bench regression; VERDICT r3 #3)
     cand = bucket_candidate_pairs(blocks, ["blk", "bv"], id_col,
-                                  cap=bucket_cap)
-    ha = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
-    hb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
-    return (cand.join(ha, "id_a").join(hb, "id_b")
-            .withColumn(
-                "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+                                  cap=bucket_cap,
+                                  payload_cols=["simhash"])
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("simhash_a")
+                                    .bitwiseXOR(F.col("simhash_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
 

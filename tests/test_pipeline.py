@@ -577,3 +577,24 @@ def test_curate_corpus_stages(spark):
     # sampling threshold '00' keeps nothing
     assert P.curate_corpus(df, min_score=70,
                            sample_threshold_hex="00").count() == 0
+
+
+def test_bucket_candidate_pairs_payload(spark):
+    """payload_cols ride the candidate shuffle: both sides' payloads come
+    back as <col>_a / <col>_b, including the HUB payload on over-cap star
+    pairs (min_by in the same window pass); identical in capped and
+    uncapped modes."""
+    from sketchlib.lshjoin import bucket_candidate_pairs
+    rows = ([(i, 0, 100 + i) for i in range(3)]
+            + [(10 + i, 1, 200 + i) for i in range(6)])
+    df = spark.createDataFrame(rows, "doc_id long, bh long, fp long")
+    for cap in (4, None):
+        got = {(r["id_a"], r["id_b"]): (r["fp_a"], r["fp_b"]) for r in
+               bucket_candidate_pairs(df, ["bh"], "doc_id", cap=cap,
+                                      payload_cols=["fp"]).collect()}
+        for (ia, ib), (fa, fb) in got.items():
+            want = {i: 100 + i for i in range(3)}
+            want.update({10 + i: 200 + i for i in range(6)})
+            assert (fa, fb) == (want[ia], want[ib]), (ia, ib, fa, fb)
+        if cap == 4:
+            assert (10, 12) in got and got[(10, 12)] == (200, 202)

@@ -37,9 +37,14 @@ def main() -> None:
         HEADER,
         "",
         f"{n_total} queries, {n_oracle} oracle-checked; oracle-checked "
-        "entries are ordered FIRST so all fit the driver's "
-        f"{DRIVER_WINDOW}-entry correctness window (the {n_tail} overflow "
-        "entries are rows-only, covered by pytest + tools/check_entry.py).",
+        "entries are ordered FIRST to fill the driver's "
+        f"{DRIVER_WINDOW}-entry correctness window exactly. Every entry "
+        f"past the window ({n_tail} of them) is RE-RUN driver-side by "
+        "`selfcheck_summary` (the window's 50th entry): self-assert flag "
+        "columns are enforced and the one deliberately-overflowed oracled "
+        "query is DuckDB-checked in-process, so one pinned driver row "
+        "goes red if any tail invariant breaks (plus pytest + "
+        "tools/check_entry.py locally).",
         "",
         "| # | query | check | summary |",
         "|---|---|---|---|",
@@ -48,14 +53,14 @@ def main() -> None:
         if name in oracles and i <= DRIVER_WINDOW:
             check = "oracle (DuckDB value-hash)"
         elif name in oracles:
-            # oracled but past the driver's window: the oracle runs only
-            # in the local gate — label it so the table never overstates
-            # the hard signal
-            check = "oracle (LOCAL GATE ONLY — outside driver window)"
+            # oracled but past the driver's window: its oracle runs
+            # inside selfcheck_summary (driver-visible through that
+            # row) and in the local gate
+            check = "oracle (via selfcheck_summary + local gate)"
         elif i <= DRIVER_WINDOW:
             check = "rows-only (driver-run)"
         else:
-            check = "rows-only (unchecked tail)"
+            check = "rows-only (self-asserts via selfcheck_summary)"
         summary = first_line(fn).replace("|", "\\|")
         lines.append(f"| {i} | `{name}` | {check} | {summary} |")
 
