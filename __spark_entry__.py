@@ -1571,6 +1571,82 @@ def _q_source_overlap_matrix(spark, sf_dir):
     ).orderBy("source_a", "source_b")
 
 
+def _q_source_overlap_matrix_spark(spark, sf_dir):
+    """Distributed cross-source overlap matrix (theta.overlap_matrix_df,
+    VERDICT r3 #6): the G^2 pair space stays in Spark — samples explode
+    to (key, hash) rows, shared hashes meet in a self equi-join, counts
+    cross-join into the matrix — so G=10^4 sources is the same plan, not
+    a 5*10^7-iteration driver loop. At this fixture's vocabulary the
+    sketches are in exact mode, where the common-theta estimator is
+    bit-equal to the driver loop: every pair self-asserts equality
+    (matches_driver) against overlap_matrix run on the identical
+    collected sketches. Rows-only: bottom-k hash samples are not
+    SQL-expressible."""
+    import functools
+    from sketchlib import serde
+    from sketchlib.spark_build import build_grouped_aggregator
+    from sketchlib.theta import (ThetaSketch, overlap_matrix,
+                                 overlap_matrix_df)
+
+    toks = _tokenized_docs(spark, sf_dir)
+    gdf = build_grouped_aggregator(toks, "source", "tokens",
+                                   functools.partial(ThetaSketch, 4096))
+    dist = {(r["a"], r["b"]): (r["est_union"], r["est_intersection"],
+                               r["est_jaccard"])
+            for r in overlap_matrix_df(
+                gdf.select(F.col("key").cast("string").alias("key"),
+                           "sketch")).collect()}
+    sketches = {str(r["key"]): serde.loads(bytes(r["sketch"]))
+                for r in gdf.collect()}
+    rows = []
+    for a, b, u, x, j in overlap_matrix(sketches):
+        du, dx, dj = dist[(a, b)]
+        rows.append((a, b, float(dx), round(float(dj), 6),
+                     bool(du == u and dx == x and abs(dj - j) < 1e-9)))
+    return spark.createDataFrame(
+        rows, "source_a string, source_b string, est_intersection double, "
+              "est_jaccard double, matches_driver boolean"
+    ).orderBy("source_a", "source_b")
+
+
+def _q_ivfpq_drift_gate(spark, sf_dir):
+    """IVF-PQ frozen-model drift gate (similarity.ivfpq_drift_check,
+    VERDICT r3 #5): an index trained on part of the embeddings table is
+    probed with two appended deltas — the table's own remaining vectors
+    (in-distribution) and a deterministic wide-Gaussian shift. The gate
+    must stay SILENT on the first (in_dist_silent) and FIRE on the
+    second (drift_detected), i.e. refuse the append with the re-train
+    path before any index file is written. One row; rows-only: recall of
+    a seeded ANN probe is not SQL-expressible."""
+    import numpy as np
+    from sketchlib.similarity import (ivfpq_drift_check, pq_train,
+                                      train_ivf_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter(F.col("vec_id") >= 300)
+    cents = train_ivf_centroids(old, "embedding", n_cells=8)
+    cb = pq_train(old, "embedding", m=16, ksub=32)
+    rep_in = ivfpq_drift_check(delta, "embedding", "vec_id", cents, cb,
+                               n_queries=8, k=10, n_probe=6)
+    # drifted delta: a tight blob far outside the trained cells — every
+    # vector lands in one wrong cell and quantizes to near-identical
+    # codes, so ADC stops discriminating and the shortlist goes blind
+    rng = np.random.default_rng(99)
+    shifted = spark.createDataFrame(
+        [(100000 + i, (25.0 + rng.normal(0.0, 0.05, 64)).tolist())
+         for i in range(300)],
+        "vec_id long, embedding array<double>")
+    rep_out = ivfpq_drift_check(shifted, "embedding", "vec_id", cents, cb,
+                                n_queries=8, k=10, n_probe=6)
+    thr = 0.6
+    return spark.createDataFrame(
+        [(round(rep_in["recall"], 4), round(rep_out["recall"], 4), thr,
+          bool(rep_in["recall"] >= thr), bool(rep_out["recall"] < thr))],
+        "recall_in_dist double, recall_shifted double, threshold double, "
+        "in_dist_silent boolean, drift_detected boolean")
+
+
 def _q_incremental_table_sketch(spark, sf_dir):
     """Incremental maintenance in the ε-beyond-executor-memory regime
     (sketchlib.incremental.incremental_build_table): the published
@@ -2852,6 +2928,8 @@ SELF_ASSERT_COLS = {
     "est_tight", "hll_within_bound",      # join advisor
     "strategy_valid",
     "mg_sound", "no_false_negatives",     # corpus profile
+    "matches_driver",                     # distributed overlap matrix
+    "in_dist_silent", "drift_detected",   # IVF-PQ drift gate
 }
 
 # Number of (tail query, self-assert flag column) pairs — schema-level,
@@ -2859,7 +2937,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 74
+_TAIL_FLAG_COLS = 77
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3010,6 +3088,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_distinct_growth": _q_snapshot_distinct_growth,
         "incremental_table_sketch": _q_incremental_table_sketch,
         "source_overlap_matrix": _q_source_overlap_matrix,
+        "source_overlap_matrix_spark": _q_source_overlap_matrix_spark,
+        "ivfpq_drift_gate": _q_ivfpq_drift_gate,
         "repetition_stats": _q_repetition_stats,
         "deterministic_sample": _q_deterministic_sample,
         "contamination_overlap": _q_contamination_overlap,
