@@ -1589,8 +1589,12 @@ def _q_source_overlap_matrix_spark(spark, sf_dir):
                                  overlap_matrix_df)
 
     toks = _tokenized_docs(spark, sf_dir)
-    gdf = build_grouped_aggregator(toks, "source", "tokens",
-                                   functools.partial(ThetaSketch, 4096))
+    # cached: overlap_matrix_df reads this frame for meta + values and
+    # the exact companion collects it — uncached, the grouped token
+    # aggregation would re-run for each
+    gdf = build_grouped_aggregator(
+        toks, "source", "tokens",
+        functools.partial(ThetaSketch, 4096)).cache()
     dist = {(r["a"], r["b"]): (r["est_union"], r["est_intersection"],
                                r["est_jaccard"])
             for r in overlap_matrix_df(
@@ -1598,8 +1602,15 @@ def _q_source_overlap_matrix_spark(spark, sf_dir):
                            "sketch")).collect()}
     sketches = {str(r["key"]): serde.loads(bytes(r["sketch"]))
                 for r in gdf.collect()}
+    gdf.unpersist()
     rows = []
-    for a, b, u, x, j in overlap_matrix(sketches):
+    # max_groups raised to this corpus's G: the driver loop here is the
+    # EXACT COMPANION for the self-assert, not the production path — at
+    # G past the guard you would call overlap_matrix_df alone (this
+    # query's point), and the companion, like every exact companion in
+    # this module, is a gate-scale construct
+    for a, b, u, x, j in overlap_matrix(sketches,
+                                        max_groups=max(1024, len(sketches))):
         du, dx, dj = dist[(a, b)]
         rows.append((a, b, float(dx), round(float(dj), 6),
                      bool(du == u and dx == x and abs(dj - j) < 1e-9)))
@@ -2975,7 +2986,7 @@ def _q_selfcheck_summary(spark, sf_dir):
     against DuckDB in-process with the driver's own protocol (row count,
     column names, order-insensitive value hash). One deterministic row
     comes back and the DuckDB oracle pins it to all-zeros/TRUE, so a
-    single broken invariant anywhere in the 51-query rows-only tail
+    single broken invariant anywhere in the rows-only tail
     turns THIS driver row red. Emitted counts are registry/schema-level
     (row-count independent), so the oracle literals hold at every sf."""
     import duckdb
@@ -2998,8 +3009,11 @@ def _q_selfcheck_summary(spark, sf_dir):
         rows = [tuple(_norm_cell(v) for v in r) for r in df.collect()]
         acols = [c for c in cols if c in SELF_ASSERT_COLS]
         n_flag_cols += len(acols)
+        # anything other than literal True fails — a NULL flag (e.g. a
+        # F.when(...) missing .otherwise, or a null-poisoned boolean
+        # expression) is a broken invariant, not a pass
         n_false += sum(1 for r in rows for c in acols
-                       if r[cols.index(c)] is False)
+                       if r[cols.index(c)] is not True)
         if name in oracles:
             n_ora += 1
             res = con.execute(oracles[name])

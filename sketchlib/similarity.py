@@ -518,11 +518,19 @@ def ivfpq_append_index(df: DataFrame, vec_col: str, id_col: str,
     threshold is REFUSED (ValueError) with the re-train path — retrain
     (train_ivf_centroids + pq_train over old ∪ new) and rebuild via
     ivfpq_write_index. In-distribution appends pass untouched."""
+    codes = None
     if min_recall is not None:
+        # the drift check encodes the delta; keep those codes cached and
+        # reuse them for the write — the gated append stays ONE encode
+        # pass over the delta, as advertised
+        codes = _ivfpq_encode(df, vec_col, id_col, centroids,
+                              codebooks).cache()
         rep = ivfpq_drift_check(df, vec_col, id_col, centroids, codebooks,
                                 n_queries=drift_queries, k=drift_k,
-                                n_probe=n_probe, rerank=rerank)
+                                n_probe=n_probe, rerank=rerank,
+                                codes=codes)
         if rep["recall"] < min_recall:
+            codes.unpersist()
             raise ValueError(
                 f"ivfpq_append_index refused: frozen-model recall on the "
                 f"appended delta is {rep['recall']:.3f} < min_recall="
@@ -532,7 +540,9 @@ def ivfpq_append_index(df: DataFrame, vec_col: str, id_col: str,
                 "train_ivf_centroids + pq_train over old ∪ new, then "
                 "rebuild with ivfpq_write_index.")
     _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path,
-                 mode="append")
+                 mode="append", codes=codes)
+    if codes is not None:
+        codes.unpersist()
 
 
 def _ivfpq_encode(df, vec_col, id_col, centroids, codebooks) -> DataFrame:
@@ -556,15 +566,17 @@ def _ivfpq_encode(df, vec_col, id_col, centroids, codebooks) -> DataFrame:
 
 
 def _ivfpq_write(df, vec_col, id_col, centroids, codebooks, path, *,
-                 mode: str) -> None:
-    (_ivfpq_encode(df, vec_col, id_col, centroids, codebooks)
-     .write.mode(mode).partitionBy("cell").parquet(path))
+                 mode: str, codes: DataFrame | None = None) -> None:
+    if codes is None:
+        codes = _ivfpq_encode(df, vec_col, id_col, centroids, codebooks)
+    codes.write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def ivfpq_drift_check(delta_df: DataFrame, vec_col: str, id_col: str,
                       centroids: np.ndarray, codebooks: np.ndarray, *,
                       n_queries: int = 16, k: int = 10, n_probe: int = 4,
-                      rerank: int = 64, seed: int = 1337) -> dict:
+                      rerank: int = 64, seed: int = 1337,
+                      codes: DataFrame | None = None) -> dict:
     """Measure how well the index's FROZEN centroids/codebooks serve the
     appended delta (VERDICT r3 #5). For a deterministic sample of the
     delta's own vectors (ordered by xxhash64(id, seed) — re-runs probe
@@ -580,9 +592,14 @@ def ivfpq_drift_check(delta_df: DataFrame, vec_col: str, id_col: str,
     (wrong) cells and its PQ codes degenerate — ADC distances stop
     discriminating, the shortlist misses true neighbors, recall drops.
     Cost: one encode pass over the delta plus n_queries KB-scale top-k
-    jobs — O(delta), never touches the existing index."""
-    codes = _ivfpq_encode(delta_df, vec_col, id_col, centroids,
-                          codebooks).cache()
+    jobs — O(delta), never touches the existing index. Pass ``codes``
+    (a cached _ivfpq_encode frame for the same delta) to skip the
+    encode pass entirely — ivfpq_append_index does, so a gated append
+    encodes the delta exactly once."""
+    own_codes = codes is None
+    if own_codes:
+        codes = _ivfpq_encode(delta_df, vec_col, id_col, centroids,
+                              codebooks).cache()
     sample = (delta_df.select(id_col, vec_col)
               .filter(F.col(vec_col).isNotNull())
               .orderBy(F.xxhash64(F.col(id_col).cast("string"),
@@ -602,8 +619,12 @@ def ivfpq_drift_check(delta_df: DataFrame, vec_col: str, id_col: str,
         exact = {row[id_col] for row in
                  delta_df.select(id_col, dist.alias("d"))
                  .orderBy("d", id_col).limit(k).collect()}
-        per_query.append(len(ann & exact) / k)
-    codes.unpersist()
+        # denominator = what brute force actually returned, not k: a
+        # delta smaller than k would otherwise cap recall at |delta|/k
+        # and falsely refuse perfectly in-distribution small appends
+        per_query.append(len(ann & exact) / max(1, len(exact)))
+    if own_codes:
+        codes.unpersist()
     recall = float(np.mean(per_query)) if per_query else 1.0
     return {"recall": recall, "per_query": per_query,
             "n_queries": len(per_query), "k": k}

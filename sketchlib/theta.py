@@ -293,7 +293,13 @@ def overlap_matrix_df(gdf, key_col: str = "key", sketch_col: str = "sketch",
                 "v": np.concatenate(vals) if vals else
                      np.empty(0, dtype=np.int64)})
 
-    values = gdf.mapInPandas(values_fn, "key string, v long")
+    # cached: the self-join reads it twice and the counts groupBy a
+    # third time — uncached, each evaluation re-deserializes every blob
+    # and re-explodes G*k rows. meta stays cached too (G tiny rows);
+    # neither is unpersisted here because the returned plan is lazy —
+    # both frames must survive until the caller's action (Spark evicts
+    # LRU if memory is ever tight).
+    values = gdf.mapInPandas(values_fn, "key string, v long").cache()
     counts = (meta.select("key")
               .join(values.groupBy("key").agg(F.count("*").alias("n")),
                     "key", "left")
@@ -321,5 +327,4 @@ def overlap_matrix_df(gdf, key_col: str = "key", sketch_col: str = "sketch",
                        .otherwise(F.lit(0.0))))
     if min_jaccard is not None:
         out = out.filter(F.col("est_jaccard") >= min_jaccard)
-    meta.unpersist()
     return out

@@ -76,3 +76,27 @@ def test_selfcheck_oracle_mismatch_flips(spark, monkeypatch, tmp_path):
         assert row["n_oracle_checked"] == 1
         assert row["n_oracle_mismatch"] == want
         assert row["all_true"] == (want == 0)
+
+
+def test_selfcheck_null_flag_is_red(spark, monkeypatch, tmp_path):
+    """A NULL self-assert flag (e.g. F.when without .otherwise) is a
+    broken invariant, not a pass: anything other than literal True
+    counts in n_false."""
+    from pyspark.sql import functions as F
+
+    def ok(s, sf):
+        return s.createDataFrame([(1, True)], "x long, est_ge_exact boolean")
+
+    def nullflag(s, sf):
+        return (s.createDataFrame([(1,)], "x long")
+                .withColumn("est_ge_exact",
+                            F.when(F.col("x") > 99, F.lit(True))))
+
+    reg = {f"pad{i:02d}": ok for i in range(50)}
+    reg["tail_null"] = nullflag
+    monkeypatch.setattr(E, "_registry", lambda: reg)
+    monkeypatch.setattr(E, "queries", lambda: reg)
+    monkeypatch.setattr(E, "oracle_sql", lambda: {})
+    row = E._q_selfcheck_summary(spark, str(tmp_path)).collect()[0]
+    assert row["n_false"] == 1
+    assert row["all_true"] is False

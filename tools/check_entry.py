@@ -8,7 +8,6 @@ Usage: python tools/check_entry.py [sf_dir]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
@@ -16,35 +15,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def value_hash(rows, cols):
-    cols_sorted = sorted(cols)
-    lines = []
-    for row in rows:
-        d = dict(zip(cols, row))
-        lines.append("|".join(repr(d[c]) for c in cols_sorted))
-    lines.sort()
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-
-
-def norm(v):
-    import datetime
-    import decimal
-    if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, float):
-        return round(v, 6)
-    return v
-
 
 def main(sf_dir="/root/testdata/sf0.01"):
     from pyspark.sql import SparkSession
     import __spark_entry__ as entry_mod
+
+    # comparison protocol shared with the driver-side selfcheck_summary —
+    # one implementation, so the local gate and the in-process oracle
+    # re-check can never disagree on normalization or hashing
+    norm = entry_mod._norm_cell
+    value_hash = entry_mod._value_hash
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "16")
@@ -54,7 +34,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
-    for t in TABLES:
+    for t in entry_mod._ORACLE_TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
@@ -96,7 +76,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
         acols = [c for c in scols if c in ASSERT_COLS]
         bad_flags = sum(
             1 for r in srows
-            for c in acols if r[scols.index(c)] is False)
+            for c in acols if r[scols.index(c)] is not True)
         if bad_flags:
             print(f"{name:28s} FAIL self-assert: {bad_flags} false "
                   f"{acols} rows")

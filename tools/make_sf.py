@@ -41,7 +41,12 @@ STRIDE = 1_000_000_000
 DIMS = ("region", "nation", "customer", "supplier", "part")
 FACTS = {
     "documents": ("doc_id",),
-    "events": ("event_id",),
+    # user_id shifts too: unshifted, every copy would interleave an
+    # exact duplicate event stream per user at identical timestamps —
+    # 10x-deeper per-key window sorts instead of 10x more keys, which
+    # distorts exactly the per-query scale exponents this fixture
+    # exists to measure
+    "events": ("event_id", "user_id"),
     "orders": ("o_orderkey",),
     "lineitem": ("l_orderkey",),
     "embeddings": ("vec_id",),
@@ -63,17 +68,25 @@ def make_sf(spark, k: int, out_dir: str, src_dir: str) -> None:
 
     import numpy as np
 
+    # collision guard shared across ALL copies: short words (len 1-3)
+    # have few [a-z] candidates, and per-copy independent draws could
+    # hand two copies the same replacement — re-sharing exactly the
+    # cross-copy words the disjointness argument assumes away
+    used_global: set[str] = set()
+
     def copy_vocab(words: list[str], i: int) -> dict[str, str]:
         """Deterministic same-length bijection for copy i: each vocab
-        word maps to a fresh random [a-z] word of identical length."""
+        word maps to a fresh random [a-z] word of identical length,
+        distinct from every word used by ANY copy (and the original)."""
         rng = np.random.default_rng(202600 + i)
-        out, used = {}, set(words)
+        out = {}
+        used_global.update(words)
         for w in sorted(words):
             while True:
                 cand = "".join(chr(97 + c)
                                for c in rng.integers(0, 26, len(w)))
-                if cand not in used:
-                    used.add(cand)
+                if cand not in used_global:
+                    used_global.add(cand)
                     out[w] = cand
                     break
         return out
