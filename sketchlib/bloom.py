@@ -49,7 +49,20 @@ class BloomFilter:
         # key in the batch (a skewed batch is mostly duplicates, and each
         # duplicate would pay k hashed bitwise_or.at probes). Result is
         # bit-identical; n_items keeps counting occurrences folded.
-        arr = np.unique(arr)
+        self._add_distinct(np.unique(arr))
+
+    def update_unique(self, uniq, counts) -> None:
+        """Duplicate-collapsed update: ``uniq`` MUST be duplicate-free,
+        ``counts`` its multiplicities. Bit-identical to ``update_batch``
+        of the expanded multiset — callers that already hold one shared
+        unique pass (MultiSketch) skip this sketch's internal dedup."""
+        uniq = np.asarray(uniq)
+        if uniq.shape[0] == 0:
+            return
+        self.n_items += int(np.asarray(counts, dtype=np.int64).sum())
+        self._add_distinct(uniq)
+
+    def _add_distinct(self, arr: np.ndarray) -> None:
         one = np.uint64(1)
         six = np.uint64(6)
         mask = np.uint64(63)

@@ -212,6 +212,21 @@ class CountMinSketch:
         accumulate_into(arr, self.cfg.row_seeds, self.cfg.width, self.table,
                         weights=agg)
 
+    def update_unique(self, uniq, counts) -> None:
+        """Duplicate-collapsed update: ``uniq`` MUST be duplicate-free,
+        ``counts`` its multiplicities. Byte-identical to ``update_batch``
+        of the expanded multiset — callers that already hold one shared
+        unique pass (MultiSketch) skip this sketch's internal sort."""
+        uniq = np.asarray(uniq)
+        if uniq.shape[0] == 0:
+            return
+        c = np.asarray(counts, dtype=np.int64)
+        n = int(c.sum())
+        self.n_items += n
+        self.total_count += n
+        accumulate_into(uniq, self.cfg.row_seeds, self.cfg.width,
+                        self.table, weights=c)
+
     def update_batch_cu(self, keys, counts=None) -> None:
         """Conservative update (Estan & Varghese 2002): counter_j(i) :=
         max(counter_j(i), pointQuery(i) + c). Not in the reference; north-rule

@@ -136,6 +136,20 @@ class CountSketch:
             self.total_count += int(cnts.sum())
         self._scatter(arr, cnts)
 
+    def update_unique(self, uniq, counts) -> None:
+        """Duplicate-collapsed update: ``uniq`` MUST be duplicate-free,
+        ``counts`` its multiplicities. Byte-identical to ``update_batch``
+        of the expanded multiset — callers that already hold one shared
+        unique pass (MultiSketch) skip this sketch's internal sort."""
+        uniq = np.asarray(uniq)
+        if uniq.shape[0] == 0:
+            return
+        c = np.asarray(counts, dtype=np.int64)
+        n = int(c.sum())
+        self.n_items += n
+        self.total_count += n
+        self._scatter(uniq, c)
+
     def _scatter(self, keys: np.ndarray, counts: np.ndarray | None) -> None:
         w = self.cfg.width
         # bincount's O(width) scan per chunk loses to indexed adds for wide

@@ -137,6 +137,20 @@ class DyadicCM:
                 u = u2[starts]
                 c = np.add.reduceat(c, starts)
 
+    def update_unique(self, uniq, counts) -> None:
+        """Duplicate-collapsed update: ``uniq`` MUST be duplicate-free,
+        ``counts`` its multiplicities. Byte-identical to ``update_batch``
+        of the expanded multiset: the counts path folds the same (u, c)
+        histogram; n_items is re-pinned to occurrences (the counts path
+        credits one item per KEY, the raw path one per occurrence)."""
+        uniq = np.asarray(uniq)
+        if uniq.shape[0] == 0:
+            return
+        c = np.asarray(counts, dtype=np.int64)
+        before = self.n_items
+        self.update_batch(uniq, counts=c)
+        self.n_items = before + int(c.sum())
+
     # -- point queries at a level -------------------------------------------
 
     def _level_query(self, l: int, prefix: int) -> tuple[int, bool]:

@@ -59,7 +59,20 @@ class HllSketch:
         # batch — a skewed batch is mostly duplicates, and the per-element
         # rank extraction (bit_length) dominates the update cost. Result
         # is bit-identical; n_items keeps counting occurrences folded.
-        arr = np.unique(arr)
+        self._absorb_distinct(np.unique(arr))
+
+    def update_unique(self, uniq, counts) -> None:
+        """Duplicate-collapsed update: ``uniq`` MUST be duplicate-free,
+        ``counts`` its multiplicities. Bit-identical to ``update_batch``
+        of the expanded multiset — callers that already hold one shared
+        unique pass (MultiSketch) skip this sketch's internal dedup."""
+        uniq = np.asarray(uniq)
+        if uniq.shape[0] == 0:
+            return
+        self.n_items += int(np.asarray(counts, dtype=np.int64).sum())
+        self._absorb_distinct(uniq)
+
+    def _absorb_distinct(self, arr: np.ndarray) -> None:
         n = arr.shape[0]
         h = np.empty(n, dtype=np.uint64)
         murmur_h2_into(arr, self.seed, h)

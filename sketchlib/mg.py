@@ -77,6 +77,21 @@ class MisraGries:
             return
         self.n_items += int(arr.size)
         uniq, cnt = np.unique(arr, return_counts=True)
+        self._merge_hist(uniq, cnt)
+
+    def update_unique(self, uniq, counts) -> None:
+        """Duplicate-collapsed update: ``uniq`` MUST be duplicate-free,
+        ``counts`` its multiplicities. Identical state to ``update_batch``
+        of the expanded multiset — callers that already hold one shared
+        unique pass (MultiSketch) skip this sketch's internal dedup."""
+        uniq = np.asarray(uniq, dtype=np.int64)
+        cnt = np.asarray(counts, dtype=np.int64)
+        if uniq.size == 0:
+            return
+        self.n_items += int(cnt.sum())
+        self._merge_hist(uniq, cnt)
+
+    def _merge_hist(self, uniq: np.ndarray, cnt: np.ndarray) -> None:
         if self.counters:
             ck = np.fromiter(self.counters.keys(), dtype=np.int64,
                              count=len(self.counters))

@@ -38,9 +38,35 @@ class MultiSketch:
 
     # -- updates --------------------------------------------------------
 
+    # same duplicate-collapse crossover as CountMinSketch._AGG_THRESHOLD,
+    # halved: the shared sort amortizes over EVERY unique-capable part,
+    # so it pays off at smaller batches than a single sketch's own sort
+    _SHARED_UNIQUE_THRESHOLD = 1 << 15
+
     def update_batch(self, vals) -> None:
-        for p in self.parts:
-            p.update_batch(vals)
+        import numpy as np
+
+        arr = np.asarray(vals)
+        fast = [p for p in self.parts if hasattr(p, "update_unique")]
+        # ONE shared duplicate-collapse pass for every part that accepts
+        # (uniq, counts): skewed token batches are ~90% duplicates and
+        # each keyed sketch would otherwise pay its own O(n log n) sort —
+        # the dominant per-batch cost. Order-sensitive value sketches
+        # (KLL/t-digest/DDSketch/PrioritySample) expose no update_unique
+        # and keep seeing the raw batch; results are byte-identical
+        # either way (property-tested).
+        if (len(fast) >= 2 and arr.dtype.kind in "iu"
+                and arr.shape[0] >= self._SHARED_UNIQUE_THRESHOLD):
+            from .countmin import _unique_counts
+            uniq, cnt = _unique_counts(arr)
+            for p in self.parts:
+                if hasattr(p, "update_unique"):
+                    p.update_unique(uniq, cnt)
+                else:
+                    p.update_batch(arr)
+        else:
+            for p in self.parts:
+                p.update_batch(arr)
 
     # -- lineage surface (build_aggregator reads these) ------------------
 

@@ -62,6 +62,20 @@ class ThetaSketch:
         murmur_h2_into(arr, self.seed, h)
         self._absorb(h)
 
+    def update_unique(self, uniq, counts) -> None:
+        """Duplicate-collapsed update: ``uniq`` MUST be duplicate-free,
+        ``counts`` its multiplicities. Byte-identical to ``update_batch``
+        of the expanded multiset (the bottom-k hash sample only sees
+        distinct values); n_items still counts occurrences."""
+        uniq = np.asarray(uniq)
+        n = uniq.shape[0]
+        if n == 0:
+            return
+        self.n_items += int(np.asarray(counts, dtype=np.int64).sum())
+        h = np.empty(n, dtype=np.uint64)
+        murmur_h2_into(uniq, self.seed, h)
+        self._absorb(h)
+
     def _absorb(self, hashes: np.ndarray) -> None:
         merged = np.union1d(self.values, hashes)  # sorted + deduped
         if merged.shape[0] > self.k:

@@ -224,3 +224,90 @@ def test_corrupt_part_length_fails_cleanly():
     struct.pack_into("<i", buf2, struct.calcsize("<4sHH"), -1)
     with pytest.raises(ValueError, match="truncated MultiSketch"):
         MultiSketch.from_bytes(bytes(buf2))
+
+
+def test_shared_unique_path_matches_raw_path():
+    """The shared duplicate-collapse pass (one np.unique feeding every
+    update_unique-capable part) is byte-identical to each part consuming
+    the raw batch — across the dispatch threshold, mixed order-sensitive
+    parts (KLL gets the raw batch), split+merge, and non-int fallback."""
+    import functools
+
+    from sketchlib.bloom import BloomFilter
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.dyadic import DyadicCM
+    from sketchlib.kll import KllSketch
+    from sketchlib.theta import ThetaSketch
+
+    fs = (functools.partial(CountMinSketch, CFG),
+          functools.partial(CountSketch, CSConfig(1 << 12, 5, seed=9)),
+          functools.partial(HllSketch, 12),
+          functools.partial(MisraGries, 64),
+          functools.partial(BloomFilter, capacity=50_000, fpr=0.01, seed=7),
+          functools.partial(ThetaSketch, 512),
+          functools.partial(DyadicCM, 20, 1e-3, 0.05),
+          functools.partial(KllSketch, 200))
+    rng = np.random.default_rng(11)
+    for n in (100_000, MultiSketch._SHARED_UNIQUE_THRESHOLD,
+              MultiSketch._SHARED_UNIQUE_THRESHOLD - 1, 4096):
+        vals = rng.zipf(1.3, n).astype(np.int64) % (1 << 20)
+        ms = MultiSketch(fs)
+        ms.update_batch(vals)
+        singles = [f() for f in fs]
+        for s in singles:
+            s.update_batch(vals)
+        for part, single in zip(ms.parts, singles):
+            assert part.to_bytes() == single.to_bytes(), (n, type(part))
+            assert part.n_items == single.n_items, (n, type(part))
+        # split + merge: shared path == raw path under the SAME split
+        # (MG's shrink makes split-merge differ from single-pass by
+        # design, so compare path-vs-path, not vs single-pass)
+        cut = n // 3
+        a, b = MultiSketch(fs), MultiSketch(fs)
+        a.update_batch(vals[:cut])
+        b.update_batch(vals[cut:])
+        merged = a.merge(b)
+        ra = [f() for f in fs]
+        rb = [f() for f in fs]
+        for s in ra:
+            s.update_batch(vals[:cut])
+        for s in rb:
+            s.update_batch(vals[cut:])
+        for part, x, y in zip(merged.parts, ra, rb):
+            assert part.to_bytes() == x.merge(y).to_bytes(), (n, type(part))
+
+
+def test_update_unique_direct_contract():
+    """update_unique(uniq, counts) on each keyed sketch equals
+    update_batch of the expanded multiset, byte for byte, including
+    occurrence-counting lineage (n_items/total_count)."""
+    import functools
+
+    from sketchlib.bloom import BloomFilter
+    from sketchlib.countsketch import CSConfig, CountSketch
+    from sketchlib.dyadic import DyadicCM
+    from sketchlib.theta import ThetaSketch
+
+    rng = np.random.default_rng(3)
+    uniq = np.unique(rng.integers(0, 1 << 20, 500, dtype=np.int64))
+    cnt = rng.integers(1, 50, uniq.shape[0], dtype=np.int64)
+    raw = np.repeat(uniq, cnt)
+    rng.shuffle(raw)
+    for f in (functools.partial(CountMinSketch, CFG),
+              functools.partial(CountSketch, CSConfig(1 << 12, 5, seed=9)),
+              functools.partial(HllSketch, 12),
+              functools.partial(MisraGries, 64),
+              functools.partial(BloomFilter, capacity=50_000, fpr=0.01,
+                                seed=7),
+              functools.partial(ThetaSketch, 512),
+              functools.partial(DyadicCM, 20, 1e-3, 0.05)):
+        via_unique, via_raw = f(), f()
+        via_unique.update_unique(uniq, cnt)
+        via_raw.update_batch(raw)
+        assert via_unique.to_bytes() == via_raw.to_bytes(), type(via_raw)
+        assert via_unique.n_items == via_raw.n_items
+        # empty-unique no-op
+        before = via_unique.to_bytes()
+        via_unique.update_unique(np.empty(0, dtype=np.int64),
+                                 np.empty(0, dtype=np.int64))
+        assert via_unique.to_bytes() == before
