@@ -85,6 +85,21 @@ def _flat_tokens(batch: pa.RecordBatch, col_idx: int) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def _assign_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Task-assignment DataFrame with EXACTLY one row per partition.
+
+    ``createDataFrame(rows).repartition(k)`` round-robins with a RANDOM
+    start offset per source partition, so k assignment rows land in only
+    ~(1 - 1/e)·k of the k partitions (multinomial collisions): measured at
+    local[32], 32 one-chunk build tasks ran on 20 workers, and wall clock
+    was 2-3 chunk durations because straggler tasks folded 2-3 chunks
+    back-to-back (BENCH/BASELINE.md Session M). ``parallelize(rows,
+    len(rows))`` slices the list contiguously — one assignment per task,
+    deterministic, no shuffle."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(1, len(rows))), schema)
+
+
 def _partial_builder(cfg: CMConfig, tokens_col: str, cu: bool,
                      skip_pids: frozenset[int] | None = None,
                      preaggregate: bool | None = None):
@@ -510,11 +525,8 @@ def build_sketch_parquet(spark: SparkSession, path: str, tokens_col: str,
 
     lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
     if rows:
-        assign = spark.createDataFrame(
-            rows, "slice_id int, file string, rgs array<int>")
-        # round-robin repartition: ~one slice per task without hash skew;
-        # pids stay exact regardless (the builder emits one row per slice)
-        assign = assign.repartition(min(n_slices, len(rows)))
+        assign = _assign_df(
+            spark, rows, "slice_id int, file string, rgs array<int>")
         fresh = assign.mapInPandas(
             _parquet_partial_builder(cfg, tokens_col, cu, preaggregate=preaggregate),
             schema=_PARTIAL_SCHEMA)
@@ -623,9 +635,7 @@ def build_sketch_generated(spark: SparkSession, rows: int, cfg: CMConfig, *,
         return BuildResult(sketch=CountMinSketch(cfg),
                            lineage=pd.DataFrame(columns=lineage_cols),
                            n_rows=0, wall_s=time.perf_counter() - t0)
-    assign = spark.createDataFrame(
-        assigns, "chunk int, start bigint, n int")
-    assign = assign.repartition(len(assigns))
+    assign = _assign_df(spark, assigns, "chunk int, start bigint, n int")
     partials = assign.mapInPandas(fn, schema=_PARTIAL_SCHEMA).persist()
     try:
         lineage = partials.select(*lineage_cols).toPandas()
@@ -1008,9 +1018,8 @@ def inner_product_rawlog_parquet(spark: SparkSession, sketch: CountMinSketch,
 
     if not rows_assign:
         return 0      # empty table: inner product with anything is 0
-    assign = spark.createDataFrame(
-        rows_assign, "slice_id int, file string, rgs array<int>")
-    assign = assign.repartition(min(n_slices, len(rows_assign)))
+    assign = _assign_df(
+        spark, rows_assign, "slice_id int, file string, rgs array<int>")
     rows = assign.mapInPandas(fn, schema="sums array<long>").collect()
     if not rows:
         return 0
@@ -1329,9 +1338,8 @@ def build_aggregator_parquet(spark: SparkSession, path: str, values_col: str,
     n_slices, rows = _slice_assignments(rgs, n_slices)
     lineage_cols = ["pid", "n_rows", "n_items", "total_count", "build_ms"]
     if rows:
-        assign = spark.createDataFrame(
-            rows, "slice_id int, file string, rgs array<int>")
-        assign = assign.repartition(min(n_slices, len(rows)))
+        assign = _assign_df(
+            spark, rows, "slice_id int, file string, rgs array<int>")
         partials = assign.mapInPandas(
             _parquet_agg_partial_builder(factory, values_col,
                                          extract_array),
@@ -1446,9 +1454,8 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
     if not rows_assign:
         # empty table: zero groups, an empty grouped frame
         return spark.createDataFrame([], _GROUPED_MERGED_SCHEMA)
-    assign = spark.createDataFrame(
-        rows_assign, "slice_id int, file string, rgs array<int>")
-    assign = assign.repartition(min(n_slices, len(rows_assign)))
+    assign = _assign_df(
+        spark, rows_assign, "slice_id int, file string, rgs array<int>")
     partials = assign.mapInPandas(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
     return _grouped_merge(partials, fanout, n_slices)
 
