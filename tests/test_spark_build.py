@@ -424,3 +424,21 @@ def test_checkpoint_resume_ignores_changed_default_parallelism(tmp_path):
         _pin_checkpoint_slices(ckpt, rgs, 32, 32)
     # explicit matching value is fine
     assert _pin_checkpoint_slices(ckpt, rgs, 64, 32) == 64
+
+
+def test_assign_df_exactly_one_row_per_partition(spark):
+    """Assignment placement (BENCH/BASELINE.md Session M): every
+    assignment row must land in its OWN task. The old
+    createDataFrame().repartition(k) round-robin started at a random
+    offset per source partition, collapsing k one-task assignments onto
+    ~(1-1/e)*k workers — wall clock then ran 2-3 chunk durations."""
+    from sketchlib.spark_build import _assign_df
+
+    for n in (1, 2, 7, 32, 65):
+        rows = [(i, i * 10, 10) for i in range(n)]
+        df = _assign_df(spark, rows, "chunk int, start bigint, n int")
+        assert df.rdd.getNumPartitions() == n
+        per_part = df.rdd.glom().map(len).collect()
+        assert per_part == [1] * n
+        # content preserved, pids exact
+        assert sorted(r["chunk"] for r in df.collect()) == list(range(n))
