@@ -2911,6 +2911,90 @@ def _q_cm_token_13grams(spark, sf_dir):
               "mg_est long, mg_sound boolean")
 
 
+def _q_token_drift_bounds(spark, sf_dir):
+    """Certified corpus-drift envelope between two epochs
+    (sketchlib.drift): a DETERMINISTIC lower/upper bound on the total-
+    variation distance of the trigram distributions, from one KB
+    Misra-Gries summary per epoch — the "did the corpus move between
+    snapshots?" monitor, no rescan of either stream at query time and no
+    failure probability (MG's deficit bound is certain; CM's per-query
+    delta would union-bound away over thousands of candidates). Epoch A
+    = even-hash docs; epoch B = odd-hash docs with a planted gainer (5%
+    of B's docs replaced by one constant phrase) — a real shift the
+    summaries must certify. Self-asserts: the envelope brackets the
+    EXACT distributed TV (shingle_table groupBy, same hash stream,
+    independent topology: lb_le_exact / exact_le_ub), both summaries
+    counted every shingle (counts_match), and the top certified mover
+    IS the planted phrase with tv_lb > 0 (shift_detected). Note the
+    gap tv_lb << tv_exact at small sf is the bound REFUSING to certify
+    singleton sampling noise between the two halves (empirical TV of two
+    same-distribution samples is large when most shingles occur once);
+    the planted systematic shift is what gets certified — exactly the
+    monitoring semantics you want. Rows-only: MG counter contents are
+    k/merge-layout-specific."""
+    import functools
+
+    import pyarrow as pa
+
+    from sketchlib.drift import top_movers, tv_bounds
+    from sketchlib.mg import MisraGries
+    from sketchlib.ngrams import array_ngrams, batch_ngrams, shingle_table
+    from sketchlib.spark_build import build_aggregator
+
+    N, K, SHIFT = 3, 4096, 424242
+    toks = _tokenized_docs(spark, sf_dir)
+    even = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    epoch_a = toks.filter(even)
+    odd = toks.filter(~even)
+    gain = F.pmod(F.xxhash64("doc_id"), F.lit(40)) == 1    # ~5% of docs
+    planted = odd.filter(gain).withColumn(
+        "tokens", F.array_repeat(F.lit(SHIFT).cast("int"), 64))
+    epoch_b = odd.filter(~gain).unionByName(planted)
+
+    extract = functools.partial(batch_ngrams, n=N)
+    mg = functools.partial(MisraGries, K)
+    mg_a = build_aggregator(epoch_a, "tokens", mg, extract=extract).sketch
+    mg_b = build_aggregator(epoch_b, "tokens", mg, extract=extract).sketch
+    bounds = tv_bounds(mg_a, mg_b)
+    movers = top_movers(mg_a, mg_b, limit=5)
+
+    # exact TV, computed DISTRIBUTEDLY from the same hashed shingle
+    # stream (shingle_table -> map-side-combined groupBy -> one full
+    # outer join on shingle): only the scalar aggregate reaches the
+    # driver. n_a/n_b cross-check that the sketch pass and the exact
+    # pass saw identical stream lengths.
+    def counted(df, name):
+        return (shingle_table(df, "tokens", "doc_id", N)
+                .groupBy("shingle").agg(F.count("*").alias(name)))
+    na, nb = mg_a.n_items, mg_b.n_items
+    agg = (counted(epoch_a, "ca").join(counted(epoch_b, "cb"),
+                                       "shingle", "full_outer")
+           .select(F.abs(F.coalesce("ca", F.lit(0)) / F.lit(float(na))
+                         - F.coalesce("cb", F.lit(0)) / F.lit(float(nb)))
+                   .alias("d"),
+                   F.coalesce("ca", F.lit(0)).alias("ca"),
+                   F.coalesce("cb", F.lit(0)).alias("cb"))
+           .agg((F.sum("d") / 2).alias("tv"), F.sum("ca").alias("na"),
+                F.sum("cb").alias("nb")).collect()[0])
+    tv_exact = float(agg["tv"])
+    counts_match = (int(agg["na"]) == na) and (int(agg["nb"]) == nb)
+
+    planted_key = int(array_ngrams(
+        pa.array([[SHIFT] * N], type=pa.list_(pa.int32())), N)[0])
+    shift_detected = bool(movers and movers[0][0] == planted_key
+                          and bounds.tv_lb > 0.0)
+    return spark.createDataFrame(
+        [(na, nb, bounds.n_candidates,
+          float(bounds.tv_lb), float(bounds.tv_ub), tv_exact,
+          bool(bounds.tv_lb <= tv_exact + 1e-12),
+          bool(tv_exact <= bounds.tv_ub + 1e-12),
+          shift_detected, counts_match)],
+        "n_a bigint, n_b bigint, candidates int, tv_lb double, "
+        "tv_ub double, tv_exact double, lb_le_exact boolean, "
+        "exact_le_ub boolean, shift_detected boolean, "
+        "counts_match boolean")
+
+
 def _q_cm_token_bigrams(spark, sf_dir):
     """Token-BIGRAM frequency sketching over the input-hint sequences
     (sketchlib.ngrams): adjacent int32 pairs are packed to one int64
@@ -2997,6 +3081,8 @@ SELF_ASSERT_COLS = {
     "matches_driver",                     # distributed overlap matrix
     "in_dist_silent", "drift_detected",   # IVF-PQ drift gate
     "decode_roundtrip",                   # real-decode multimodal dedup
+    "lb_le_exact", "exact_le_ub",         # certified TV-drift envelope
+    "shift_detected", "counts_match",
 }
 
 # Number of (tail query, self-assert flag column) pairs — schema-level,
@@ -3004,7 +3090,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 79
+_TAIL_FLAG_COLS = 83
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3199,6 +3285,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_token_bigrams": _q_cm_token_bigrams,
         "cm_token_13grams": _q_cm_token_13grams,
         "token_13gram_decontamination": _q_token_13gram_decontamination,
+        "token_drift_bounds": _q_token_drift_bounds,
         "selfcheck_summary": _q_selfcheck_summary,
         # LAST oracled on purpose — the deliberate window overflow
         # (see the docstring above)
