@@ -305,12 +305,22 @@ def main() -> None:
                      "timings": timings, "extra": extra})
 
     med = sorted(runs, key=lambda r: r["total"])[len(runs) // 2]
+    # per-QUERY medians across runs, not the median-total run's timings:
+    # run 1 pays the cold page-cache scan of whichever query reads a
+    # table first (word_freq_exact), so when run 1 lands as the median
+    # by total, that one query carries the whole suite's cold-IO and
+    # fakes a super-linear scale exponent (observed at sf1: 4.3 s cold
+    # vs 0.6 s warm for the same query). Each query's median across the
+    # same runs is steal-annotated by the same "runs" table and robust
+    # to which run the cold IO landed in.
+    queries = {q: sorted(r["timings"][q] for r in runs)[n_runs // 2]
+               for q in runs[0]["timings"]}
     print(json.dumps({
         "metric": "sketchlib headline suite wall time (median of "
                   f"{n_runs})",
         "value": med["total"],
         "unit": "sec",
-        "queries": med["timings"],
+        "queries": queries,
         "sf": sf,
         "n_runs": n_runs,
         "runs": [{"total": r["total"],
