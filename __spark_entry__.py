@@ -2995,6 +2995,80 @@ def _q_token_drift_bounds(spark, sf_dir):
         "counts_match boolean")
 
 
+def _q_source_drift_fleet(spark, sf_dir):
+    """Per-SOURCE certified drift fleet (sketchlib.drift.grouped_tv_bounds):
+    one grouped Misra-Gries build per epoch (the shape the store's grouped
+    epochs publish), envelopes computed pair-wise through an equi-join +
+    mapInPandas — no G² pair space, no driver loop, G=10^4 sources stays
+    a Spark problem. Epochs are the doc-parity halves; one deterministic
+    source has its epoch-B docs replaced by a constant phrase — the fleet
+    must rank exactly that source first. The per-source token vocabulary
+    is below k here, so every summary is EXACT and the envelope must
+    COLLAPSE onto the exact per-source TV (computed independently by an
+    explode+groupBy) — a self-oracle: matches_exact pins lb == exact ==
+    ub per source, envelope_collapsed pins lb == ub, drift_rank_ok pins
+    the planted source strictly on top. Rows-only: MG blobs and the
+    grouped topology are not SQL-expressible."""
+    import functools
+
+    from sketchlib.drift import grouped_tv_bounds
+    from sketchlib.mg import MisraGries
+    from sketchlib.spark_build import build_grouped_aggregator
+
+    SHIFT = 31337
+    toks = _tokenized_docs(spark, sf_dir)
+    srcs = sorted(r["source"] for r in toks.select("source").distinct().collect())
+    planted_src = srcs[len(srcs) // 2]
+    even = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    epoch_a = toks.filter(even)
+    odd = toks.filter(~even)
+    epoch_b = odd.withColumn(
+        "tokens",
+        F.when(F.col("source") == planted_src,
+               F.array_repeat(F.lit(SHIFT).cast("int"), 64))
+        .otherwise(F.col("tokens")))
+
+    mg = functools.partial(MisraGries, 4096)
+    g_a = build_grouped_aggregator(epoch_a, "source", "tokens", mg)
+    g_b = build_grouped_aggregator(epoch_b, "source", "tokens", mg)
+    fleet = {r["key"]: r for r in grouped_tv_bounds(g_a, g_b).collect()}
+
+    # exact per-source TV, computed independently (explode + map-side-
+    # combined groupBy; only per-source aggregates reach the driver)
+    def freqs(df):
+        return (df.select("source", F.explode("tokens").alias("t"))
+                .groupBy("source", "t").agg(F.count("*").alias("c"))
+                .collect())
+    fa = {(r["source"], r["t"]): r["c"] for r in freqs(epoch_a)}
+    fb = {(r["source"], r["t"]): r["c"] for r in freqs(epoch_b)}
+    na, nb = {}, {}
+    for (s, _t), c in fa.items():
+        na[s] = na.get(s, 0) + c
+    for (s, _t), c in fb.items():
+        nb[s] = nb.get(s, 0) + c
+
+    max_lb = max(r["tv_lb"] for r in fleet.values())
+    rows = []
+    for s in sorted(fleet):
+        r = fleet[s]
+        keys = {t for (src, t) in set(fa) | set(fb) if src == s}
+        exact = 0.5 * sum(abs(fa.get((s, t), 0) / na[s]
+                              - fb.get((s, t), 0) / nb[s]) for t in keys)
+        is_planted = s == planted_src
+        rows.append((
+            s, int(r["n_a"]), int(r["n_b"]),
+            float(r["tv_lb"]), float(r["tv_ub"]), float(exact),
+            bool(abs(r["tv_lb"] - exact) < 1e-9
+                 and abs(r["tv_ub"] - exact) < 1e-9),
+            bool(abs(r["tv_ub"] - r["tv_lb"]) < 1e-9),
+            bool(r["tv_lb"] == max_lb if is_planted
+                 else r["tv_lb"] < max_lb)))
+    return spark.createDataFrame(
+        rows, "source string, n_a bigint, n_b bigint, tv_lb double, "
+              "tv_ub double, tv_exact double, matches_exact boolean, "
+              "envelope_collapsed boolean, drift_rank_ok boolean")
+
+
 def _q_cm_token_bigrams(spark, sf_dir):
     """Token-BIGRAM frequency sketching over the input-hint sequences
     (sketchlib.ngrams): adjacent int32 pairs are packed to one int64
@@ -3083,6 +3157,8 @@ SELF_ASSERT_COLS = {
     "decode_roundtrip",                   # real-decode multimodal dedup
     "lb_le_exact", "exact_le_ub",         # certified TV-drift envelope
     "shift_detected", "counts_match",
+    "matches_exact", "envelope_collapsed",  # per-source drift fleet
+    "drift_rank_ok",
 }
 
 # Number of (tail query, self-assert flag column) pairs — schema-level,
@@ -3090,7 +3166,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 83
+_TAIL_FLAG_COLS = 86
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3286,6 +3362,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_token_13grams": _q_cm_token_13grams,
         "token_13gram_decontamination": _q_token_13gram_decontamination,
         "token_drift_bounds": _q_token_drift_bounds,
+        "source_drift_fleet": _q_source_drift_fleet,
         "selfcheck_summary": _q_selfcheck_summary,
         # LAST oracled on purpose — the deliberate window overflow
         # (see the docstring above)

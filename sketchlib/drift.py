@@ -124,6 +124,57 @@ def top_movers(mg_a: MisraGries, mg_b: MisraGries,
     return rows[:limit]
 
 
+def grouped_tv_bounds(gdf_a, gdf_b, *, key_col: str = "key",
+                      sketch_col: str = "sketch"):
+    """Per-group certified TV envelopes between two epochs of grouped
+    Misra-Gries summaries — the fleet version of ``tv_bounds`` for
+    "which sources moved between snapshots?".
+
+    ``gdf_a``/``gdf_b`` are (key, sketch-blob) DataFrames, the shape
+    ``spark_build.build_grouped_aggregator`` emits and
+    ``incremental.current_group_sketches`` reloads from the store, so
+    drift over published epochs rescans neither stream. Groups pair by
+    an equi-JOIN on key and each pair's envelope is computed inside a
+    mapInPandas batch — KB blobs, no G² anything, no driver loop;
+    G = 10^4 sources stays a Spark problem. Keys present in only one
+    epoch are omitted (a one-sided epoch has no two-sided envelope);
+    anti-join the inputs for appear/disappear lists.
+
+    Returns (key, tv_lb, tv_ub, n_candidates, n_a, n_b)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import serde
+
+    a = gdf_a.select(F.col(key_col).alias("key"),
+                     F.col(sketch_col).alias("sk_a"))
+    b = gdf_b.select(F.col(key_col).alias("key"),
+                     F.col(sketch_col).alias("sk_b"))
+    joined = a.join(b, "key")
+    key_type = joined.schema["key"].dataType.simpleString()
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            out = []
+            for key, ba, bb in zip(pdf["key"], pdf["sk_a"], pdf["sk_b"]):
+                mg_a = serde.loads(bytes(ba))
+                mg_b = serde.loads(bytes(bb))
+                for m in (mg_a, mg_b):
+                    if not isinstance(m, MisraGries):
+                        raise TypeError(
+                            "grouped_tv_bounds needs MisraGries blobs, "
+                            f"got {type(m).__name__} for key {key!r}")
+                r = tv_bounds(mg_a, mg_b)
+                out.append((key, r.tv_lb, r.tv_ub, r.n_candidates,
+                            r.n_a, r.n_b))
+            yield pd.DataFrame(out, columns=[
+                "key", "tv_lb", "tv_ub", "n_candidates", "n_a", "n_b"])
+
+    return joined.mapInPandas(
+        fn, schema=f"key {key_type}, tv_lb double, tv_ub double, "
+                   "n_candidates int, n_a long, n_b long")
+
+
 def drift_report(df_a, df_b, values_col: str, *, k: int = 4096,
                  extract=None, limit: int = 20):
     """End-to-end drift check between two DataFrame epochs.

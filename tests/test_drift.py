@@ -145,3 +145,73 @@ def test_drift_report_spark_end_to_end(spark):
     assert bounds.tv_lb > 0.1               # 20% of epoch-B mass moved
     assert bounds.tv_ub <= 1.0
     assert movers[0][0] == 777
+
+
+def test_grouped_tv_bounds_flags_only_the_shifted_source(spark):
+    """Per-source drift fleet: 8 sources, one shifted between epochs.
+    Every per-group envelope must bracket that group's exact TV, and the
+    shifted source must carry the (strictly) largest certified lb."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.drift import grouped_tv_bounds
+    from sketchlib.spark_build import build_grouped_aggregator
+
+    rng = np.random.default_rng(17)
+    def epoch(shift_src=None):
+        rows = []
+        for s in range(8):
+            for i in range(60):
+                toks = rng.integers(0, 400, 50)
+                if s == shift_src and i < 30:
+                    toks = np.full(50, 999)          # planted shift
+                rows.append((f"src{s}", [int(t) for t in toks]))
+        return spark.createDataFrame(rows, "src string, tokens array<int>")
+
+    df_a, df_b = epoch(), epoch(shift_src=3)
+    mg = functools.partial(MisraGries, 512)
+    g_a = build_grouped_aggregator(df_a, "src", "tokens", mg)
+    g_b = build_grouped_aggregator(df_b, "src", "tokens", mg)
+    out = {r["key"]: r for r in
+           grouped_tv_bounds(g_a, g_b).collect()}
+    assert len(out) == 8
+
+    # exact per-source TV via plain Spark aggregation
+    def counts(df):
+        return (df.select("src", F.explode("tokens").alias("t"))
+                .groupBy("src", "t").count())
+    ca, cb = counts(df_a).collect(), counts(df_b).collect()
+    import collections
+    na, nb = collections.Counter(), collections.Counter()
+    fa, fb = {}, {}
+    for r in ca: fa[(r["src"], r["t"])] = r["count"]; na[r["src"]] += r["count"]
+    for r in cb: fb[(r["src"], r["t"])] = r["count"]; nb[r["src"]] += r["count"]
+    for s in (f"src{i}" for i in range(8)):
+        keys = {t for (src, t) in set(fa) | set(fb) if src == s}
+        exact = 0.5 * sum(abs(fa.get((s, t), 0) / na[s]
+                              - fb.get((s, t), 0) / nb[s]) for t in keys)
+        r = out[s]
+        assert r["tv_lb"] <= exact + 1e-12 <= r["tv_ub"] + 2e-12, (s, r, exact)
+        assert r["n_a"] == na[s] and r["n_b"] == nb[s]
+    lbs = {s: out[s]["tv_lb"] for s in out}
+    top = max(lbs, key=lbs.get)
+    assert top == "src3" and lbs[top] > 0.2
+    assert all(v < lbs["src3"] for s, v in lbs.items() if s != "src3")
+
+
+def test_grouped_tv_bounds_rejects_non_mg_blobs(spark):
+    import functools
+
+    from sketchlib.drift import grouped_tv_bounds
+    from sketchlib.hll import HllSketch
+    from sketchlib.spark_build import build_grouped_aggregator
+
+    df = spark.createDataFrame([("a", [1, 2, 3])] * 5,
+                               "src string, tokens array<int>")
+    g_mg = build_grouped_aggregator(df, "src", "tokens",
+                                    functools.partial(MisraGries, 16))
+    g_hll = build_grouped_aggregator(df, "src", "tokens",
+                                     functools.partial(HllSketch, 10))
+    with pytest.raises(Exception, match="MisraGries"):
+        grouped_tv_bounds(g_mg, g_hll).collect()
