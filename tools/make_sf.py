@@ -74,17 +74,31 @@ def make_sf(spark, k: int, out_dir: str, src_dir: str) -> None:
     # cross-copy words the disjointness argument assumes away
     used_global: set[str] = set()
 
+    # words of length <= 2 draw from an extended lowercase-letter pool:
+    # 26 latin chars cap length-1 replacements at 25 copies (the fixture
+    # vocab contains "a"), so K=100 would exhaust candidates and spin.
+    # Greek/Cyrillic/Latin-1 lowercase keep the SAME-LENGTH property —
+    # Spark's length(), DuckDB's length() and the Python shingle loops
+    # all count characters, not bytes — which is all the shingle-
+    # statistics argument above needs.
+    _LATIN = "".join(chr(97 + c) for c in range(26))
+    _WIDE = (_LATIN
+             + "".join(chr(c) for c in range(0x3B1, 0x3CA))    # α-ω
+             + "".join(chr(c) for c in range(0x430, 0x450))    # а-я
+             + "".join(chr(c) for c in range(0xE0, 0xF7)))     # à-ö
+
     def copy_vocab(words: list[str], i: int) -> dict[str, str]:
         """Deterministic same-length bijection for copy i: each vocab
-        word maps to a fresh random [a-z] word of identical length,
+        word maps to a fresh random lowercase word of identical length,
         distinct from every word used by ANY copy (and the original)."""
         rng = np.random.default_rng(202600 + i)
         out = {}
         used_global.update(words)
         for w in sorted(words):
+            ab = _WIDE if len(w) <= 2 else _LATIN
             while True:
-                cand = "".join(chr(97 + c)
-                               for c in rng.integers(0, 26, len(w)))
+                cand = "".join(ab[c]
+                               for c in rng.integers(0, len(ab), len(w)))
                 if cand not in used_global:
                     used_global.add(cand)
                     out[w] = cand
