@@ -3129,6 +3129,117 @@ def _q_cm_token_bigrams(spark, sf_dir):
               "mg_sound boolean")
 
 
+def _q_catalog_route(spark, sf_dir):
+    """Approximate-query CATALOG (sketchlib/catalog.py): the engine-level
+    router that turns the sketch store into a metadata layer. ONE
+    registration of the token table's ``tokens`` column builds
+    CM+Theta+MG+Bloom in a single scan (MultiSketch) and a KLL over
+    ``n_tok``; every subsequent question — count-distinct, per-key
+    frequency, top-k, quantile, membership — is answered from KB-scale
+    store blobs with an explicit error contract, never a table scan. At
+    100 TB that is the catalog's whole point: COUNT(DISTINCT token) from
+    a 32 KB theta blob, kept fresh by delta-only incremental folds.
+    The staleness lifecycle is exercised on a scratch table: an appended
+    file flips the entry stale, policy='refuse' raises, policy='auto'
+    folds ONLY the appended rows and answers fresh.
+
+    Self-asserts: est_ge_exact + within_bound (CM frequency answers vs
+    exact, one-sided eps*N bound — cm.h:275-312 contract), hll_within_
+    bound (theta count-distinct within 5*RSE of exact), mg_sound (top-k
+    counts bracket exact), no_false_negatives (Bloom claims every true
+    token), guarantee_holds (KLL median inside the exact 0.45-0.55 rank
+    window), stale_detected (refuse raised on the stale entry),
+    delta_only (auto refresh scanned exactly the appended rows).
+    Rows-only: answers are sketch-parameter-specific."""
+    import shutil
+    import tempfile
+
+    from sketchlib.catalog import SketchCatalog, StaleEntryError
+
+    tok_path = _token_table_path(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sketchlib_catalog_")
+    try:
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register(tok_path, "tokens",
+                     [("cm", {"eps": CM_CFG.eps, "delta": CM_CFG.delta,
+                              "seed": CM_CFG.seed}),
+                      "theta", ("mg", {"k": 1024}),
+                      ("bloom", {"capacity": 200_000, "fpr": 0.01,
+                                 "seed": 1337})])
+        cat.register(tok_path, "n_tok", ["kll"])
+
+        # exact companions (distributed: one exploded groupBy, one
+        # exact-percentile agg) — same idiom as corpus_profile
+        exact = (spark.read.parquet(tok_path)
+                 .select(F.explode("tokens").alias("t"))
+                 .groupBy("t").agg(F.count("*").alias("cnt"))
+                 .orderBy(F.desc("cnt"), "t").collect())
+        counts = {int(r["t"]): int(r["cnt"]) for r in exact}
+        n_l1 = sum(counts.values())
+        win = (spark.read.parquet(tok_path)
+               .agg(F.expr("percentile(n_tok, array(0.45, 0.5, 0.55))")
+                    .alias("p")).collect()[0]["p"])
+
+        cd = cat.count_distinct(tok_path, "tokens")
+        rse = float(cd.contract.split("rse=")[1].split(" ")[0])
+        cd_ok = abs(cd.value - len(counts)) <= 5 * rse * len(counts) + 2
+
+        import numpy as np
+        hot = sorted(counts, key=lambda k: (-counts[k], k))[:10]
+        freq = cat.frequencies(tok_path, "tokens", hot)
+        fvals = freq.value
+        est_ge = all(int(v) >= counts[k] for v, k in zip(fvals, hot))
+        in_bound = all(int(v) - counts[k] <= CM_CFG.eps * n_l1
+                       for v, k in zip(fvals, hot))
+
+        tk = cat.topk(tok_path, "tokens", k=10)
+        bound = tk.extra["bound"]
+        mg_ok = all(v <= counts.get(k, 0) <= v + bound
+                    for k, v in tk.value)
+
+        keys = np.fromiter(counts, dtype=np.int64, count=len(counts))
+        member_ok = bool(np.all(
+            cat.members(tok_path, "tokens", keys).value))
+
+        q = cat.quantile(tok_path, "n_tok", 0.5)
+        q_ok = float(win[0]) <= q.value <= float(win[2])
+
+        # staleness lifecycle on a scratch table (policy per call)
+        sdata = f"{root}/scratch"
+        os.makedirs(sdata)
+        _append_token_part(sdata, "initial", 3000, 404)
+        cat.register(sdata, "tokens", ["theta"])
+        _append_token_part(sdata, "append_1", 1000, 505)
+        try:
+            cat.count_distinct(sdata, "tokens", policy="refuse")
+            stale_detected = False
+        except StaleEntryError:
+            stale_detected = True
+        ref = cat.refresh(sdata, "tokens")
+        delta_only = (ref.extra["new_rows"] == 1000
+                      and ref.extra["new_files"] == 1
+                      and cat.stale_files(sdata, "tokens") == 0)
+
+        blob_kb = sum(e["covered_rows"] >= 0 for e in cat.entries())
+        return spark.createDataFrame(
+            [(round(float(cd.value), 2), len(counts),
+              int(fvals[0]), counts[hot[0]],
+              round(float(q.value), 2), int(cd.sketch_bytes),
+              int(blob_kb),
+              bool(cd_ok), bool(est_ge), bool(in_bound), bool(mg_ok),
+              bool(member_ok), bool(q_ok), bool(stale_detected),
+              bool(delta_only))],
+            "distinct_est double, distinct_exact long, hot_freq_est long, "
+            "hot_freq_exact long, median_n_tok double, theta_bytes long, "
+            "n_entries int, hll_within_bound boolean, "
+            "est_ge_exact boolean, within_bound boolean, "
+            "mg_sound boolean, no_false_negatives boolean, "
+            "guarantee_holds boolean, stale_detected boolean, "
+            "delta_only boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Self-assertion columns: rows-only sketch queries encode their own
 # guarantee as a boolean per row; selfcheck_summary and the local gate
 # (tools/check_entry.py) FAIL when any is false. Recall-style flags
@@ -3159,6 +3270,7 @@ SELF_ASSERT_COLS = {
     "shift_detected", "counts_match",
     "matches_exact", "envelope_collapsed",  # per-source drift fleet
     "drift_rank_ok",
+    "stale_detected",                     # catalog staleness lifecycle
 }
 
 # Number of (tail query, self-assert flag column) pairs — schema-level,
@@ -3363,6 +3475,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_13gram_decontamination": _q_token_13gram_decontamination,
         "token_drift_bounds": _q_token_drift_bounds,
         "source_drift_fleet": _q_source_drift_fleet,
+        "catalog_route": _q_catalog_route,
         "selfcheck_summary": _q_selfcheck_summary,
         # LAST oracled on purpose — the deliberate window overflow
         # (see the docstring above)

@@ -103,6 +103,10 @@ class BloomFilter:
         self.n_items += other.n_items
         return self
 
+    def nbytes(self) -> int:
+        """Resident bit-array bytes (getMem parity, cm.h:383)."""
+        return int(self.words.nbytes)
+
     def to_bytes(self) -> bytes:
         head = struct.pack("<4sHHqdqqq", _MAGIC, _VERSION, self.k,
                            self.capacity, self.fpr, self.seed, self.m_bits,

@@ -1,0 +1,442 @@
+"""Sketch catalog — the engine-level approximate-query router.
+
+A :class:`SketchCatalog` turns the durable sketch store into a queryable
+metadata layer. Register a ``(table, column)`` once with the sketch
+kinds you want; the catalog then
+
+- maintains ONE :class:`~sketchlib.multi.MultiSketch` over that column
+  (all kinds built in a single scan, refreshed with DELTA-ONLY scans via
+  :func:`sketchlib.incremental.incremental_build` — appended files only);
+- answers approximate queries (count-distinct, frequency, top-k,
+  quantile, membership, cross-table overlap) from KB-scale blobs instead
+  of table scans, each answer carrying an explicit error contract;
+- tracks freshness against the table's file manifest and applies a
+  staleness policy per answer: ``auto`` (fold the delta, then answer),
+  ``refuse`` (raise), or ``stale_ok`` (answer with the stale-file count
+  attached).
+
+At 100 TB this is the difference between answering
+``COUNT(DISTINCT col)`` with a full-corpus scan and answering it from a
+32 KB theta blob the store already holds — and the incremental manifest
+means keeping that blob fresh costs one scan of the appended files, not
+the table. The registration spec is persisted in the store's metadata,
+so a catalog reopened in a new session (or on a different driver)
+rediscovers every entry without re-registration.
+
+No counterpart in the reference — CountMinDB (cm.h) is a single sketch
+with no store or catalog; this layer composes sketchlib's store,
+incremental-maintenance and MultiSketch contracts into the "analytics
+engine" surface.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from . import store
+from .bloom import BloomFilter
+from .countmin import CMConfig, CountMinSketch
+from .ddsketch import DDSketch
+from .hll import HllSketch
+from .incremental import (_current_files, _diff_files, _manifest_state,
+                          incremental_build)
+from .kll import KllSketch
+from .mg import MisraGries
+from .multi import MultiSketch
+from .tdigest import TDigest
+from .theta import ThetaSketch
+
+_SPEC_VERSION = 1
+
+# kind -> (default params, factory-from-params). Params must stay
+# JSON-roundtrippable: the spec is persisted in the store meta and the
+# factory is rebuilt from it on reopen — a param that doesn't survive
+# json.loads(json.dumps(...)) would silently change the sketch config
+# between sessions, which merge() would then refuse.
+_KINDS: dict[str, tuple[dict, object]] = {
+    "cm": ({"eps": 1e-4, "delta": math.exp(-3), "seed": 1337},
+           lambda p: functools.partial(
+               CountMinSketch,
+               CMConfig(p["eps"], p["delta"], seed=p["seed"]))),
+    "hll": ({"p": 14, "seed": 1337},
+            lambda p: functools.partial(HllSketch, p["p"], p["seed"])),
+    "theta": ({"k": 4096, "seed": 1337},
+              lambda p: functools.partial(ThetaSketch, p["k"], p["seed"])),
+    "mg": ({"k": 1024},
+           lambda p: functools.partial(MisraGries, p["k"])),
+    "bloom": ({"capacity": 1_000_000, "fpr": 0.01, "seed": 1337},
+              lambda p: functools.partial(
+                  BloomFilter, capacity=p["capacity"], fpr=p["fpr"],
+                  seed=p["seed"])),
+    "kll": ({"k": 200},
+            lambda p: functools.partial(KllSketch, p["k"])),
+    "tdigest": ({"delta": 200.0},
+                lambda p: functools.partial(TDigest, p["delta"])),
+    "dd": ({"alpha": 0.01},
+           lambda p: functools.partial(DDSketch, p["alpha"])),
+}
+
+
+def _normalize_kinds(kinds) -> list[dict]:
+    out = []
+    for k in kinds:
+        if isinstance(k, str):
+            kind, params = k, {}
+        elif isinstance(k, dict):
+            kind, params = k["kind"], {x: v for x, v in k.items()
+                                       if x != "kind"}
+        else:
+            kind, params = k  # (kind, params) tuple
+        if kind not in _KINDS:
+            raise ValueError(
+                f"unknown sketch kind {kind!r}; known: {sorted(_KINDS)}")
+        defaults, _ = _KINDS[kind]
+        bad = set(params) - set(defaults)
+        if bad:
+            raise ValueError(f"kind {kind!r} has no params {sorted(bad)}; "
+                             f"accepted: {sorted(defaults)}")
+        out.append({"kind": kind, "params": {**defaults, **params}})
+    if not out:
+        raise ValueError("register() needs at least one sketch kind")
+    dup = [k["kind"] for k in out]
+    if len(set(dup)) != len(dup):
+        raise ValueError(f"duplicate kinds in registration: {dup}")
+    return out
+
+
+def _factory_from_spec(spec: dict):
+    parts = tuple(_KINDS[e["kind"]][1](e["params"])
+                  for e in spec["kinds"])
+    return functools.partial(MultiSketch, parts)
+
+
+@dataclass
+class Answer:
+    """One catalog answer: the value plus everything a caller needs to
+    decide whether to trust it — the error contract of the sketch that
+    produced it, the data it covers, and how stale that coverage is."""
+    value: object
+    kind: str
+    contract: str
+    table: str
+    column: str
+    seq: int
+    covered_rows: int          # table rows the sketch has folded
+    stale_files: int           # appended files NOT yet folded (0 = fresh)
+    refreshed: bool            # True when this call folded a delta first
+    sketch_bytes: int
+    extra: dict = field(default_factory=dict)
+
+
+class SketchCatalog:
+    """Approximate-query router over a durable sketch store.
+
+    ``policy`` (default ``"auto"``) governs answers against stale
+    entries: ``auto`` folds the appended files first (delta scan only),
+    ``refuse`` raises ``StaleEntryError``, ``stale_ok`` answers from the
+    stale sketch and reports ``stale_files`` in the Answer. Per-call
+    ``policy=`` overrides the default.
+    """
+
+    def __init__(self, spark: SparkSession, store_path: str, *,
+                 policy: str = "auto") -> None:
+        if policy not in ("auto", "refuse", "stale_ok"):
+            raise ValueError(f"unknown staleness policy {policy!r}")
+        self.spark = spark
+        self.store_path = store_path
+        self.policy = policy
+
+    # -- naming ----------------------------------------------------------
+
+    @staticmethod
+    def _name(table_path: str, column: str) -> str:
+        import hashlib
+        key = hashlib.sha256(
+            os.path.abspath(table_path).encode()).hexdigest()[:12]
+        return f"catalog/{key}/{column}"
+
+    # -- registration ----------------------------------------------------
+
+    def register(self, table_path: str, column: str, kinds, *,
+                 rebuild: bool = False) -> Answer:
+        """Register (or re-register with ``rebuild=True``) a column and
+        build its sketches. Registering an existing entry with the SAME
+        spec is an idempotent refresh; a DIFFERENT spec without
+        ``rebuild`` raises — silently swapping sketch configs under an
+        incremental merge would corrupt the estimates."""
+        spec = {"version": _SPEC_VERSION, "column": column,
+                "kinds": _normalize_kinds(kinds)}
+        name = self._name(table_path, column)
+        prev = store.latest_entry(self.spark, self.store_path, name)
+        if prev is not None and not rebuild:
+            old = prev[1].get("catalog_spec")
+            if old is not None and old != spec:
+                raise ValueError(
+                    f"{table_path}:{column} is already registered with a "
+                    "different spec; pass rebuild=True to replace it.\n"
+                    f"  registered: {json.dumps(old, sort_keys=True)}\n"
+                    f"  requested:  {json.dumps(spec, sort_keys=True)}")
+        return self._refresh(table_path, column, spec, rebuild=rebuild)
+
+    def _refresh(self, table_path: str, column: str, spec: dict, *,
+                 rebuild: bool = False) -> Answer:
+        res = incremental_build(
+            self.spark, table_path, column, _factory_from_spec(spec),
+            store_path=self.store_path,
+            name=self._name(table_path, column), rebuild=rebuild,
+            meta={"catalog_spec": spec,
+                  "table_path": os.path.abspath(table_path),
+                  "column": column})
+        entry = store.latest_entry(self.spark, self.store_path,
+                                   self._name(table_path, column))
+        covered = int(entry[1].get("table_rows", -1))
+        return Answer(value=None, kind="refresh",
+                      contract="delta-only incremental fold",
+                      table=table_path, column=column, seq=res.seq,
+                      covered_rows=covered, stale_files=0,
+                      refreshed=res.new_files > 0,
+                      sketch_bytes=res.sketch.nbytes(),
+                      extra={"new_files": res.new_files,
+                             "new_rows": res.new_rows})
+
+    def refresh(self, table_path: str, column: str) -> Answer:
+        """Bring a registered entry up to date (delta scan only)."""
+        spec = self._spec(table_path, column)
+        return self._refresh(table_path, column, spec)
+
+    # -- lookup / freshness -----------------------------------------------
+
+    def _spec(self, table_path: str, column: str) -> dict:
+        name = self._name(table_path, column)
+        entry = store.latest_entry(self.spark, self.store_path, name)
+        if entry is None or "catalog_spec" not in entry[1]:
+            raise KeyError(
+                f"{table_path}:{column} is not registered in this catalog "
+                f"(store: {self.store_path}); call register() first")
+        return entry[1]["catalog_spec"]
+
+    def stale_files(self, table_path: str, column: str) -> int:
+        """Files appended to the table since the entry last folded."""
+        name = self._name(table_path, column)
+        entry = store.latest_entry(self.spark, self.store_path, name)
+        if entry is None:
+            raise KeyError(f"{table_path}:{column} is not registered")
+        return self._stale_from(name, entry[1], table_path)
+
+    def _stale_from(self, name: str, meta: dict, table_path: str) -> int:
+        """Staleness diff from an already-loaded meta (no extra store
+        read of the sketches table — answers call this on the row they
+        just loaded)."""
+        base_seq = int(meta.get("manifest_base", 0))
+        _, ingested = _manifest_state(self.spark, self.store_path, name,
+                                      base_seq)
+        current = _current_files(table_path)
+        return len(_diff_files(current, ingested or {}, table_path, name))
+
+    def _entry(self, table_path: str, column: str,
+               policy: str | None) -> tuple[int, dict, MultiSketch,
+                                            int, bool]:
+        """(seq, meta, sketch, stale_files, refreshed) under policy."""
+        policy = policy or self.policy
+        name = self._name(table_path, column)
+        loaded = store.latest_sketch(self.spark, self.store_path, name)
+        if loaded is None or "catalog_spec" not in loaded[1]:
+            raise KeyError(
+                f"{table_path}:{column} is not registered in this catalog "
+                f"(store: {self.store_path}); call register() first")
+        stale = self._stale_from(name, loaded[1], table_path)
+        refreshed = False
+        if stale and policy == "refuse":
+            raise StaleEntryError(
+                f"{table_path}:{column} is stale by {stale} file(s); "
+                "refresh() it or answer with policy='stale_ok'/'auto'")
+        if stale and policy == "auto":
+            self._refresh(table_path, column, loaded[1]["catalog_spec"])
+            loaded = store.latest_sketch(self.spark, self.store_path, name)
+            stale, refreshed = 0, True
+        return loaded[0], loaded[1], loaded[2], stale, refreshed
+
+    def _part(self, meta: dict, ms: MultiSketch, *wanted: str):
+        spec_kinds = [e["kind"] for e in meta["catalog_spec"]["kinds"]]
+        for w in wanted:
+            if w in spec_kinds:
+                return w, ms.parts[spec_kinds.index(w)]
+        raise KeyError(
+            f"none of {list(wanted)} registered for this column "
+            f"(registered kinds: {spec_kinds})")
+
+    def _answer(self, table_path, column, policy, wanted, make):
+        seq, meta, ms, stale, refreshed = self._entry(
+            table_path, column, policy)
+        kind, part = self._part(meta, ms, *wanted)
+        value, contract, extra = make(kind, part)
+        return Answer(value=value, kind=kind, contract=contract,
+                      table=table_path, column=column, seq=seq,
+                      covered_rows=int(meta.get("table_rows", -1)),
+                      stale_files=stale, refreshed=refreshed,
+                      sketch_bytes=part.nbytes(), extra=extra)
+
+    # -- answers -----------------------------------------------------------
+
+    def count_distinct(self, table_path: str, column: str, *,
+                       policy: str | None = None) -> Answer:
+        """Distinct elements in the column (theta preferred: unbiased
+        and set-op capable; HLL fallback)."""
+        def make(kind, part):
+            if kind == "theta":
+                return (float(part.estimate()),
+                        f"unbiased, rse={part.rse():.4f} (1 sigma)", {})
+            est = float(part.estimate())
+            rse = 1.04 / math.sqrt(part.m)
+            return est, f"rse={rse:.4f} (1 sigma)", {}
+        return self._answer(table_path, column, policy,
+                            ("theta", "hll"), make)
+
+    def frequency(self, table_path: str, column: str, key: int, *,
+                  policy: str | None = None) -> Answer:
+        """Occurrences of ``key`` — Count-Min one-sided upper bound."""
+        def make(kind, part):
+            n = int(part.total_count)
+            eps, delta = part.cfg.eps, part.cfg.delta
+            return (int(part.point_query(int(key))),
+                    f"one-sided: exact <= est <= exact + {eps:g}*{n} "
+                    f"w.p. >= {1 - delta:.4f}", {"l1": n})
+        return self._answer(table_path, column, policy, ("cm",), make)
+
+    def frequencies(self, table_path: str, column: str, keys, *,
+                    policy: str | None = None) -> Answer:
+        """Batch point queries: ONE store read + freshness check for the
+        whole key array (the per-key ``frequency`` loop would re-read the
+        store per key). value is an int64 array aligned with ``keys``."""
+        import numpy as np
+
+        def make(kind, part):
+            n = int(part.total_count)
+            eps, delta = part.cfg.eps, part.cfg.delta
+            arr = np.asarray(keys, dtype=np.int64)
+            return (part.point_query_batch(arr),
+                    f"one-sided per key: exact <= est <= exact + "
+                    f"{eps:g}*{n} w.p. >= {1 - delta:.4f}", {"l1": n})
+        return self._answer(table_path, column, policy, ("cm",), make)
+
+    def members(self, table_path: str, column: str, keys, *,
+                policy: str | None = None) -> Answer:
+        """Batch membership: ONE store read for the whole key array."""
+        import numpy as np
+
+        def make(kind, part):
+            arr = np.asarray(keys, dtype=np.int64)
+            return (part.contains_batch(arr),
+                    f"no false negatives; false-positive rate <= "
+                    f"{part.fpr:g} at capacity", {})
+        return self._answer(table_path, column, policy, ("bloom",), make)
+
+    def topk(self, table_path: str, column: str, k: int = 10, *,
+             policy: str | None = None) -> Answer:
+        """Heaviest keys (Misra-Gries): every key with true count above
+        the error bound is guaranteed present; survivor counts are
+        underestimates by at most that bound."""
+        def make(kind, part):
+            bound = int(part.error_bound())
+            items = part.top_items(k)
+            return (items,
+                    f"complete above count > {bound}; counts in "
+                    f"[reported, reported + {bound}]", {"bound": bound})
+        return self._answer(table_path, column, policy, ("mg",), make)
+
+    def quantile(self, table_path: str, column: str, q: float, *,
+                 policy: str | None = None) -> Answer:
+        """Approximate q-quantile of a numeric column (KLL preferred;
+        t-digest / DDSketch fallbacks)."""
+        def make(kind, part):
+            if kind == "dd":
+                return (float(part.quantile(q)),
+                        f"relative value error <= {part.alpha:g}", {})
+            if kind == "tdigest":
+                return (float(part.quantile(q)),
+                        "rank error ~ O(1/delta), tightest at the tails",
+                        {})
+            return (float(part.quantile(q)),
+                    f"rank error ~ O(1/k), k={part.k}", {})
+        return self._answer(table_path, column, policy,
+                            ("kll", "tdigest", "dd"), make)
+
+    def member(self, table_path: str, column: str, key: int, *,
+               policy: str | None = None) -> Answer:
+        """Bloom membership: False is certain, True has fpr."""
+        def make(kind, part):
+            return (bool(part.contains(int(key))),
+                    f"no false negatives; false-positive rate <= "
+                    f"{part.fpr:g} at capacity", {})
+        return self._answer(table_path, column, policy, ("bloom",), make)
+
+    def overlap(self, table_a: str, col_a: str, table_b: str, col_b: str,
+                *, policy: str | None = None) -> Answer:
+        """Cross-table set overlap from two theta entries: union /
+        intersection / Jaccard estimates without touching either table."""
+        _, meta_a, ms_a, stale_a, ref_a = self._entry(table_a, col_a,
+                                                      policy)
+        seq_b, meta_b, ms_b, stale_b, ref_b = self._entry(table_b, col_b,
+                                                          policy)
+        _, ta = self._part(meta_a, ms_a, "theta")
+        _, tb = self._part(meta_b, ms_b, "theta")
+        union = float(ta.estimate_union(tb))
+        inter = float(ta.estimate_intersection(tb))
+        jacc = inter / union if union > 0 else 0.0
+        return Answer(
+            value={"union": union, "intersection": inter,
+                   "jaccard": jacc},
+            kind="theta", contract=f"rse~{ta.rse():.4f} per estimate "
+            "(intersection degrades with smaller overlap)",
+            table=f"{table_a}|{table_b}", column=f"{col_a}|{col_b}",
+            seq=seq_b, covered_rows=-1,
+            stale_files=stale_a + stale_b,
+            refreshed=ref_a or ref_b,
+            sketch_bytes=ta.nbytes() + tb.nbytes(), extra={})
+
+    # -- introspection ------------------------------------------------------
+
+    def entries(self) -> list[dict]:
+        """Every registered (table, column): spec, seq, covered rows and
+        current staleness. Store-metadata read only (no table scans)."""
+        df = store.read_table(self.spark, self.store_path + "/sketches")
+        if df is None:
+            return []
+        from pyspark.sql import functions as F
+        rows = (df.filter(F.col("name").startswith("catalog/"))
+                .groupBy("name").agg(F.max("seq").alias("seq")))
+        winners = (df.join(rows, ["name"], "left_semi")
+                   .select("name", "seq", "meta_json").collect())
+        best = {}
+        for r in winners:
+            if r["name"] not in best or r["seq"] > best[r["name"]]["seq"]:
+                meta = json.loads(r["meta_json"])
+                if "catalog_spec" not in meta:
+                    continue
+                best[r["name"]] = {
+                    "name": r["name"], "seq": int(r["seq"]),
+                    "table_path": meta["table_path"],
+                    "column": meta["column"],
+                    "kinds": [e["kind"]
+                              for e in meta["catalog_spec"]["kinds"]],
+                    "covered_rows": int(meta.get("table_rows", -1)),
+                }
+        out = []
+        for e in sorted(best.values(), key=lambda d: d["name"]):
+            try:
+                e["stale_files"] = self.stale_files(e["table_path"],
+                                                    e["column"])
+            except (KeyError, IOError):
+                e["stale_files"] = -1   # table moved/deleted
+            out.append(e)
+        return out
+
+
+class StaleEntryError(RuntimeError):
+    """Raised by policy='refuse' when an entry lags its table."""

@@ -105,6 +105,11 @@ class DDSketch:
         self.n_items += other.n_items
         return self
 
+    def nbytes(self) -> int:
+        """Resident bucket bytes (getMem parity, cm.h:383)."""
+        # pos/neg are int->int dicts; 16 bytes ~ one packed (key, count)
+        return 16 * (len(self.pos) + len(self.neg) + 1)
+
     def to_bytes(self) -> bytes:
         head = struct.pack("<4sHHdqqqq", _MAGIC, _VERSION, 0, self.alpha,
                            self.zero_count, self.n_items,

@@ -123,6 +123,10 @@ class HllSketch:
         self.n_items += other.n_items
         return self
 
+    def nbytes(self) -> int:
+        """Resident register bytes (getMem parity, cm.h:383)."""
+        return int(self.registers.nbytes)
+
     def to_bytes(self) -> bytes:
         head = struct.pack("<4sHHqq", _MAGIC, _VERSION, self.p, self.seed,
                            self.n_items)

@@ -116,6 +116,10 @@ class KllSketch:
         self._maybe_compact()
         return self
 
+    def nbytes(self) -> int:
+        """Resident level-buffer bytes (getMem parity, cm.h:383)."""
+        return int(sum(lv.nbytes for lv in self.levels))
+
     def to_bytes(self) -> bytes:
         head = struct.pack("<4sHHqqq", _MAGIC, _VERSION, 0, self.k,
                            self.n_items, len(self.levels))

@@ -151,8 +151,9 @@ class MisraGries:
         self.counters = {}
         self.n_items = 0
 
-    @property
     def nbytes(self) -> int:
+        # method (not property) — the MultiSketch/getMem contract calls
+        # nbytes() uniformly across every sketch type
         return len(self.to_bytes())
 
     # -- serde ----------------------------------------------------------

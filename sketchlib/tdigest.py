@@ -131,6 +131,11 @@ class TDigest:
         self._compress()
         return self
 
+    def nbytes(self) -> int:
+        """Resident centroid/buffer bytes (getMem parity, cm.h:383)."""
+        self._compress()
+        return int(self.means.nbytes + self.weights.nbytes)
+
     def to_bytes(self) -> bytes:
         self._compress()
         head = struct.pack("<4sHHdqqdd", _MAGIC, _VERSION, 0, self.delta,

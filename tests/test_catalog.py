@@ -1,0 +1,183 @@
+"""Sketch catalog (sketchlib.catalog): registration, answers with error
+contracts, staleness policies (auto/refuse/stale_ok), spec persistence
+across catalog reopen, spec-mismatch refusal, and cross-table overlap."""
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sketchlib.catalog import SketchCatalog, StaleEntryError
+from sketchlib.datagen import generate_token_table
+
+
+def _write_part(table_dir, part, rows, seed):
+    src = str(table_dir / f"_src{part}.parquet")
+    generate_token_table(src, rows=rows, seed=seed, dist="zipf")
+    os.makedirs(table_dir / "data", exist_ok=True)
+    shutil.move(src, table_dir / "data" / f"part{part}.parquet")
+
+
+def _exact_counts(spark, data):
+    from pyspark.sql import functions as F
+    rows = (spark.read.parquet(data)
+            .select(F.explode("tokens").alias("t"))
+            .groupBy("t").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "t").collect())
+    return {int(r["t"]): int(r["c"]) for r in rows}
+
+
+@pytest.fixture()
+def table(tmp_path):
+    _write_part(tmp_path, 0, rows=800, seed=11)
+    return str(tmp_path / "data")
+
+
+TOKEN_KINDS = ["cm", "hll", "theta", "mg", "bloom"]
+
+
+def test_register_and_answers(spark, table, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    reg = cat.register(table, "tokens", TOKEN_KINDS)
+    assert reg.covered_rows == 800 and reg.extra["new_rows"] == 800
+
+    exact = _exact_counts(spark, table)
+    n = sum(exact.values())
+
+    cd = cat.count_distinct(table, "tokens")
+    assert cd.kind == "theta" and cd.stale_files == 0
+    assert abs(cd.value - len(exact)) <= 4 * 0.03 * len(exact) + 2
+
+    hot, hot_c = max(exact.items(), key=lambda kv: (kv[1], kv[0]))
+    fq = cat.frequency(table, "tokens", hot)
+    assert fq.kind == "cm"
+    assert hot_c <= fq.value <= hot_c + 1e-4 * n + 1
+
+    tk = cat.topk(table, "tokens", k=5)
+    bound = tk.extra["bound"]
+    survivors = dict(tk.value)
+    for key, c in exact.items():
+        if c > bound:
+            got = [v for kk, v in tk.value if kk == key]
+            # guaranteed present among ALL survivors; top-5 may truncate
+            if key in survivors:
+                assert survivors[key] <= c <= survivors[key] + bound
+
+    mb = cat.member(table, "tokens", hot)
+    assert mb.value is True and "false-positive" in mb.contract
+
+    # every answer reads KB blobs, never the table
+    assert cd.sketch_bytes < 200_000 and fq.sketch_bytes < 2_000_000
+
+
+def test_numeric_quantile(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 15.0, size=5000)
+    data = str(tmp_path / "num")
+    os.makedirs(data)
+    pd.DataFrame({"v": vals}).to_parquet(data + "/part0.parquet")
+
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register(data, "v", ["kll", "tdigest"])
+    med = float(np.quantile(vals, 0.5))
+    q = cat.quantile(data, "v", 0.5)
+    assert q.kind == "kll"
+    # rank-error tolerance: value at rank 0.5 +/- 0.05
+    lo, hi = np.quantile(vals, [0.45, 0.55])
+    assert lo <= q.value <= hi, (q.value, med)
+
+
+def test_staleness_policies(spark, tmp_path):
+    _write_part(tmp_path, 0, rows=500, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"), policy="stale_ok")
+    cat.register(data, "tokens", ["theta", "hll"])
+    before = cat.count_distinct(data, "tokens").value
+
+    _write_part(tmp_path, 1, rows=400, seed=22)
+    assert cat.stale_files(data, "tokens") == 1
+
+    # stale_ok: answers from the old sketch, reports the lag
+    a = cat.count_distinct(data, "tokens")
+    assert a.stale_files == 1 and not a.refreshed and a.value == before
+
+    # refuse: raises
+    with pytest.raises(StaleEntryError, match="stale by 1"):
+        cat.count_distinct(data, "tokens", policy="refuse")
+
+    # auto: folds the delta (delta scan only), then answers fresh
+    b = cat.count_distinct(data, "tokens", policy="auto")
+    assert b.refreshed and b.stale_files == 0 and b.covered_rows == 900
+
+    # the auto-refreshed answer equals a from-scratch rebuild's answer
+    cat2 = SketchCatalog(spark, str(tmp_path / "store2"))
+    cat2.register(data, "tokens", ["theta", "hll"])
+    assert cat2.count_distinct(data, "tokens").value == b.value
+
+
+def test_spec_persists_across_reopen(spark, table, tmp_path):
+    store = str(tmp_path / "store")
+    SketchCatalog(spark, store).register(table, "tokens", TOKEN_KINDS)
+
+    # a brand-new catalog object (fresh session in real life) answers
+    # without re-registration: the spec lives in the store meta
+    cat = SketchCatalog(spark, store)
+    assert cat.count_distinct(table, "tokens").value > 0
+    ents = cat.entries()
+    assert len(ents) == 1
+    assert ents[0]["column"] == "tokens"
+    assert ents[0]["kinds"] == TOKEN_KINDS
+    assert ents[0]["stale_files"] == 0
+    assert ents[0]["covered_rows"] == 800
+
+
+def test_spec_mismatch_refused(spark, table, tmp_path):
+    store = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store)
+    cat.register(table, "tokens", ["cm", "hll"])
+    # same spec again: idempotent no-op refresh
+    r = cat.register(table, "tokens", ["cm", "hll"])
+    assert r.extra["new_files"] == 0
+    with pytest.raises(ValueError, match="different spec"):
+        cat.register(table, "tokens", ["cm", "theta"])
+    with pytest.raises(ValueError, match="different spec"):
+        cat.register(table, "tokens",
+                     [("cm", {"eps": 1e-3}), "hll"])
+    # rebuild=True replaces the registration
+    cat.register(table, "tokens", ["cm", "theta"], rebuild=True)
+    assert cat.count_distinct(table, "tokens").kind == "theta"
+
+
+def test_unregistered_and_missing_kind(spark, table, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    with pytest.raises(KeyError, match="not registered"):
+        cat.count_distinct(table, "tokens")
+    cat.register(table, "tokens", ["cm"])
+    with pytest.raises(KeyError, match="registered kinds"):
+        cat.quantile(table, "tokens", 0.5)
+    with pytest.raises(ValueError, match="unknown sketch kind"):
+        cat.register(table, "tokens", ["nope"], rebuild=True)
+    with pytest.raises(ValueError, match="no params"):
+        cat.register(table, "tokens", [("cm", {"width": 9})],
+                     rebuild=True)
+
+
+def test_overlap_across_tables(spark, tmp_path):
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    pd.DataFrame({"val": np.arange(0, 1000, dtype=np.int64)}).to_parquet(
+        a_dir + "/p.parquet")
+    pd.DataFrame({"val": np.arange(500, 1500, dtype=np.int64)}).to_parquet(
+        b_dir + "/p.parquet")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register(a_dir, "val", ["theta"])
+    cat.register(b_dir, "val", ["theta"])
+    ov = cat.overlap(a_dir, "val", b_dir, "val")
+    # k=4096 > n: theta is exact below saturation
+    assert ov.value["union"] == 1500.0
+    assert ov.value["intersection"] == 500.0
+    assert abs(ov.value["jaccard"] - 1 / 3) < 1e-9
+    assert len(cat.entries()) == 2
