@@ -69,6 +69,16 @@ def test_register_and_answers(spark, table, tmp_path):
     mb = cat.member(table, "tokens", hot)
     assert mb.value is True and "false-positive" in mb.contract
 
+    # batch answers: one store read, aligned with the key array,
+    # identical to the per-key answers
+    some = sorted(exact)[:50]
+    fb = cat.frequencies(table, "tokens", some)
+    assert [int(v) for v in fb.value[:5]] == [
+        cat.frequency(table, "tokens", k).value for k in some[:5]]
+    assert np.all(fb.value >= np.array([exact[k] for k in some]))
+    memb = cat.members(table, "tokens", some)
+    assert bool(np.all(memb.value))
+
     # every answer reads KB blobs, never the table
     assert cd.sketch_bytes < 200_000 and fq.sketch_bytes < 2_000_000
 
