@@ -3278,7 +3278,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 86
+_TAIL_FLAG_COLS = 94
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")

@@ -43,6 +43,7 @@ from . import store
 from .bloom import BloomFilter
 from .countmin import CMConfig, CountMinSketch
 from .ddsketch import DDSketch
+from .dyadic import DyadicCM
 from .hll import HllSketch
 from .incremental import (_current_files, _diff_files, _manifest_state,
                           incremental_build)
@@ -76,6 +77,11 @@ _KINDS: dict[str, tuple[dict, object]] = {
                   seed=p["seed"])),
     "kll": ({"k": 200},
             lambda p: functools.partial(KllSketch, p["k"])),
+    "dyadic": ({"universe_bits": 31, "eps": 1e-4,
+                "delta": math.exp(-3), "seed": 1337},
+               lambda p: functools.partial(
+                   DyadicCM, p["universe_bits"], p["eps"], p["delta"],
+                   p["seed"])),
     "tdigest": ({"delta": 200.0},
                 lambda p: functools.partial(TDigest, p["delta"])),
     "dd": ({"alpha": 0.01},
@@ -366,6 +372,19 @@ class SketchCatalog:
                     f"rank error ~ O(1/k), k={part.k}", {})
         return self._answer(table_path, column, policy,
                             ("kll", "tdigest", "dd"), make)
+
+    def range_count(self, table_path: str, column: str, lo: int, hi: int,
+                    *, policy: str | None = None) -> Answer:
+        """Occurrences with lo <= key <= hi (dyadic Count-Min: <= 2 point
+        queries per level, one-sided like CM but with a per-INTERVAL
+        bound — the dyadic decomposition touches at most 2·log₂(U)
+        sketch cells, never a scan)."""
+        def make(kind, part):
+            est, bound = part.range_count_with_bound(int(lo), int(hi))
+            return (int(est),
+                    f"one-sided: exact <= est <= exact + {bound:.6g} "
+                    f"w.p. >= {1 - part.delta:.4f}", {"bound": bound})
+        return self._answer(table_path, column, policy, ("dyadic",), make)
 
     def member(self, table_path: str, column: str, key: int, *,
                policy: str | None = None) -> Answer:

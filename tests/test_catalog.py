@@ -175,6 +175,18 @@ def test_unregistered_and_missing_kind(spark, table, tmp_path):
                      rebuild=True)
 
 
+def test_range_count(spark, table, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register(table, "tokens", [("dyadic", {"eps": 1e-3})])
+    exact = _exact_counts(spark, table)
+    keys = sorted(exact)
+    lo, hi = keys[len(keys) // 4], keys[3 * len(keys) // 4]
+    true = sum(c for k, c in exact.items() if lo <= k <= hi)
+    a = cat.range_count(table, "tokens", lo, hi)
+    assert true <= a.value <= true + a.extra["bound"]
+    assert "one-sided" in a.contract
+
+
 def test_overlap_across_tables(spark, tmp_path):
     a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
     os.makedirs(a_dir), os.makedirs(b_dir)
