@@ -3240,6 +3240,108 @@ def _q_catalog_route(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_catalog_grouped_route(spark, sf_dir):
+    """Grouped catalog entries (sketchlib/catalog.py): one sketch FLEET
+    per source maintained by the grouped incremental path — a delta that
+    touches 3 of 10k sources reads+writes 3 KB-scale rows — with
+    per-group answers (distinct, top-k, per-key frequency) served from
+    the committed epoch's blobs (crash-orphan- and dead-group-safe pins,
+    incremental.py:420). The staleness lifecycle runs end to end: an
+    appended file flips the fleet stale, policy='refuse' raises, refresh
+    folds ONLY the appended rows and republishes only touched groups.
+
+    Self-asserts per source: hll_within_bound (theta distinct within 5x
+    KMV rse of exact), mg_sound (surviving top-k counts bracket exact),
+    est_ge_exact (CM hot-key answers >= exact per group); lifecycle:
+    stale_detected, delta_only. Rows-only: estimates are
+    sketch-parameter-specific."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from sketchlib.catalog import SketchCatalog, StaleEntryError
+
+    root = tempfile.mkdtemp(prefix="sketchlib_catg_")
+    data = f"{root}/data"
+    os.makedirs(data)
+    try:
+        _append_token_part(data, "initial", 6000, 606)
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register_grouped(data, "source", "tokens",
+                             [("cm", {"eps": 1e-3}), "theta",
+                              ("mg", {"k": 256})])
+
+        exact = (spark.read.parquet(data)
+                 .select("source", F.explode("tokens").alias("t"))
+                 .groupBy("source", "t").agg(F.count("*").alias("c"))
+                 .groupBy("source").agg(
+                     F.count("*").alias("d"),
+                     F.sum("c").alias("n"),
+                     F.max_by("t", F.struct("c", "t")).alias("hot"),
+                     F.max("c").alias("hot_c")).collect())
+        stats = {str(r["source"]): (int(r["d"]), int(r["n"]),
+                                    int(r["hot"]), int(r["hot_c"]))
+                 for r in exact}
+
+        cd = cat.count_distinct_grouped(data, "source", "tokens")
+        tk = cat.topk_grouped(data, "source", "tokens", k=10)
+        hll_ok = all(abs(cd.value[g] - d) <= 5 * 0.016 * d + 2
+                     for g, (d, _, _, _) in stats.items())
+
+        # exact counts for every surviving (source, key) pair in ONE
+        # filtered aggregation (isin over <= 256*G keys), not per-group
+        # collects of the full pair table
+        surv_keys = sorted({int(k) for v in tk.value.values()
+                            for k, _ in v})
+        per_key = {(str(r["source"]), int(r["t"])): int(r["c"]) for r in
+                   (spark.read.parquet(data)
+                    .select("source", F.explode("tokens").alias("t"))
+                    .filter(F.col("t").isin(surv_keys))
+                    .groupBy("source", "t").agg(F.count("*").alias("c"))
+                    .collect())}
+        mg_ok = True
+        for g, (_d, n, _hot, _hc) in stats.items():
+            for k, v in tk.value[g]:
+                ex = per_key.get((g, int(k)), 0)
+                # bracket: reported <= exact <= reported + n/(k+1)
+                mg_ok &= v <= ex <= v + n // 257 + 1
+
+        # per-group CM answers: one grouped answer per UNIQUE hot key
+        # (zipf shares hot tokens across sources), not one per group
+        cm_ok = True
+        for hot in sorted({h for (_d, _n, h, _hc) in stats.values()}):
+            fq = cat.frequency_grouped(data, "source", "tokens", hot)
+            for g, (_d, n, h, hot_c) in stats.items():
+                if h != hot:
+                    continue
+                cm_ok &= (fq.value[g] >= hot_c
+                          and fq.value[g] - hot_c <= 1e-3 * n + 1)
+
+        _append_token_part(data, "append_1", 1500, 707)
+        try:
+            cat.count_distinct_grouped(data, "source", "tokens",
+                                       policy="refuse")
+            stale_detected = False
+        except StaleEntryError:
+            stale_detected = True
+        ref = cat.refresh_grouped(data, "source", "tokens")
+        delta_only = (ref.extra["new_rows"] == 1500
+                      and ref.extra["new_files"] == 1
+                      and cat.stale_files_grouped(data, "source",
+                                                  "tokens") == 0)
+        return spark.createDataFrame(
+            [(len(stats), int(ref.extra["updated_groups"]),
+              bool(hll_ok), bool(mg_ok), bool(cm_ok),
+              bool(stale_detected), bool(delta_only))],
+            "n_sources int, groups_republished int, "
+            "hll_within_bound boolean, mg_sound boolean, "
+            "est_ge_exact boolean, stale_detected boolean, "
+            "delta_only boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Self-assertion columns: rows-only sketch queries encode their own
 # guarantee as a boolean per row; selfcheck_summary and the local gate
 # (tools/check_entry.py) FAIL when any is false. Recall-style flags
@@ -3278,7 +3380,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 94
+_TAIL_FLAG_COLS = 99
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3476,6 +3578,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_bounds": _q_token_drift_bounds,
         "source_drift_fleet": _q_source_drift_fleet,
         "catalog_route": _q_catalog_route,
+        "catalog_grouped_route": _q_catalog_grouped_route,
         "selfcheck_summary": _q_selfcheck_summary,
         # LAST oracled on purpose — the deliberate window overflow
         # (see the docstring above)

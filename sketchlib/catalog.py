@@ -45,8 +45,10 @@ from .countmin import CMConfig, CountMinSketch
 from .ddsketch import DDSketch
 from .dyadic import DyadicCM
 from .hll import HllSketch
-from .incremental import (_current_files, _diff_files, _manifest_state,
-                          incremental_build)
+from .incremental import (_current_files, _diff_files,
+                          _grouped_manifest_state, _manifest_state,
+                          current_group_sketches, incremental_build,
+                          incremental_build_grouped)
 from .kll import KllSketch
 from .mg import MisraGries
 from .multi import MultiSketch
@@ -418,6 +420,171 @@ class SketchCatalog:
             stale_files=stale_a + stale_b,
             refreshed=ref_a or ref_b,
             sketch_bytes=ta.nbytes() + tb.nbytes(), extra={})
+
+    # -- grouped entries ----------------------------------------------------
+    #
+    # One sketch fleet per group value (e.g. per-source corpus profiles),
+    # maintained by incremental_build_grouped: a delta that touches 3 of
+    # 10k groups reads+writes 3 KB-scale rows. Answers load the COMMITTED
+    # full group set (crash-orphan- and dead-group-safe pins) — driver
+    # fan-in is G x blob, so grouped answers are for group counts that
+    # fit a driver dict (same envelope as theta.overlap_matrix's guard).
+
+    @staticmethod
+    def _gname(table_path: str, group_col: str, column: str) -> str:
+        import hashlib
+        key = hashlib.sha256(
+            f"{os.path.abspath(table_path)}|{group_col}|{column}"
+            .encode()).hexdigest()[:16]
+        # grouped names may not contain '/' (rows are "{name}/{group}")
+        return f"catalogg-{key}"
+
+    def register_grouped(self, table_path: str, group_col: str,
+                         column: str, kinds, *,
+                         rebuild: bool = False) -> Answer:
+        """Register one sketch set per ``group_col`` value and build the
+        fleet (all kinds in one grouped scan). The spec persists in every
+        group row's meta, so reopen works exactly like the global path.
+        Requires at least one committed group row to rediscover the spec
+        — registering over an empty table is refused."""
+        spec = {"version": _SPEC_VERSION, "column": column,
+                "group_col": group_col, "kinds": _normalize_kinds(kinds)}
+        name = self._gname(table_path, group_col, column)
+        old = self._gspec(table_path, group_col, column, missing_ok=True)
+        if old is not None and old != spec and not rebuild:
+            raise ValueError(
+                f"{table_path}:{group_col}:{column} is already registered "
+                "with a different spec; pass rebuild=True to replace it.\n"
+                f"  registered: {json.dumps(old, sort_keys=True)}\n"
+                f"  requested:  {json.dumps(spec, sort_keys=True)}")
+        return self._refresh_grouped(table_path, group_col, column, spec,
+                                     rebuild=rebuild)
+
+    def _refresh_grouped(self, table_path: str, group_col: str,
+                         column: str, spec: dict, *,
+                         rebuild: bool = False) -> Answer:
+        res = incremental_build_grouped(
+            self.spark, table_path, group_col, column,
+            _factory_from_spec(spec), store_path=self.store_path,
+            name=self._gname(table_path, group_col, column),
+            rebuild=rebuild,
+            meta={"catalog_spec": spec,
+                  "table_path": os.path.abspath(table_path),
+                  "column": column, "group_col": group_col})
+        if res.prev_seq is None and res.updated_groups == 0:
+            raise ValueError(
+                f"cannot register a grouped entry over an empty table "
+                f"({table_path}): no group row would carry the spec")
+        return Answer(value=None, kind="refresh_grouped",
+                      contract="delta-only grouped incremental fold",
+                      table=table_path, column=column, seq=res.seq,
+                      covered_rows=-1, stale_files=0,
+                      refreshed=res.new_files > 0, sketch_bytes=0,
+                      extra={"new_files": res.new_files,
+                             "new_rows": res.new_rows,
+                             "updated_groups": res.updated_groups,
+                             "group_col": group_col})
+
+    def refresh_grouped(self, table_path: str, group_col: str,
+                        column: str) -> Answer:
+        spec = self._gspec(table_path, group_col, column)
+        return self._refresh_grouped(table_path, group_col, column, spec)
+
+    def _gspec(self, table_path: str, group_col: str, column: str, *,
+               missing_ok: bool = False) -> dict | None:
+        """Spec from any committed group row's meta (all rows of a
+        publish carry it)."""
+        from pyspark.sql import functions as F
+        name = self._gname(table_path, group_col, column)
+        df = store.read_table(self.spark, self.store_path + "/sketches")
+        rows = [] if df is None else (
+            df.filter(F.col("name").startswith(name + "/"))
+            .orderBy(F.col("seq").desc()).limit(1)
+            .select("meta_json").collect())
+        if not rows or "catalog_spec" not in json.loads(
+                rows[0]["meta_json"]):
+            if missing_ok:
+                return None
+            raise KeyError(
+                f"{table_path}:{group_col}:{column} has no grouped "
+                f"registration in this catalog (store: {self.store_path})")
+        return json.loads(rows[0]["meta_json"])["catalog_spec"]
+
+    def stale_files_grouped(self, table_path: str, group_col: str,
+                            column: str) -> int:
+        name = self._gname(table_path, group_col, column)
+        self._gspec(table_path, group_col, column)   # registered?
+        _, _, ingested = _grouped_manifest_state(self.spark,
+                                                 self.store_path, name)
+        current = _current_files(table_path)
+        return len(_diff_files(current, ingested or {}, table_path, name))
+
+    def _gentry(self, table_path: str, group_col: str, column: str,
+                policy: str | None):
+        policy = policy or self.policy
+        spec = self._gspec(table_path, group_col, column)
+        stale = self.stale_files_grouped(table_path, group_col, column)
+        refreshed = False
+        if stale and policy == "refuse":
+            raise StaleEntryError(
+                f"{table_path}:{group_col}:{column} is stale by {stale} "
+                "file(s); refresh_grouped() it or answer with "
+                "policy='stale_ok'/'auto'")
+        if stale and policy == "auto":
+            self._refresh_grouped(table_path, group_col, column, spec)
+            stale, refreshed = 0, True
+        name = self._gname(table_path, group_col, column)
+        groups = current_group_sketches(self.spark, self.store_path, name)
+        return spec, groups, stale, refreshed
+
+    def _grouped_answer(self, table_path, group_col, column, policy,
+                        wanted, make):
+        spec, groups, stale, refreshed = self._gentry(
+            table_path, group_col, column, policy)
+        meta = {"catalog_spec": spec}
+        value, kind, total_bytes = {}, None, 0
+        for g in sorted(groups):
+            kind, part = self._part(meta, groups[g], *wanted)
+            value[g] = make(part)
+            total_bytes += part.nbytes()
+        contract = f"per group: {make.contract}" if hasattr(
+            make, "contract") else "per-group sketch answer"
+        return Answer(value=value, kind=kind or wanted[0],
+                      contract=contract, table=table_path, column=column,
+                      seq=-1, covered_rows=-1, stale_files=stale,
+                      refreshed=refreshed, sketch_bytes=total_bytes,
+                      extra={"groups": len(groups),
+                             "group_col": group_col})
+
+    def count_distinct_grouped(self, table_path: str, group_col: str,
+                               column: str, *,
+                               policy: str | None = None) -> Answer:
+        """{group: distinct estimate} from the committed fleet."""
+        def make(part):
+            return float(part.estimate())
+        make.contract = "theta unbiased / hll rse=1.04/sqrt(m) (1 sigma)"
+        return self._grouped_answer(table_path, group_col, column, policy,
+                                    ("theta", "hll"), make)
+
+    def topk_grouped(self, table_path: str, group_col: str, column: str,
+                     k: int = 10, *, policy: str | None = None) -> Answer:
+        """{group: [(key, count), ...]} — MG per group; complete above
+        each group's own n/(k+1) bound."""
+        def make(part):
+            return part.top_items(k)
+        make.contract = "complete above each group's error_bound()"
+        return self._grouped_answer(table_path, group_col, column, policy,
+                                    ("mg",), make)
+
+    def frequency_grouped(self, table_path: str, group_col: str,
+                          column: str, key: int, *,
+                          policy: str | None = None) -> Answer:
+        """{group: upper-bound count of key} — CM per group."""
+        def make(part):
+            return int(part.point_query(int(key)))
+        make.contract = "one-sided: exact <= est <= exact + eps*N_group"
+        return self._grouped_answer(table_path, group_col, column, policy,
+                                    ("cm",), make)
 
     # -- introspection ------------------------------------------------------
 

@@ -187,6 +187,91 @@ def test_range_count(spark, table, tmp_path):
     assert "one-sided" in a.contract
 
 
+def _exact_by_source(spark, data):
+    from pyspark.sql import functions as F
+    rows = (spark.read.parquet(data)
+            .select("source", F.explode("tokens").alias("t"))
+            .groupBy("source").agg(
+                F.countDistinct("t").alias("d"),
+                F.count("*").alias("n")).collect())
+    return {str(r["source"]): (int(r["d"]), int(r["n"])) for r in rows}
+
+
+def test_grouped_register_and_answers(spark, tmp_path):
+    _write_part(tmp_path, 0, rows=600, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    reg = cat.register_grouped(data, "source", "tokens",
+                               ["cm", "theta", "mg"])
+    exact = _exact_by_source(spark, data)
+    assert reg.extra["updated_groups"] == len(exact)
+
+    cd = cat.count_distinct_grouped(data, "source", "tokens")
+    assert set(cd.value) == set(exact)
+    assert cd.extra["groups"] == len(exact)
+    for g, (d, _n) in exact.items():
+        # per-source distinct (~16k) exceeds theta k=4096: estimation
+        # regime, so assert the 5-sigma KMV envelope, not equality
+        assert abs(cd.value[g] - d) <= 5 * 0.016 * d + 2, (g, cd.value[g], d)
+
+    tk = cat.topk_grouped(data, "source", "tokens", k=3)
+    assert set(tk.value) == set(exact)
+    assert all(len(v) <= 3 for v in tk.value.values())
+
+    # per-group CM upper bound on one hot key
+    from pyspark.sql import functions as F
+    hot = int(spark.read.parquet(data)
+              .select(F.explode("tokens").alias("t"))
+              .groupBy("t").count().orderBy(F.desc("count"), "t")
+              .first()["t"])
+    fq = cat.frequency_grouped(data, "source", "tokens", hot)
+    per_g = {str(r["source"]): int(r["c"]) for r in
+             spark.read.parquet(data)
+             .select("source", F.explode("tokens").alias("t"))
+             .filter(F.col("t") == hot)
+             .groupBy("source").agg(F.count("*").alias("c")).collect()}
+    for g, est in fq.value.items():
+        assert est >= per_g.get(g, 0)
+
+
+def test_grouped_staleness_and_reopen(spark, tmp_path):
+    _write_part(tmp_path, 0, rows=500, seed=11)
+    data = str(tmp_path / "data")
+    store_path = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store_path, policy="stale_ok")
+    cat.register_grouped(data, "source", "tokens", ["theta"])
+
+    _write_part(tmp_path, 1, rows=300, seed=22)
+    assert cat.stale_files_grouped(data, "source", "tokens") == 1
+    with pytest.raises(StaleEntryError, match="stale by 1"):
+        cat.count_distinct_grouped(data, "source", "tokens",
+                                   policy="refuse")
+    a = cat.count_distinct_grouped(data, "source", "tokens",
+                                   policy="auto")
+    assert a.refreshed and a.stale_files == 0
+
+    # a from-scratch registration over the full table agrees exactly
+    cat2 = SketchCatalog(spark, str(tmp_path / "store2"))
+    cat2.register_grouped(data, "source", "tokens", ["theta"])
+    b = cat2.count_distinct_grouped(data, "source", "tokens")
+    assert a.value == b.value
+
+    # reopen: fresh catalog object rediscovers the spec from group rows
+    cat3 = SketchCatalog(spark, store_path)
+    c = cat3.count_distinct_grouped(data, "source", "tokens")
+    assert c.value == a.value
+    with pytest.raises(ValueError, match="different spec"):
+        cat3.register_grouped(data, "source", "tokens", ["theta", "mg"])
+
+
+def test_grouped_empty_table_refused(spark, tmp_path):
+    data = str(tmp_path / "empty")
+    os.makedirs(data)
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="empty table"):
+        cat.register_grouped(data, "source", "tokens", ["theta"])
+
+
 def test_overlap_across_tables(spark, tmp_path):
     a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
     os.makedirs(a_dir), os.makedirs(b_dir)
