@@ -589,35 +589,45 @@ class SketchCatalog:
     # -- introspection ------------------------------------------------------
 
     def entries(self) -> list[dict]:
-        """Every registered (table, column): spec, seq, covered rows and
-        current staleness. Store-metadata read only (no table scans)."""
+        """Every registered (table, column) — global entries AND grouped
+        fleets (one row per fleet, not per group): spec, seq, covered
+        rows and current staleness. Store-metadata read only (no table
+        scans)."""
         df = store.read_table(self.spark, self.store_path + "/sketches")
         if df is None:
             return []
         from pyspark.sql import functions as F
-        rows = (df.filter(F.col("name").startswith("catalog/"))
-                .groupBy("name").agg(F.max("seq").alias("seq")))
-        winners = (df.join(rows, ["name"], "left_semi")
-                   .select("name", "seq", "meta_json").collect())
-        best = {}
-        for r in winners:
-            if r["name"] not in best or r["seq"] > best[r["name"]]["seq"]:
-                meta = json.loads(r["meta_json"])
-                if "catalog_spec" not in meta:
-                    continue
-                best[r["name"]] = {
-                    "name": r["name"], "seq": int(r["seq"]),
-                    "table_path": meta["table_path"],
-                    "column": meta["column"],
-                    "kinds": [e["kind"]
-                              for e in meta["catalog_spec"]["kinds"]],
-                    "covered_rows": int(meta.get("table_rows", -1)),
-                }
+        # grouped rows are "catalogg-<hash>/<group>"; collapse a fleet
+        # to its name prefix so one registration lists once
+        named = df.withColumn(
+            "entry", F.when(F.col("name").startswith("catalogg-"),
+                            F.split(F.col("name"), "/").getItem(0))
+                      .otherwise(F.col("name")))
+        rows = (named.filter(F.col("name").startswith("catalog/")
+                             | F.col("name").startswith("catalogg-"))
+                .groupBy("entry")
+                .agg(F.max(F.struct("seq", "meta_json")).alias("w"),
+                     F.count("*").alias("n_rows_store"))
+                .select("entry", "w.seq", "w.meta_json").collect())
         out = []
-        for e in sorted(best.values(), key=lambda d: d["name"]):
+        for r in sorted(rows, key=lambda r: r["entry"]):
+            meta = json.loads(r["meta_json"])
+            if "catalog_spec" not in meta:
+                continue
+            e = {"name": r["entry"], "seq": int(r["seq"]),
+                 "table_path": meta["table_path"],
+                 "column": meta["column"],
+                 "group_col": meta.get("group_col"),
+                 "kinds": [k["kind"]
+                           for k in meta["catalog_spec"]["kinds"]],
+                 "covered_rows": int(meta.get("table_rows", -1))}
             try:
-                e["stale_files"] = self.stale_files(e["table_path"],
-                                                    e["column"])
+                if e["group_col"] is not None:
+                    e["stale_files"] = self.stale_files_grouped(
+                        e["table_path"], e["group_col"], e["column"])
+                else:
+                    e["stale_files"] = self.stale_files(e["table_path"],
+                                                        e["column"])
             except (KeyError, IOError):
                 e["stale_files"] = -1   # table moved/deleted
             out.append(e)

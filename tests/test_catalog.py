@@ -233,6 +233,13 @@ def test_grouped_register_and_answers(spark, tmp_path):
     for g, est in fq.value.items():
         assert est >= per_g.get(g, 0)
 
+    # a grouped fleet lists ONCE in entries(), with its group column
+    ents = cat.entries()
+    assert len(ents) == 1
+    assert ents[0]["group_col"] == "source"
+    assert ents[0]["kinds"] == ["cm", "theta", "mg"]
+    assert ents[0]["stale_files"] == 0
+
 
 def test_grouped_staleness_and_reopen(spark, tmp_path):
     _write_part(tmp_path, 0, rows=500, seed=11)
