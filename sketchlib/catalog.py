@@ -388,6 +388,17 @@ class SketchCatalog:
                     f"w.p. >= {1 - part.delta:.4f}", {"bound": bound})
         return self._answer(table_path, column, policy, ("dyadic",), make)
 
+    def key_quantile(self, table_path: str, column: str, q: float, *,
+                     policy: str | None = None) -> Answer:
+        """q-quantile of the KEY domain (weighted by occurrence count)
+        from a dyadic entry — tree descent over the level sketches, vs
+        ``quantile`` which ranks a numeric VALUE column via KLL."""
+        def make(kind, part):
+            return (int(part.quantile(q)),
+                    "rank bracketed by the dyadic prefix bounds "
+                    f"(eps={part.eps:g} per level, one-sided)", {})
+        return self._answer(table_path, column, policy, ("dyadic",), make)
+
     def member(self, table_path: str, column: str, key: int, *,
                policy: str | None = None) -> Answer:
         """Bloom membership: False is certain, True has fpr."""

@@ -186,6 +186,17 @@ def test_range_count(spark, table, tmp_path):
     assert true <= a.value <= true + a.extra["bound"]
     assert "one-sided" in a.contract
 
+    # key-domain median: cumulative mass strictly below the answer must
+    # sit below target+slack, and including it must reach target-slack
+    # (jump-robust — one hot key may straddle the whole window)
+    n = sum(exact.values())
+    med = cat.key_quantile(table, "tokens", 0.5)
+    below = sum(c for k, c in exact.items() if k < med.value)
+    at = below + exact.get(med.value, 0)
+    slack = 0.02 * n
+    assert below <= 0.5 * n + slack and at >= 0.5 * n - slack, \
+        (med.value, below, at, n)
+
 
 def _exact_by_source(spark, data):
     from pyspark.sql import functions as F
