@@ -282,6 +282,34 @@ def test_grouped_staleness_and_reopen(spark, tmp_path):
         cat3.register_grouped(data, "source", "tokens", ["theta", "mg"])
 
 
+def test_catalog_survives_store_compaction(spark, tmp_path):
+    """Compaction rewrites sketches/ + ingested/ into single files; the
+    catalog's answers, spec rediscovery AND the incremental manifest
+    (staleness diffs, delta-only refresh) must be unaffected."""
+    from sketchlib.store import compact_store
+
+    _write_part(tmp_path, 0, rows=400, seed=11)
+    data = str(tmp_path / "data")
+    store_path = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store_path)
+    cat.register(data, "tokens", ["theta", "cm"])
+    _write_part(tmp_path, 1, rows=200, seed=22)
+    cat.refresh(data, "tokens")              # two seqs + manifest rows
+    before = cat.count_distinct(data, "tokens").value
+
+    stats = compact_store(spark, store_path)
+    assert stats                              # something was compacted
+    spark.catalog.clearCache()
+
+    cat2 = SketchCatalog(spark, store_path)   # reopen post-compaction
+    assert cat2.count_distinct(data, "tokens").value == before
+    assert cat2.stale_files(data, "tokens") == 0
+    _write_part(tmp_path, 2, rows=100, seed=33)
+    r = cat2.refresh(data, "tokens")
+    assert r.extra["new_rows"] == 100         # manifest survived: delta-only
+    assert cat2.count_distinct(data, "tokens").covered_rows == 700
+
+
 def test_grouped_empty_table_refused(spark, tmp_path):
     data = str(tmp_path / "empty")
     os.makedirs(data)
