@@ -408,6 +408,52 @@ class SketchCatalog:
                     f"{part.fpr:g} at capacity", {})
         return self._answer(table_path, column, policy, ("bloom",), make)
 
+    def drift(self, table_path: str, column: str, seq_old: int,
+              seq_new: int | None = None, *,
+              policy: str | None = None) -> Answer:
+        """Certified total-variation envelope between two PUBLISHED
+        epochs of this entry (drift.tv_bounds over their Misra-Gries
+        parts): has the column's distribution moved since seq_old? Two
+        KB-scale store reads, no scan — the store keeps every epoch, so
+        drift monitoring is free analytics over refresh history.
+        ``seq_new`` defaults to the current epoch under ``policy``
+        (auto folds appends first, so 'now' means NOW)."""
+        from .drift import tv_bounds
+
+        name = self._name(table_path, column)
+        if seq_new is None:
+            seq_new, meta, ms, stale, refreshed = self._entry(
+                table_path, column, policy)
+        else:
+            loaded = store.latest_sketch(self.spark, self.store_path,
+                                         name, seq=seq_new)
+            if loaded is None:
+                raise KeyError(f"{table_path}:{column} has no epoch "
+                               f"{seq_new}")
+            _, meta, ms = loaded
+            stale, refreshed = 0, False
+        old = store.latest_sketch(self.spark, self.store_path, name,
+                                  seq=seq_old)
+        if old is None:
+            raise KeyError(f"{table_path}:{column} has no epoch "
+                           f"{seq_old} (pruned or never published)")
+        _, mg_new = self._part(meta, ms, "mg")
+        _, mg_old = self._part({"catalog_spec":
+                                old[1]["catalog_spec"]}, old[2], "mg")
+        b = tv_bounds(mg_old, mg_new)
+        return Answer(
+            value={"tv_lb": b.tv_lb, "tv_ub": b.tv_ub},
+            kind="mg", contract="certified envelope: tv_lb <= "
+            "TV(epoch_old, epoch_new) <= tv_ub (sound for any merge "
+            "order; collapses to exact TV when distinct <= k)",
+            table=table_path, column=column, seq=seq_new,
+            covered_rows=int(meta.get("table_rows", -1)),
+            stale_files=stale, refreshed=refreshed,
+            sketch_bytes=mg_old.nbytes() + mg_new.nbytes(),
+            extra={"seq_old": seq_old, "n_old": int(b.n_a),
+                   "n_new": int(b.n_b),
+                   "candidates": int(b.n_candidates)})
+
     def overlap(self, table_a: str, col_a: str, table_b: str, col_b: str,
                 *, policy: str | None = None) -> Answer:
         """Cross-table set overlap from two theta entries: union /

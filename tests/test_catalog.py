@@ -282,6 +282,35 @@ def test_grouped_staleness_and_reopen(spark, tmp_path):
         cat3.register_grouped(data, "source", "tokens", ["theta", "mg"])
 
 
+def test_drift_between_epochs(spark, tmp_path):
+    """cat.drift(): certified TV envelope between published epochs —
+    a same-distribution append stays near zero, a uniform-shifted
+    append is detected (lb rises), pinned pairs are reproducible."""
+    _write_part(tmp_path, 0, rows=600, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register(data, "tokens", ["mg", "theta"])            # seq 0
+
+    _write_part(tmp_path, 1, rows=300, seed=22)              # same dist
+    cat.refresh(data, "tokens")                              # seq 1
+    a = cat.drift(data, "tokens", 0)
+    assert 0.0 <= a.value["tv_lb"] <= a.value["tv_ub"] <= 1.0
+    assert a.extra["seq_old"] == 0 and a.seq == 1
+
+    src = str(tmp_path / "_u.parquet")
+    generate_token_table(src, rows=900, seed=33, dist="uniform")
+    shutil.move(src, os.path.join(data, "uniform.parquet"))
+    cat.refresh(data, "tokens")                              # seq 2
+    b = cat.drift(data, "tokens", 0)
+    assert b.value["tv_lb"] > a.value["tv_lb"]               # detected
+    assert b.value["tv_lb"] > 0.05
+
+    pinned = cat.drift(data, "tokens", 0, 1)
+    assert pinned.value == a.value                           # reproducible
+    with pytest.raises(KeyError, match="no epoch 7"):
+        cat.drift(data, "tokens", 7, 1)
+
+
 def test_catalog_survives_store_compaction(spark, tmp_path):
     """Compaction rewrites sketches/ + ingested/ into single files; the
     catalog's answers, spec rediscovery AND the incremental manifest
