@@ -454,6 +454,36 @@ class SketchCatalog:
                    "n_new": int(b.n_b),
                    "candidates": int(b.n_candidates)})
 
+    def top_movers(self, table_path: str, column: str, seq_old: int,
+                   seq_new: int | None = None, *, limit: int = 20,
+                   policy: str | None = None) -> Answer:
+        """Keys with the largest CERTIFIED frequency shift between two
+        published epochs (drift.top_movers over their MG parts): only
+        shifts that survive the deficit bounds are reported, so every
+        listed mover is real. Same two-KB-read cost shape as drift()."""
+        from .drift import top_movers as _tm
+
+        d = self.drift(table_path, column, seq_old, seq_new,
+                       policy=policy)
+        name = self._name(table_path, column)
+        old = store.latest_sketch(self.spark, self.store_path, name,
+                                  seq=seq_old)
+        new = store.latest_sketch(self.spark, self.store_path, name,
+                                  seq=d.seq)
+        _, mg_old = self._part({"catalog_spec":
+                                old[1]["catalog_spec"]}, old[2], "mg")
+        _, mg_new = self._part({"catalog_spec":
+                                new[1]["catalog_spec"]}, new[2], "mg")
+        movers = _tm(mg_old, mg_new, limit=limit)
+        return Answer(
+            value=movers, kind="mg",
+            contract="certified shifts only: |freq_new - freq_old| > "
+            "combined deficit bound; magnitudes are lower bounds",
+            table=table_path, column=column, seq=d.seq,
+            covered_rows=d.covered_rows, stale_files=d.stale_files,
+            refreshed=d.refreshed, sketch_bytes=d.sketch_bytes,
+            extra={"seq_old": seq_old, "tv": d.value})
+
     def overlap(self, table_a: str, col_a: str, table_b: str, col_b: str,
                 *, policy: str | None = None) -> Answer:
         """Cross-table set overlap from two theta entries: union /
@@ -642,6 +672,16 @@ class SketchCatalog:
         make.contract = "one-sided: exact <= est <= exact + eps*N_group"
         return self._grouped_answer(table_path, group_col, column, policy,
                                     ("cm",), make)
+
+    def quantile_grouped(self, table_path: str, group_col: str,
+                         column: str, q: float, *,
+                         policy: str | None = None) -> Answer:
+        """{group: approximate q-quantile} of a numeric column."""
+        def make(part):
+            return float(part.quantile(q))
+        make.contract = "rank error ~ O(1/k) per group"
+        return self._grouped_answer(table_path, group_col, column, policy,
+                                    ("kll", "tdigest", "dd"), make)
 
     # -- introspection ------------------------------------------------------
 

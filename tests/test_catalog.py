@@ -251,6 +251,18 @@ def test_grouped_register_and_answers(spark, tmp_path):
     assert ents[0]["kinds"] == ["cm", "theta", "mg"]
     assert ents[0]["stale_files"] == 0
 
+    # per-group numeric quantiles (separate fleet over n_tok)
+    cat.register_grouped(data, "source", "n_tok", ["kll"])
+    qg = cat.quantile_grouped(data, "source", "n_tok", 0.5)
+    med = {str(r["source"]): (float(r["lo"]), float(r["hi"])) for r in
+           spark.read.parquet(data).groupBy("source").agg(
+               F.expr("percentile(n_tok, 0.35)").alias("lo"),
+               F.expr("percentile(n_tok, 0.65)").alias("hi")).collect()}
+    for g, v in qg.value.items():
+        lo, hi = med[g]
+        assert lo <= v <= hi, (g, v, lo, hi)
+    assert len(cat.entries()) == 2
+
 
 def test_grouped_staleness_and_reopen(spark, tmp_path):
     _write_part(tmp_path, 0, rows=500, seed=11)
@@ -309,6 +321,13 @@ def test_drift_between_epochs(spark, tmp_path):
     assert pinned.value == a.value                           # reproducible
     with pytest.raises(KeyError, match="no epoch 7"):
         cat.drift(data, "tokens", 7, 1)
+
+    # certified movers after the shift: rows are (token, p_old, p_new,
+    # shift_lb) with every lower bound strictly positive by contract
+    mv = cat.top_movers(data, "tokens", 0, limit=10)
+    assert mv.value and len(mv.value) <= 10
+    assert all(lb > 0 for _t, _pa, _pb, lb in mv.value)
+    assert mv.extra["tv"] == b.value
 
 
 def test_catalog_survives_store_compaction(spark, tmp_path):
