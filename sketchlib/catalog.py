@@ -47,8 +47,8 @@ from .dyadic import DyadicCM
 from .hll import HllSketch
 from .incremental import (_current_files, _diff_files,
                           _grouped_manifest_state, _manifest_state,
-                          current_group_sketches, incremental_build,
-                          incremental_build_grouped)
+                          current_group_sketches, grouped_epoch,
+                          incremental_build, incremental_build_grouped)
 from .kll import KllSketch
 from .mg import MisraGries
 from .multi import MultiSketch
@@ -579,13 +579,21 @@ class SketchCatalog:
 
     def _gspec(self, table_path: str, group_col: str, column: str, *,
                missing_ok: bool = False) -> dict | None:
-        """Spec from any committed group row's meta (all rows of a
-        publish carry it)."""
+        """Spec from a COMMITTED group row's meta (all rows of a publish
+        carry it). Pinned to the committed epoch / rebuild base exactly
+        like current_group_sketches: a crashed ``register_grouped(
+        rebuild=True)`` with a CHANGED spec leaves orphan rows above the
+        committed epoch, and an unpinned max-seq read would return the
+        orphan's spec — then _part would index the wrong MultiSketch
+        part for committed-epoch sketches, and the spec-mismatch guard
+        would compare against a spec that was never committed."""
         from pyspark.sql import functions as F
         name = self._gname(table_path, group_col, column)
+        epoch, base = grouped_epoch(self.spark, self.store_path, name)
         df = store.read_table(self.spark, self.store_path + "/sketches")
-        rows = [] if df is None else (
+        rows = [] if df is None or epoch is None else (
             df.filter(F.col("name").startswith(name + "/"))
+            .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
             .orderBy(F.col("seq").desc()).limit(1)
             .select("meta_json").collect())
         if not rows or "catalog_spec" not in json.loads(
@@ -606,8 +614,12 @@ class SketchCatalog:
         current = _current_files(table_path)
         return len(_diff_files(current, ingested or {}, table_path, name))
 
-    def _gentry(self, table_path: str, group_col: str, column: str,
-                policy: str | None):
+    def _gscope(self, table_path: str, group_col: str, column: str,
+                policy: str | None) -> tuple[dict, int, bool]:
+        """(spec, stale_files, refreshed) under policy — freshness
+        handling WITHOUT loading any sketch row, so answer paths read
+        exactly the rows they need afterwards: one winner row for a
+        single-group question, a winners DataFrame for a fleet one."""
         policy = policy or self.policy
         spec = self._gspec(table_path, group_col, column)
         stale = self.stale_files_grouped(table_path, group_col, column)
@@ -620,22 +632,74 @@ class SketchCatalog:
         if stale and policy == "auto":
             self._refresh_grouped(table_path, group_col, column, spec)
             stale, refreshed = 0, True
+        return spec, stale, refreshed
+
+    def _gentry(self, table_path: str, group_col: str, column: str,
+                policy: str | None):
+        spec, stale, refreshed = self._gscope(table_path, group_col,
+                                              column, policy)
         name = self._gname(table_path, group_col, column)
         groups = current_group_sketches(self.spark, self.store_path, name)
         return spec, groups, stale, refreshed
 
     def _grouped_answer(self, table_path, group_col, column, policy,
-                        wanted, make):
-        spec, groups, stale, refreshed = self._gentry(
-            table_path, group_col, column, policy)
+                        wanted, make, *, group=None, as_df=False):
+        """Three answer shapes behind every grouped verb:
+
+        - ``group=<g>`` — a SINGLE-group question reads exactly one
+          committed winner row (store.load_group_sketches pushes the
+          ``name IN (prefix/g)`` predicate into the parquet scan); the
+          fleet is never loaded. O(1) driver bytes at any G.
+        - ``as_df=True`` — a FULL-FLEET question evaluated per group
+          inside mapInPandas over the committed epoch's winner rows;
+          ``Answer.value`` is a lazy (group, ...) DataFrame and no blob
+          ever reaches the driver. The shape for G = 10^5-10^6 fleets.
+        - default — the small-G convenience: ``{group: value}`` dict,
+          driver fan-in G x KB blob (same envelope as
+          theta.overlap_matrix's guard)."""
+        if group is not None and as_df:
+            raise ValueError("group= and as_df=True are exclusive: a "
+                             "single-group answer is already one row")
+        spec, stale, refreshed = self._gscope(table_path, group_col,
+                                              column, policy)
+        name = self._gname(table_path, group_col, column)
         meta = {"catalog_spec": spec}
+        contract = "per group: " + self._gcontract(spec, make, wanted)
+
+        if group is not None:
+            epoch, base = grouped_epoch(self.spark, self.store_path, name)
+            g = str(group)
+            got = store.load_group_sketches(
+                self.spark, self.store_path, name,
+                max_seq=epoch, min_seq=base, groups=[g])
+            if g not in got:
+                raise KeyError(
+                    f"group {g!r} has no committed sketch under "
+                    f"{table_path}:{group_col}:{column}")
+            kind, part = self._part(meta, got[g], *wanted)
+            return Answer(value=make(part), kind=kind, contract=contract,
+                          table=table_path, column=column, seq=epoch,
+                          covered_rows=-1, stale_files=stale,
+                          refreshed=refreshed,
+                          sketch_bytes=part.nbytes(),
+                          extra={"group": g, "groups": 1,
+                                 "group_col": group_col})
+
+        if as_df:
+            kind, value = self._fleet_df(name, spec, make, wanted)
+            return Answer(value=value, kind=kind, contract=contract,
+                          table=table_path, column=column, seq=-1,
+                          covered_rows=-1, stale_files=stale,
+                          refreshed=refreshed, sketch_bytes=-1,
+                          extra={"groups": -1, "group_col": group_col,
+                                 "distributed": True})
+
+        groups = current_group_sketches(self.spark, self.store_path, name)
         value, kind, total_bytes = {}, None, 0
         for g in sorted(groups):
             kind, part = self._part(meta, groups[g], *wanted)
             value[g] = make(part)
             total_bytes += part.nbytes()
-        contract = f"per group: {make.contract}" if hasattr(
-            make, "contract") else "per-group sketch answer"
         return Answer(value=value, kind=kind or wanted[0],
                       contract=contract, table=table_path, column=column,
                       seq=-1, covered_rows=-1, stale_files=stale,
@@ -643,45 +707,134 @@ class SketchCatalog:
                       extra={"groups": len(groups),
                              "group_col": group_col})
 
+    def _gcontract(self, spec: dict, make, wanted) -> str:
+        """Contract string for the kind the spec RESOLVES to (first of
+        ``wanted`` registered) — a fleet whose quantile kind resolved to
+        t-digest must not report the KLL wording."""
+        spec_kinds = [e["kind"] for e in spec["kinds"]]
+        kind = next((w for w in wanted if w in spec_kinds), wanted[0])
+        by_kind = getattr(make, "contract_by_kind", None)
+        if by_kind is not None:
+            return by_kind.get(kind, by_kind[None])
+        return getattr(make, "contract", "per-group sketch answer")
+
+    def _fleet_df(self, name: str, spec: dict, make, wanted):
+        """(kind, DataFrame) — the fleet answer evaluated per group
+        inside mapInPandas over the committed epoch's winner rows.
+        Winner selection (store._winners) and the epoch/base pins happen
+        in Spark BEFORE any blob moves; each task then sha-verifies and
+        deserializes only its own batch's KB blobs. Driver memory is
+        flat in G."""
+        import pandas as pd
+
+        from . import serde
+        from pyspark.sql import functions as F
+
+        spec_kinds = [e["kind"] for e in spec["kinds"]]
+        resolved = [w for w in wanted if w in spec_kinds]
+        if not resolved:
+            raise KeyError(
+                f"none of {list(wanted)} registered for this column "
+                f"(registered kinds: {spec_kinds})")
+        kind, idx = resolved[0], spec_kinds.index(resolved[0])
+        epoch, base = grouped_epoch(self.spark, self.store_path, name)
+        prefix = name + "/"
+        df = store.read_table(self.spark, self.store_path + "/sketches")
+        if df is None or epoch is None:
+            raise KeyError(f"{name} has no committed grouped epoch")
+        winners = store._winners(
+            df.filter(F.col("name").startswith(prefix))
+            .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
+        ).select("name", "blob", "sha256")
+        row_fn = getattr(make, "df_rows",
+                         lambda g, part: [(g, make(part))])
+        out_schema = getattr(make, "df_schema", "group string, "
+                                                "value double")
+        plen = len(prefix)
+
+        def gen(pdfs):
+            import hashlib
+            cols = [c.split()[0] for c in out_schema.split(",")]
+            for pdf in pdfs:
+                rows = []
+                for nm, blob, sha in zip(pdf["name"], pdf["blob"],
+                                         pdf["sha256"]):
+                    blob = bytes(blob)
+                    digest = hashlib.sha256(blob).hexdigest()
+                    if digest != sha:
+                        raise IOError(f"sketch {nm!r} corrupt: sha "
+                                      f"{digest[:16]} != {sha[:16]}")
+                    part = serde.loads(blob).parts[idx]
+                    rows.extend(row_fn(nm[plen:], part))
+                yield pd.DataFrame(rows, columns=cols)
+
+        return kind, winners.mapInPandas(gen, schema=out_schema)
+
     def count_distinct_grouped(self, table_path: str, group_col: str,
-                               column: str, *,
+                               column: str, *, group=None,
+                               as_df: bool = False,
                                policy: str | None = None) -> Answer:
-        """{group: distinct estimate} from the committed fleet."""
+        """Distinct estimate per group from the committed fleet.
+        ``group=`` answers ONE group from one store row; ``as_df=True``
+        answers the whole fleet as a lazy (group, value) DataFrame with
+        no driver fan-in; default is the small-G dict."""
         def make(part):
             return float(part.estimate())
         make.contract = "theta unbiased / hll rse=1.04/sqrt(m) (1 sigma)"
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("theta", "hll"), make)
+                                    ("theta", "hll"), make,
+                                    group=group, as_df=as_df)
 
     def topk_grouped(self, table_path: str, group_col: str, column: str,
-                     k: int = 10, *, policy: str | None = None) -> Answer:
-        """{group: [(key, count), ...]} — MG per group; complete above
-        each group's own n/(k+1) bound."""
+                     k: int = 10, *, group=None, as_df: bool = False,
+                     policy: str | None = None) -> Answer:
+        """Heaviest keys per group (MG); complete above each group's own
+        n/(k+1) bound. ``as_df=True`` returns the relational shape
+        (group, key, count) — one row per surviving key, ready to join."""
         def make(part):
             return part.top_items(k)
         make.contract = "complete above each group's error_bound()"
+        make.df_rows = lambda g, part: [(g, int(key), int(cnt))
+                                        for key, cnt in part.top_items(k)]
+        make.df_schema = "group string, key long, count long"
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("mg",), make)
+                                    ("mg",), make,
+                                    group=group, as_df=as_df)
 
     def frequency_grouped(self, table_path: str, group_col: str,
-                          column: str, key: int, *,
+                          column: str, key: int, *, group=None,
+                          as_df: bool = False,
                           policy: str | None = None) -> Answer:
-        """{group: upper-bound count of key} — CM per group."""
+        """Upper-bound count of ``key`` per group (CM)."""
         def make(part):
             return int(part.point_query(int(key)))
         make.contract = "one-sided: exact <= est <= exact + eps*N_group"
+        make.df_rows = lambda g, part: [(g, int(part.point_query(
+            int(key))))]
+        make.df_schema = "group string, value long"
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("cm",), make)
+                                    ("cm",), make,
+                                    group=group, as_df=as_df)
 
     def quantile_grouped(self, table_path: str, group_col: str,
-                         column: str, q: float, *,
+                         column: str, q: float, *, group=None,
+                         as_df: bool = False,
                          policy: str | None = None) -> Answer:
-        """{group: approximate q-quantile} of a numeric column."""
+        """Approximate q-quantile of a numeric column per group. The
+        contract reports the kind the registration RESOLVED to — a
+        t-digest fleet must not carry the KLL wording."""
         def make(part):
             return float(part.quantile(q))
-        make.contract = "rank error ~ O(1/k) per group"
+        make.contract_by_kind = {
+            "kll": "rank error ~ O(1/k) per group",
+            "tdigest": "rank error ~ O(1/delta) per group, tightest at "
+                       "the tails",
+            "dd": "relative value error <= alpha per group",
+            None: "per-group quantile sketch answer",
+        }
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("kll", "tdigest", "dd"), make)
+                                    ("kll", "tdigest", "dd"), make,
+                                    group=group, as_df=as_df)
 
     # -- introspection ------------------------------------------------------
 
@@ -711,12 +864,23 @@ class SketchCatalog:
             meta = json.loads(r["meta_json"])
             if "catalog_spec" not in meta:
                 continue
+            spec = meta["catalog_spec"]
+            if meta.get("group_col") is not None:
+                # the max-seq row of a fleet may be an uncommitted
+                # orphan with a CHANGED spec; identity fields (table,
+                # cols) are safe — the name hash binds them — but the
+                # kind list must come from the committed epoch
+                committed = self._gspec(meta["table_path"],
+                                        meta["group_col"],
+                                        meta["column"], missing_ok=True)
+                if committed is None:
+                    continue       # nothing committed yet: not listable
+                spec = committed
             e = {"name": r["entry"], "seq": int(r["seq"]),
                  "table_path": meta["table_path"],
                  "column": meta["column"],
                  "group_col": meta.get("group_col"),
-                 "kinds": [k["kind"]
-                           for k in meta["catalog_spec"]["kinds"]],
+                 "kinds": [k["kind"] for k in spec["kinds"]],
                  "covered_rows": int(meta.get("table_rows", -1))}
             try:
                 if e["group_col"] is not None:

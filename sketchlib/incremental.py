@@ -415,6 +415,30 @@ def grouped_epoch(spark: SparkSession, store_path: str,
     return epoch, base
 
 
+def grouped_epoch_at(spark: SparkSession, store_path: str, name: str,
+                     seq: int) -> tuple[int, int]:
+    """(epoch, base) pins for a HISTORICAL committed epoch ``seq`` of a
+    grouped lineage — what a correct read of a PAST fleet state needs
+    (e.g. certified drift between two published epochs). Groups
+    republish only when touched, so epoch ``seq``'s winner for a group
+    may sit at any seq in [base, seq]; the base comes from ``seq``'s own
+    commit marker (markers carry their lineage's base in file_size), so
+    rows from a pre-rebuild lineage that was dead at ``seq`` are
+    excluded. Raises KeyError when ``seq`` was never committed — orphan
+    publishes from crashed epochs are not addressable states."""
+    df = _read_ingested(spark, store_path)
+    rows = [] if df is None else (
+        df.filter((F.col("name") == name) & (F.col("file") == "")
+                  & (F.col("seq") == int(seq)))
+        .select("file_size").collect())
+    if not rows:
+        raise KeyError(
+            f"{name!r} has no committed epoch {seq} (crashed-epoch "
+            "orphans are not addressable; see grouped_epoch for the "
+            "current committed state)")
+    return int(seq), max(int(rows[0]["file_size"]), 0)
+
+
 def current_group_sketches(spark: SparkSession, store_path: str,
                            name: str) -> dict[str, object]:
     """The COMMITTED full group set of a grouped maintenance lineage:

@@ -382,3 +382,151 @@ def test_overlap_across_tables(spark, tmp_path):
     assert ov.value["intersection"] == 500.0
     assert abs(ov.value["jaccard"] - 1 / 3) < 1e-9
     assert len(cat.entries()) == 2
+
+
+def test_single_group_targeted_read(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #1a: a single-group question reads exactly ONE
+    committed winner row — the fleet is never loaded. The monkeypatch
+    pins the row-read count: the only store group-read the answer makes
+    is restricted to exactly that group."""
+    import sketchlib.store as store_mod
+
+    _write_part(tmp_path, 0, rows=600, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register_grouped(data, "source", "tokens", ["cm", "theta", "mg"])
+    fleet_cd = cat.count_distinct_grouped(data, "source", "tokens")
+    fleet_tk = cat.topk_grouped(data, "source", "tokens", k=3)
+    g = sorted(fleet_cd.value)[0]
+
+    calls = []
+    orig = store_mod.load_group_sketches
+
+    def spy(spark_, path, prefix, **kw):
+        calls.append(kw.get("groups"))
+        return orig(spark_, path, prefix, **kw)
+
+    monkeypatch.setattr(store_mod, "load_group_sketches", spy)
+
+    one = cat.count_distinct_grouped(data, "source", "tokens", group=g)
+    assert one.value == fleet_cd.value[g]
+    assert one.extra == {"group": g, "groups": 1, "group_col": "source"}
+    assert one.seq >= 0 and one.sketch_bytes > 0
+
+    tk = cat.topk_grouped(data, "source", "tokens", k=3, group=g)
+    assert tk.value == fleet_tk.value[g]
+
+    # row-read pin: every group-read the two answers made was targeted
+    # to exactly [g] — never None (the whole-fleet load)
+    assert calls == [[g], [g]]
+
+    with pytest.raises(KeyError, match="no committed sketch"):
+        cat.count_distinct_grouped(data, "source", "tokens",
+                                   group="no-such-source")
+    with pytest.raises(ValueError, match="exclusive"):
+        cat.count_distinct_grouped(data, "source", "tokens", group=g,
+                                   as_df=True)
+
+
+def test_fleet_df_answers_match_dict(spark, tmp_path):
+    """VERDICT r4 #1b: as_df=True evaluates the fleet per group inside
+    mapInPandas over committed winner rows — same values as the dict
+    path (same blobs, same arithmetic), no driver fan-in."""
+    _write_part(tmp_path, 0, rows=600, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register_grouped(data, "source", "tokens", ["cm", "theta", "mg"])
+    cat.register_grouped(data, "source", "n_tok", ["tdigest"])
+
+    cd = cat.count_distinct_grouped(data, "source", "tokens")
+    cd_df = cat.count_distinct_grouped(data, "source", "tokens",
+                                       as_df=True)
+    assert cd_df.extra["distributed"] is True
+    assert cd_df.value.columns == ["group", "value"]
+    got = {r["group"]: r["value"] for r in cd_df.value.collect()}
+    assert got == cd.value
+
+    tk = cat.topk_grouped(data, "source", "tokens", k=3)
+    tk_df = cat.topk_grouped(data, "source", "tokens", k=3, as_df=True)
+    assert tk_df.value.columns == ["group", "key", "count"]
+    by_g = {}
+    for r in tk_df.value.collect():
+        by_g.setdefault(r["group"], []).append((r["key"], r["count"]))
+    assert {g: sorted(v) for g, v in by_g.items()} == \
+        {g: sorted(v) for g, v in tk.value.items()}
+
+    hot = next(iter(tk.value.values()))[0][0]
+    fq = cat.frequency_grouped(data, "source", "tokens", hot)
+    fq_df = cat.frequency_grouped(data, "source", "tokens", hot,
+                                  as_df=True)
+    assert {r["group"]: r["value"] for r in fq_df.value.collect()} \
+        == fq.value
+
+    qg = cat.quantile_grouped(data, "source", "n_tok", 0.5)
+    qg_df = cat.quantile_grouped(data, "source", "n_tok", 0.5,
+                                 as_df=True)
+    assert {r["group"]: r["value"] for r in qg_df.value.collect()} \
+        == qg.value
+
+
+def test_quantile_grouped_contract_matches_kind(spark, tmp_path):
+    """ADVICE r4: the grouped quantile contract reports the kind the
+    registration RESOLVED to, not a hardcoded KLL wording."""
+    _write_part(tmp_path, 0, rows=400, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register_grouped(data, "source", "n_tok", ["tdigest"])
+    a = cat.quantile_grouped(data, "source", "n_tok", 0.5)
+    assert a.kind == "tdigest"
+    assert "O(1/delta)" in a.contract and "O(1/k)" not in a.contract
+
+    cat2 = SketchCatalog(spark, str(tmp_path / "store2"))
+    cat2.register_grouped(data, "source", "n_tok", ["dd"])
+    b = cat2.quantile_grouped(data, "source", "n_tok", 0.5)
+    assert b.kind == "dd"
+    assert "relative value error" in b.contract
+
+
+def test_gspec_pinned_to_committed_epoch(spark, tmp_path):
+    """ADVICE r4: orphan rows from a crashed rebuild with a CHANGED
+    spec (published above the committed epoch, no commit marker) must
+    not supply the kind list — _gspec, answers, the spec-mismatch
+    guard and entries() all read the committed spec."""
+    from sketchlib import store as store_mod
+    from sketchlib.catalog import _normalize_kinds
+    from sketchlib.theta import ThetaSketch
+
+    _write_part(tmp_path, 0, rows=400, seed=11)
+    data = str(tmp_path / "data")
+    store_path = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store_path)
+    kinds = ["cm", "theta", "mg"]
+    cat.register_grouped(data, "source", "tokens", kinds)
+    committed = cat.count_distinct_grouped(data, "source", "tokens")
+
+    # simulate the crash: a rebuild to ["theta"] published one group row
+    # at a fresh seq but died before the manifest commit marker
+    name = cat._gname(data, "source", "tokens")
+    orphan_spec = {"version": 1, "column": "tokens",
+                   "group_col": "source",
+                   "kinds": _normalize_kinds(["theta"])}
+    g = sorted(committed.value)[0]
+    sk = ThetaSketch(4096, 1337)
+    store_mod.save_sketches_bulk(
+        spark, store_path, [(f"{name}/{g}", 999, sk, 0)],
+        meta={"catalog_spec": orphan_spec,
+              "table_path": os.path.abspath(data),
+              "column": "tokens", "group_col": "source"})
+
+    # committed spec still rules every read path
+    assert [k["kind"] for k in
+            cat._gspec(data, "source", "tokens")["kinds"]] == kinds
+    after = cat.count_distinct_grouped(data, "source", "tokens")
+    assert after.value == committed.value
+    (ent,) = cat.entries()
+    assert ent["kinds"] == kinds
+    # idempotent re-register with the COMMITTED spec must not raise;
+    # the orphan's spec is the one that now mismatches
+    cat.register_grouped(data, "source", "tokens", kinds)
+    with pytest.raises(ValueError, match="different spec"):
+        cat.register_grouped(data, "source", "tokens", ["theta"])
