@@ -587,23 +587,30 @@ class SketchCatalog:
         orphan's spec — then _part would index the wrong MultiSketch
         part for committed-epoch sketches, and the spec-mismatch guard
         would compare against a spec that was never committed."""
-        from pyspark.sql import functions as F
         name = self._gname(table_path, group_col, column)
         epoch, base = grouped_epoch(self.spark, self.store_path, name)
-        df = store.read_table(self.spark, self.store_path + "/sketches")
-        rows = [] if df is None or epoch is None else (
-            df.filter(F.col("name").startswith(name + "/"))
-            .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
-            .orderBy(F.col("seq").desc()).limit(1)
-            .select("meta_json").collect())
-        if not rows or "catalog_spec" not in json.loads(
-                rows[0]["meta_json"]):
+        spec = None if epoch is None else self._gspec_at(name, epoch, base)
+        if spec is None:
             if missing_ok:
                 return None
             raise KeyError(
                 f"{table_path}:{group_col}:{column} has no grouped "
                 f"registration in this catalog (store: {self.store_path})")
-        return json.loads(rows[0]["meta_json"])["catalog_spec"]
+        return spec
+
+    def _gspec_at(self, name: str, epoch: int, base: int) -> dict | None:
+        """Spec from the highest group row WITHIN the [base, epoch]
+        window — the committed spec of that epoch's lineage."""
+        from pyspark.sql import functions as F
+        df = store.read_table(self.spark, self.store_path + "/sketches")
+        rows = [] if df is None else (
+            df.filter(F.col("name").startswith(name + "/"))
+            .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
+            .orderBy(F.col("seq").desc()).limit(1)
+            .select("meta_json").collect())
+        if not rows:
+            return None
+        return json.loads(rows[0]["meta_json"]).get("catalog_spec")
 
     def stale_files_grouped(self, table_path: str, group_col: str,
                             column: str) -> int:
@@ -835,6 +842,95 @@ class SketchCatalog:
         return self._grouped_answer(table_path, group_col, column, policy,
                                     ("kll", "tdigest", "dd"), make,
                                     group=group, as_df=as_df)
+
+    def _mg_part_df(self, name: str, epoch: int, base: int, spec: dict):
+        """(key, sketch) DataFrame of the fleet's Misra-Gries parts at a
+        committed epoch — winner selection and epoch pins in Spark,
+        MG-part extraction per batch in mapInPandas; blobs never reach
+        the driver. The input shape drift.grouped_tv_bounds wants."""
+        import pandas as pd
+
+        from . import serde
+        from pyspark.sql import functions as F
+
+        spec_kinds = [e["kind"] for e in spec["kinds"]]
+        if "mg" not in spec_kinds:
+            raise KeyError(
+                f"epoch {epoch} of {name} has no 'mg' part (registered "
+                f"kinds: {spec_kinds}) — grouped drift needs Misra-Gries")
+        idx = spec_kinds.index("mg")
+        prefix = name + "/"
+        df = store.read_table(self.spark, self.store_path + "/sketches")
+        winners = store._winners(
+            df.filter(F.col("name").startswith(prefix))
+            .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
+        ).select("name", "blob", "sha256")
+        plen = len(prefix)
+
+        def gen(pdfs):
+            import hashlib
+            for pdf in pdfs:
+                keys, blobs = [], []
+                for nm, blob, sha in zip(pdf["name"], pdf["blob"],
+                                         pdf["sha256"]):
+                    blob = bytes(blob)
+                    digest = hashlib.sha256(blob).hexdigest()
+                    if digest != sha:
+                        raise IOError(f"sketch {nm!r} corrupt: sha "
+                                      f"{digest[:16]} != {sha[:16]}")
+                    keys.append(nm[plen:])
+                    blobs.append(serde.loads(blob).parts[idx].to_bytes())
+                yield pd.DataFrame({"key": keys, "sketch": blobs})
+
+        return winners.mapInPandas(gen, schema="key string, sketch binary")
+
+    def drift_grouped(self, table_path: str, group_col: str, column: str,
+                      seq_old: int, seq_new: int | None = None, *,
+                      policy: str | None = None) -> Answer:
+        """Per-group certified TV envelopes between two PUBLISHED epochs
+        of a grouped fleet (VERDICT r4 #4) — "which sources moved
+        between snapshots?" answered entirely from store rows:
+        drift.grouped_tv_bounds pairs each group's Misra-Gries parts
+        from the two epochs by equi-join and computes every envelope
+        inside mapInPandas. ``Answer.value`` is a lazy DataFrame
+        (key, tv_lb, tv_ub, n_candidates, n_a, n_b); zero table scans,
+        no G x blob driver fan-in — the fleet counterpart of the global
+        ``drift()`` verb. Groups present in only one epoch are omitted
+        (a one-sided epoch has no two-sided envelope). ``seq_new``
+        defaults to the current committed epoch under ``policy`` (auto
+        folds appends first, so 'now' means NOW)."""
+        from .drift import grouped_tv_bounds
+
+        name = self._gname(table_path, group_col, column)
+        refreshed, stale = False, 0
+        if seq_new is None:
+            _, stale, refreshed = self._gscope(table_path, group_col,
+                                               column, policy)
+            seq_new, _ = grouped_epoch(self.spark, self.store_path, name)
+        from .incremental import grouped_epoch_at
+        old_epoch, old_base = grouped_epoch_at(
+            self.spark, self.store_path, name, seq_old)
+        new_epoch, new_base = grouped_epoch_at(
+            self.spark, self.store_path, name, seq_new)
+        spec_old = self._gspec_at(name, old_epoch, old_base)
+        spec_new = self._gspec_at(name, new_epoch, new_base)
+        if spec_old is None or spec_new is None:
+            raise KeyError(
+                f"{table_path}:{group_col}:{column} has no committed "
+                f"group rows for epoch {seq_old} / {seq_new}")
+        value = grouped_tv_bounds(
+            self._mg_part_df(name, old_epoch, old_base, spec_old),
+            self._mg_part_df(name, new_epoch, new_base, spec_new))
+        return Answer(
+            value=value, kind="mg",
+            contract="per group: certified envelope tv_lb <= "
+            "TV(epoch_old, epoch_new) <= tv_ub (sound for any merge "
+            "order; collapses to exact TV when distinct <= k)",
+            table=table_path, column=column, seq=new_epoch,
+            covered_rows=-1, stale_files=stale, refreshed=refreshed,
+            sketch_bytes=-1,
+            extra={"seq_old": old_epoch, "group_col": group_col,
+                   "distributed": True})
 
     # -- introspection ------------------------------------------------------
 

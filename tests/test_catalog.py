@@ -530,3 +530,78 @@ def test_gspec_pinned_to_committed_epoch(spark, tmp_path):
     cat.register_grouped(data, "source", "tokens", kinds)
     with pytest.raises(ValueError, match="different spec"):
         cat.register_grouped(data, "source", "tokens", ["theta"])
+
+
+def test_drift_grouped_between_epochs(spark, tmp_path):
+    """VERDICT r4 #4: cat.drift_grouped — per-group certified TV
+    envelopes between two PUBLISHED epochs, answered from store rows
+    (zero table scans), with a planted one-source shift that must rank
+    strictly on top while untouched sources certify tv_lb == 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    _write_part(tmp_path, 0, rows=600, seed=11)
+    data = str(tmp_path / "data")
+    store_path = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store_path)
+    cat.register_grouped(data, "source", "tokens", ["mg", "theta"])  # ep 0
+
+    srcs = sorted(r["source"] for r in
+                  spark.read.parquet(data).select("source")
+                  .distinct().collect())
+    planted = srcs[len(srcs) // 2]
+
+    # exact epoch-A per-source freqs, materialized BEFORE the append
+    # (a cached DataFrame would be matched by root path and silently
+    # served for the post-append read too)
+    def freqs(df):
+        out = {}
+        for r in (df.select("source", F.explode("tokens").alias("t"))
+                  .groupBy("source", "t").agg(F.count("*").alias("c"))
+                  .collect()):
+            out.setdefault(r["source"], {})[int(r["t"])] = int(r["c"])
+        return out
+    fa = freqs(spark.read.parquet(data))
+
+    # append a part touching ONLY the planted source: constant tokens
+    SHIFT, N_NEW = 31337, 200
+    tbl = pa.table({
+        "doc_id": pa.array([f"drift-{i}" for i in range(N_NEW)]),
+        "tokens": pa.array([[SHIFT] * 64] * N_NEW,
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([64] * N_NEW, type=pa.int32()),
+        "source": pa.array([planted] * N_NEW),
+    })
+    pq.write_table(tbl, os.path.join(data, "part-drift.parquet"))
+    cat.refresh_grouped(data, "source", "tokens")                    # ep 1
+
+    d = cat.drift_grouped(data, "source", "tokens", 0, 1)
+    assert d.extra["distributed"] is True and d.extra["seq_old"] == 0
+    rows = {r["key"]: r for r in d.value.collect()}
+    assert set(rows) == set(srcs)
+
+    # exact per-source TV between the two epoch states, independently
+    fb = freqs(spark.read.parquet(data))
+    for s in srcs:
+        na, nb = sum(fa[s].values()), sum(fb[s].values())
+        exact = 0.5 * sum(abs(fa[s].get(t, 0) / na - fb[s].get(t, 0) / nb)
+                          for t in set(fa[s]) | set(fb[s]))
+        r = rows[s]
+        assert r["tv_lb"] - 1e-9 <= exact <= r["tv_ub"] + 1e-9, (s, exact)
+        if s != planted:
+            assert r["tv_lb"] == 0.0     # untouched: certified no shift
+    # planted shift mass = 12800 constant tokens over the group's
+    # epoch-B stream; certified lb must capture most of it
+    assert rows[planted]["tv_lb"] > 0.05
+    assert all(rows[planted]["tv_lb"] > rows[s]["tv_lb"]
+               for s in srcs if s != planted)
+
+    # pinned epochs are reproducible; uncommitted epochs unaddressable
+    again = {r["key"]: r for r in
+             cat.drift_grouped(data, "source", "tokens", 0, 1)
+             .value.collect()}
+    assert {k: (v["tv_lb"], v["tv_ub"]) for k, v in again.items()} == \
+        {k: (v["tv_lb"], v["tv_ub"]) for k, v in rows.items()}
+    with pytest.raises(KeyError, match="no committed epoch 9"):
+        cat.drift_grouped(data, "source", "tokens", 9, 1)
