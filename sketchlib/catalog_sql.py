@@ -1,0 +1,318 @@
+"""SQL surface for the sketch catalog — route SELECTs through store blobs.
+
+``register_catalog_sql(spark, store_path)`` registers the catalog's
+answer verbs as SQL functions (VERDICT r4 #2), so a SQL-only client can
+ask
+
+    SELECT catalog_count_distinct('<table>', 'tokens'),
+           catalog_frequency('<table>', 'tokens', 31337)
+    SELECT * FROM catalog_topk('<table>', 'tokens', 10)
+
+and be answered from KB-scale sketch blobs the store already holds —
+never a table scan. This mirrors how ``spark_build.register_sql_udfs``
+exposes broadcast probes, but instead of freezing one sketch at
+registration time, each call resolves the CURRENT winning epoch of the
+named catalog entry at execution time:
+
+- the UDF executes on executors with no SparkSession, so resolution
+  reads the store's parquet directly with pyarrow (KB winner rows; the
+  ``name`` equality predicate prunes row groups);
+- winner selection is the store's rule (highest seq, sha tie-break) and
+  blobs are sha-verified before deserialization, exactly like
+  store.load_sketch;
+- results are cached per (store, entry) keyed by a listing fingerprint
+  of the store directory, so repeated calls after an unchanged store
+  never re-read a blob, while any publish (new epoch, compaction)
+  invalidates the cache on the next call.
+
+Staleness contract: the SQL surface answers from the LAST PUBLISHED
+epoch — the ``stale_ok`` policy, reported nowhere because a SELECT must
+not side-effect a delta fold. Clients that need ``auto`` freshness call
+``SketchCatalog.refresh()`` (or any auto-policy answer) first; the SQL
+functions then see the new epoch on their next call.
+
+Grouped fleets are addressable too: ``catalog_count_distinct_group``
+reads exactly ONE committed group row (the epoch/base pins come from the
+fleet's commit markers in the store's ingested/ manifest), the same
+O(1)-rows shape as ``SketchCatalog.*_grouped(group=...)``.
+
+No counterpart in the reference — CountMinDB (cm.h) has a 4-method C++
+API and no SQL; this is north-star engine surface over the store/catalog
+contracts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import serde
+
+# (store_path, name) -> (listing fingerprint, MultiSketch, meta dict).
+# FIFO-capped so long sessions with many entries don't pin old fleets.
+_ENTRY_CACHE: dict[tuple, tuple] = {}
+_ENTRY_CACHE_MAX = 64
+
+
+def _entry_name(table_path: str, column: str) -> str:
+    """Mirror of SketchCatalog._name — the global-entry store name."""
+    key = hashlib.sha256(
+        os.path.abspath(table_path).encode()).hexdigest()[:12]
+    return f"catalog/{key}/{column}"
+
+
+def _group_entry_name(table_path: str, group_col: str,
+                      column: str) -> str:
+    """Mirror of SketchCatalog._gname — the grouped-fleet name prefix."""
+    key = hashlib.sha256(
+        f"{os.path.abspath(table_path)}|{group_col}|{column}"
+        .encode()).hexdigest()[:16]
+    return f"catalogg-{key}"
+
+
+def _fingerprint(path: str) -> tuple:
+    """(path, size) listing of a store table directory — cheap cache
+    key: any publish/compaction changes the file set."""
+    import pyarrow.fs as pafs
+    fs = pafs.LocalFileSystem()
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(path, recursive=True))
+    except FileNotFoundError:
+        return ()
+    return tuple(sorted((i.path, i.size or 0) for i in infos
+                        if i.type == pafs.FileType.File))
+
+
+def _read_rows(path: str, filt, columns):
+    """Filtered pyarrow read of a store parquet table (row-group pruned
+    by the predicate); [] when the table doesn't exist yet."""
+    import pyarrow.dataset as ds
+    if not os.path.isdir(path):
+        return []
+    t = ds.dataset(path, format="parquet").to_table(
+        filter=filt, columns=columns)
+    return t.to_pylist()
+
+
+def _pick_winner(rows):
+    """The store's winner rule: highest (seq, sha256)."""
+    return max(rows, key=lambda r: (int(r["seq"]), r["sha256"]))
+
+
+def _loads_verified(name: str, row) -> object:
+    blob = bytes(row["blob"])
+    digest = hashlib.sha256(blob).hexdigest()
+    if digest != row["sha256"]:
+        raise IOError(f"sketch {name!r} seq {row['seq']} corrupt: sha "
+                      f"{digest[:16]} != {row['sha256'][:16]}")
+    return serde.loads(blob)
+
+
+def _cache_get(key: tuple, fp: tuple):
+    hit = _ENTRY_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1], hit[2]
+    return None
+
+
+def _cache_put(key: tuple, fp: tuple, ms, meta) -> None:
+    while len(_ENTRY_CACHE) >= _ENTRY_CACHE_MAX:
+        _ENTRY_CACHE.pop(next(iter(_ENTRY_CACHE)))
+    _ENTRY_CACHE[key] = (fp, ms, meta)
+
+
+def _resolve(store_path: str, table_path: str, column: str,
+             wanted: tuple):
+    """(part, meta) for the winning epoch of a GLOBAL catalog entry,
+    executor-side."""
+    import pyarrow.dataset as ds
+    name = _entry_name(table_path, column)
+    fp = _fingerprint(store_path + "/sketches")
+    hit = _cache_get((store_path, name), fp)
+    if hit is None:
+        rows = _read_rows(store_path + "/sketches",
+                          ds.field("name") == name,
+                          ["seq", "blob", "sha256", "meta_json"])
+        if not rows:
+            raise KeyError(
+                f"{table_path}:{column} is not registered in the catalog "
+                f"store {store_path} (SQL functions answer from published "
+                "epochs; register() it first)")
+        win = _pick_winner(rows)
+        ms = _loads_verified(name, win)
+        meta = json.loads(win["meta_json"])
+        _cache_put((store_path, name), fp, ms, meta)
+    else:
+        ms, meta = hit
+    return _part_of(ms, meta, wanted, table_path, column)
+
+
+def _grouped_pins(store_path: str, name: str) -> tuple[int, int]:
+    """(committed epoch, base) of a grouped fleet from its commit
+    markers in the ingested/ manifest — pyarrow mirror of
+    incremental._grouped_manifest_state's marker logic."""
+    import pyarrow.dataset as ds
+    rows = _read_rows(store_path + "/ingested",
+                      (ds.field("name") == name) & (ds.field("file") == ""),
+                      ["seq", "file_size"])
+    if not rows:
+        raise KeyError(f"{name!r} has no committed grouped epoch in "
+                       f"{store_path}")
+    epoch, base = max((int(r["seq"]), int(r["file_size"])) for r in rows)
+    return epoch, max(base, 0)
+
+
+def _resolve_group(store_path: str, table_path: str, group_col: str,
+                   column: str, group: str, wanted: tuple):
+    """(part, meta) for ONE committed group row of a fleet — exactly one
+    winner row is read, never the fleet."""
+    import pyarrow.dataset as ds
+    prefix = _group_entry_name(table_path, group_col, column)
+    row_name = f"{prefix}/{group}"
+    fp = _fingerprint(store_path + "/sketches") + \
+        _fingerprint(store_path + "/ingested")
+    hit = _cache_get((store_path, row_name), fp)
+    if hit is None:
+        epoch, base = _grouped_pins(store_path, prefix)
+        rows = _read_rows(
+            store_path + "/sketches",
+            (ds.field("name") == row_name)
+            & (ds.field("seq") >= base) & (ds.field("seq") <= epoch),
+            ["seq", "blob", "sha256", "meta_json"])
+        if not rows:
+            raise KeyError(
+                f"group {group!r} has no committed sketch under "
+                f"{table_path}:{group_col}:{column} in {store_path}")
+        win = _pick_winner(rows)
+        ms = _loads_verified(row_name, win)
+        meta = json.loads(win["meta_json"])
+        _cache_put((store_path, row_name), fp, ms, meta)
+    else:
+        ms, meta = hit
+    return _part_of(ms, meta, wanted, table_path, column)
+
+
+def _part_of(ms, meta: dict, wanted: tuple, table_path: str,
+             column: str):
+    spec_kinds = [e["kind"] for e in meta["catalog_spec"]["kinds"]]
+    for w in wanted:
+        if w in spec_kinds:
+            return ms.parts[spec_kinds.index(w)], meta
+    raise KeyError(
+        f"none of {list(wanted)} registered for {table_path}:{column} "
+        f"(registered kinds: {spec_kinds})")
+
+
+def register_catalog_sql(spark, store_path: str, *,
+                         prefix: str = "catalog_") -> list[str]:
+    """Register the catalog verbs as SQL functions bound to
+    ``store_path``. Returns the registered function names.
+
+    Scalar functions (Arrow-vectorized pandas UDFs; per-batch work is
+    one cached entry resolution + a vectorized probe):
+
+    - ``catalog_count_distinct(table, col)`` -> double (theta/hll)
+    - ``catalog_frequency(table, col, key)`` -> long (CM upper bound;
+      ``key`` may be a per-row column — probed as one batch)
+    - ``catalog_member(table, col, key)`` -> boolean (bloom)
+    - ``catalog_quantile(table, col, q)`` -> double (kll/tdigest/dd)
+    - ``catalog_range_count(table, col, lo, hi)`` -> long (dyadic)
+    - ``catalog_count_distinct_group(table, group_col, col, group)``
+      -> double, from exactly ONE committed group row
+
+    Table function:
+
+    - ``catalog_topk(table, col, k)`` -> rows (key, count) — MG
+      survivors, usable as ``SELECT * FROM catalog_topk(...)``.
+    """
+    from pyspark.sql.functions import pandas_udf, udtf
+
+    sp = store_path
+
+    @pandas_udf("double")
+    def cd(table: pd.Series, col: pd.Series) -> pd.Series:
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, c in set(zip(table, col)):
+            part, _ = _resolve(sp, t, c, ("theta", "hll"))
+            out[(table == t) & (col == c)] = float(part.estimate())
+        return out
+
+    @pandas_udf("long")
+    def freq(table: pd.Series, col: pd.Series,
+             key: pd.Series) -> pd.Series:
+        if key.isna().any():
+            raise ValueError("catalog_frequency key column contains "
+                             "NULLs; filter isNotNull() first")
+        out = pd.Series(0, index=table.index, dtype="int64")
+        for t, c in set(zip(table, col)):
+            m = (table == t) & (col == c)
+            part, _ = _resolve(sp, t, c, ("cm",))
+            out[m] = part.point_query_batch(
+                key[m].to_numpy(dtype=np.int64))
+        return out
+
+    @pandas_udf("boolean")
+    def member(table: pd.Series, col: pd.Series,
+               key: pd.Series) -> pd.Series:
+        if key.isna().any():
+            raise ValueError("catalog_member key column contains NULLs; "
+                             "filter isNotNull() first")
+        out = pd.Series(False, index=table.index, dtype="bool")
+        for t, c in set(zip(table, col)):
+            m = (table == t) & (col == c)
+            part, _ = _resolve(sp, t, c, ("bloom",))
+            out[m] = part.contains_batch(
+                key[m].to_numpy(dtype=np.int64))
+        return out
+
+    @pandas_udf("double")
+    def quant(table: pd.Series, col: pd.Series,
+              q: pd.Series) -> pd.Series:
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, c, qq in set(zip(table, col, q)):
+            part, _ = _resolve(sp, t, c, ("kll", "tdigest", "dd"))
+            out[(table == t) & (col == c) & (q == qq)] = \
+                float(part.quantile(float(qq)))
+        return out
+
+    @pandas_udf("long")
+    def rcount(table: pd.Series, col: pd.Series, lo: pd.Series,
+               hi: pd.Series) -> pd.Series:
+        out = pd.Series(0, index=table.index, dtype="int64")
+        for t, c, a, b in set(zip(table, col, lo, hi)):
+            part, _ = _resolve(sp, t, c, ("dyadic",))
+            out[(table == t) & (col == c) & (lo == a) & (hi == b)] = \
+                int(part.range_count(int(a), int(b)))
+        return out
+
+    @pandas_udf("double")
+    def cdg(table: pd.Series, gcol: pd.Series, col: pd.Series,
+            group: pd.Series) -> pd.Series:
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, gc, c, g in set(zip(table, gcol, col, group)):
+            part, _ = _resolve_group(sp, t, gc, c, g, ("theta", "hll"))
+            out[(table == t) & (gcol == gc) & (col == c)
+                & (group == g)] = float(part.estimate())
+        return out
+
+    @udtf(returnType="key bigint, count bigint")
+    class TopK:
+        def eval(self, table_path: str, column: str, k: int):
+            part, _ = _resolve(sp, table_path, column, ("mg",))
+            for key, cnt in part.top_items(int(k)):
+                yield int(key), int(cnt)
+
+    names = []
+    for suffix, fn in (("count_distinct", cd), ("frequency", freq),
+                       ("member", member), ("quantile", quant),
+                       ("range_count", rcount),
+                       ("count_distinct_group", cdg)):
+        spark.udf.register(prefix + suffix, fn)
+        names.append(prefix + suffix)
+    spark.udtf.register(prefix + "topk", TopK)
+    names.append(prefix + "topk")
+    return names

@@ -1,0 +1,125 @@
+"""SQL surface for the catalog (sketchlib.catalog_sql): verbs answer
+from published store blobs, match the Python catalog API exactly (same
+winner rule, same blobs), see new epochs after a refresh (fingerprint
+cache invalidation), and read one committed row for group questions."""
+
+import os
+import shutil
+
+import pytest
+
+from sketchlib.catalog import SketchCatalog
+from sketchlib.catalog_sql import register_catalog_sql
+from sketchlib.datagen import generate_token_table
+
+
+def _write_part(table_dir, part, rows, seed):
+    src = str(table_dir / f"_src{part}.parquet")
+    generate_token_table(src, rows=rows, seed=seed, dist="zipf")
+    os.makedirs(table_dir / "data", exist_ok=True)
+    shutil.move(src, table_dir / "data" / f"part{part}.parquet")
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    _write_part(tmp_path, 0, rows=500, seed=11)
+    data = str(tmp_path / "data")
+    store_path = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store_path)
+    cat.register(data, "tokens", ["cm", "theta", "mg", "bloom"])
+    cat.register(data, "n_tok", ["kll"])
+    cat.register_grouped(data, "source", "tokens", ["theta"])
+    register_catalog_sql(spark, store_path)
+    return cat, data
+
+
+def test_sql_verbs_match_python_api(spark, setup):
+    cat, data = setup
+    row = spark.sql(f"""
+        SELECT catalog_count_distinct('{data}', 'tokens') AS cd,
+               catalog_quantile('{data}', 'n_tok', 0.5) AS med
+    """).collect()[0]
+    assert row["cd"] == cat.count_distinct(data, "tokens").value
+    assert row["med"] == cat.quantile(data, "n_tok", 0.5).value
+
+    # topk TVF: identical survivors to the Python verb
+    got = [(r["key"], r["count"]) for r in
+           spark.sql(f"SELECT * FROM catalog_topk('{data}', 'tokens', 5)")
+           .collect()]
+    assert got == [(int(k), int(c)) for k, c in
+                   cat.topk(data, "tokens", k=5).value]
+
+    # per-row key column: CM upper bound and bloom no-false-negatives
+    # hold for every present token (batch-probed, one resolve per batch)
+    from pyspark.sql import functions as F
+    toks = (spark.read.parquet(data)
+            .select(F.explode("tokens").alias("t"))
+            .groupBy("t").agg(F.count("*").alias("exact")))
+    toks.createOrReplaceTempView("tok_counts")
+    checked = spark.sql(f"""
+        SELECT SUM(CASE WHEN catalog_frequency('{data}','tokens',t)
+                             >= exact THEN 0 ELSE 1 END) AS cm_viol,
+               SUM(CASE WHEN catalog_member('{data}','tokens',t)
+                        THEN 0 ELSE 1 END) AS bloom_misses,
+               COUNT(*) AS n
+        FROM tok_counts
+    """).collect()[0]
+    assert checked["n"] > 0
+    assert checked["cm_viol"] == 0 and checked["bloom_misses"] == 0
+
+
+def test_sql_sees_new_epoch_after_refresh(spark, setup, tmp_path):
+    cat, data = setup
+    q = f"SELECT catalog_count_distinct('{data}', 'tokens') AS cd"
+    before = spark.sql(q).collect()[0]["cd"]
+    _write_part(tmp_path, 1, rows=400, seed=22)
+    cat.refresh(data, "tokens")
+    after = spark.sql(q).collect()[0]["cd"]
+    assert after == cat.count_distinct(data, "tokens").value
+    assert after != before   # new vocabulary arrived; stale cache would
+    # have served `before` (the fingerprint changed with the publish)
+
+
+def test_sql_group_answer_pinned_to_committed_epoch(spark, setup):
+    cat, data = setup
+    fleet = cat.count_distinct_grouped(data, "source", "tokens")
+    g = sorted(fleet.value)[0]
+    got = spark.sql(
+        f"SELECT catalog_count_distinct_group('{data}', 'source', "
+        f"'tokens', '{g}') AS v").collect()[0]["v"]
+    assert got == fleet.value[g]
+
+    # an uncommitted orphan row above the committed epoch (crashed
+    # publish) must not change the SQL answer
+    from sketchlib import store as store_mod
+    from sketchlib.theta import ThetaSketch
+    name = cat._gname(data, "source", "tokens")
+    store_mod.save_sketches_bulk(
+        spark, cat.store_path, [(f"{name}/{g}", 999, ThetaSketch(4096,
+                                                                 1337), 0)],
+        meta={"catalog_spec": {"version": 1, "column": "tokens",
+                               "group_col": "source",
+                               "kinds": [{"kind": "theta",
+                                          "params": {"k": 4096,
+                                                     "seed": 1337}}]},
+              "table_path": os.path.abspath(data),
+              "column": "tokens", "group_col": "source"})
+    still = spark.sql(
+        f"SELECT catalog_count_distinct_group('{data}', 'source', "
+        f"'tokens', '{g}') AS v").collect()[0]["v"]
+    assert still == fleet.value[g]
+
+
+def test_sql_unregistered_errors(spark, setup):
+    _cat, data = setup
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+    with pytest.raises((PythonException, Py4JJavaError),
+                       match="not registered"):
+        spark.sql(f"SELECT catalog_count_distinct('{data}', 'nope')"
+                  ).collect()
+    with pytest.raises((PythonException, Py4JJavaError),
+                       match="none of"):
+        # n_tok registered with kll only: no theta/hll part
+        spark.sql(f"SELECT catalog_count_distinct('{data}', 'n_tok')"
+                  ).collect()

@@ -226,3 +226,77 @@ def test_ivfpq_drift_detector_fires_on_shift_only(spark, tmp_path):
                            path, min_recall=0.7)
     # the refused append wrote nothing
     assert spark.read.parquet(path).count() == n1
+
+
+def test_ivfpq_versioned_retrain_restores_recall(spark, tmp_path):
+    """VERDICT r4 #3: the versioned index repairs itself behind the
+    drift gate. In-distribution appends never retrain (codes append
+    into the committed epoch); a shifted append fires the gate,
+    ivfpq_append retrains over old ∪ new and atomically swaps to
+    epoch+1 — with models BYTE-IDENTICAL to a fresh build over the same
+    table (deterministic content-hash sampling), so recall is restored
+    to the fresh-build level by construction, and verified by the same
+    self-recall probe that fired the gate."""
+    from sketchlib.similarity import (ivfpq_append, ivfpq_build,
+                                      ivfpq_committed, ivfpq_drift_check,
+                                      ivfpq_query, ivfpq_retrain)
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "idx")
+    b = ivfpq_build(spark, old, "embedding", "vec_id", path,
+                    n_cells=8, m=16, ksub=64)
+    assert b == {"epoch": 0, "action": "built", "n_rows": old.count()}
+
+    # in-distribution: appended into epoch 0, models untouched, NO retrain
+    r1 = ivfpq_append(spark, new, "embedding", "vec_id", path,
+                      min_recall=0.7)
+    assert r1["action"] == "appended" and r1["epoch"] == 0
+    assert spark.read.parquet(path + "/epoch=0").count() == emb.count()
+    assert ivfpq_committed(spark, path)[0] == 0
+
+    # drifted: wide Gaussian far outside the trained cells
+    rng = np.random.default_rng(99)
+    shifted = spark.createDataFrame(
+        [(100000 + i, rng.normal(25.0, 8.0, 64).tolist())
+         for i in range(400)],
+        "vec_id long, embedding array<float>")
+    full = emb.unionByName(shifted)
+    r2 = ivfpq_append(spark, shifted, "embedding", "vec_id", path,
+                      min_recall=0.7, full_df=full)
+    assert r2["action"] == "retrained" and r2["epoch"] == 1
+    assert r2["gate_recall"] < 0.7
+    assert r2["n_rows"] == full.count()       # every vector re-encoded
+
+    # atomic swap: epoch 1 committed, epoch-0 codes still on disk for
+    # in-flight readers of the old state
+    epoch, cents, cb, meta = ivfpq_committed(spark, path)
+    assert epoch == 1 and meta["action"] == "retrained"
+    assert spark.read.parquet(path + "/epoch=0").count() == emb.count()
+
+    # recall restored: the probe that fired at < 0.7 under the frozen
+    # models passes under the retrained ones
+    rep = ivfpq_drift_check(shifted, "embedding", "vec_id", cents, cb,
+                            n_queries=12, k=10)
+    assert rep["recall"] >= 0.7, rep
+
+    # retrained models == a fresh build over the same table, bit for bit
+    fresh = str(tmp_path / "fresh")
+    ivfpq_build(spark, full, "embedding", "vec_id", fresh,
+                n_cells=8, m=16, ksub=64)
+    _, fc, fcb, _ = ivfpq_committed(spark, fresh)
+    assert np.array_equal(cents, fc) and np.array_equal(cb, fcb)
+
+    # committed-epoch query serves the shifted region now
+    q = np.asarray(
+        shifted.filter(F.col("vec_id") == 100007).collect()[0][1],
+        dtype=np.float64)
+    top = ivfpq_query(spark, path, full, "embedding", "vec_id", q,
+                      k=5, n_probe=4).collect()
+    assert top[0]["vec_id"] == 100007        # finds itself, exact dist 0
+
+    # explicit retrain API also bumps the epoch
+    r3 = ivfpq_retrain(spark, full, "embedding", "vec_id", path)
+    assert r3 == {"epoch": 2, "action": "retrained",
+                  "n_rows": full.count()}
