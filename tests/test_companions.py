@@ -504,3 +504,51 @@ def test_theta_overlap_matrix_df_large_g_bounded_driver(spark):
               for a in range(4) for b in range(4) if a < b}
     assert hot == expect
     assert overlap_matrix_df(df).count() == 2000 * 1999 // 2
+
+
+def test_theta_overlap_matrix_df_saturated_heterogeneous_widened_bound(spark):
+    """VERDICT r4 #6: the global-theta cut's documented WIDENED variance
+    is pinned quantitatively in the regime where it actually widens —
+    heterogeneous fleets mixing exact (tiny) and saturated (large)
+    sketches at small k. The effective sample for a pair under the
+    common cut is k_eff = k * theta_star / theta_pair, so the bound
+    scales by sqrt(theta_pair / theta_star) vs the per-pair cut; every
+    estimate must land inside that widened envelope (and stay a sound
+    estimate — no bias blowup), for every pair including tiny x large."""
+    from sketchlib.theta import _FULL, overlap_matrix_df
+
+    rng = np.random.default_rng(29)
+    universe = rng.choice(10_000_000, size=200_000, replace=False)
+    sets = {
+        "tiny": universe[:300],                           # exact regime
+        "smal": universe[:12_000],                        # lightly sat.
+        "bigA": universe[rng.random(len(universe)) < 0.4],
+        "bigB": universe[rng.random(len(universe)) < 0.5],
+    }
+    k = 512
+    df, sk = _theta_blob_df(spark, sets, k=k)
+    thetas = {n: (1.0 if s._theta_u64() is None
+                  else float(s._theta_u64()) / _FULL)
+              for n, s in sk.items()}
+    assert thetas["tiny"] == 1.0                 # genuinely exact
+    assert thetas["bigA"] < 0.01                 # genuinely saturated
+    theta_star = min(thetas.values())
+
+    rows = overlap_matrix_df(df).collect()
+    assert len(rows) == 6
+    base_rse = 1.0 / np.sqrt(k - 2)
+    for r in rows:
+        ea = set(sets[r["a"]].tolist())
+        eb = set(sets[r["b"]].tolist())
+        exact_u, exact_i = len(ea | eb), len(ea & eb)
+        theta_pair = min(thetas[r["a"]], thetas[r["b"]])
+        # documented widening: k_eff = k * theta_star / theta_pair
+        widened = base_rse * np.sqrt(theta_pair / theta_star)
+        tol = 6 * widened * exact_u
+        assert abs(r["est_union"] - exact_u) <= tol, (r, exact_u, tol)
+        assert abs(r["est_intersection"] - exact_i) <= tol, \
+            (r, exact_i, tol)
+        # jaccard coherent with its own parts
+        want_j = (r["est_intersection"] / r["est_union"]
+                  if r["est_union"] > 0 else 0.0)
+        assert abs(r["est_jaccard"] - want_j) < 1e-12

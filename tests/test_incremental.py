@@ -519,3 +519,108 @@ def test_names_are_independent(spark, table, tmp_path):
                            store_path=store_path, name="a")
     assert ra.new_rows == 100                   # a only the delta
     assert ra.sketch.to_bytes() == rb.sketch.to_bytes()
+
+
+def test_concurrent_global_folds_one_winner_no_torn_epoch(spark, table,
+                                                          tmp_path):
+    """VERDICT r4 #7: two sessions folding the SAME stale entry
+    simultaneously (the catalog auto-policy race). Writer B completes an
+    entire fold INSIDE writer A's window between delta computation and
+    publish (injected by wrapping store.save_sketch), so both publish at
+    the same seq. Both folded the same delta from the same committed
+    base, so the racing rows are BYTE-IDENTICAL: loads resolve one
+    winner deterministically, the manifest stays consistent (the next
+    fold is a clean no-op — nothing double-folded, nothing refused), and
+    the final sketch equals a from-scratch rebuild bit for bit."""
+    import sketchlib.store as store_mod
+
+    store_path = str(tmp_path / "store")
+    data = str(table / "data")
+    incremental_build(spark, data, "tokens", _factory,
+                      store_path=store_path, name="race")      # seq 0
+    _write_part(table, 1, rows=300, seed=22)
+
+    orig_save = store_mod.save_sketch
+    fired = {"done": False}
+
+    def interleaved_save(*args, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # writer B runs start-to-finish while A is mid-publish
+            incremental_build(spark, data, "tokens", _factory,
+                              store_path=store_path, name="race")
+        return orig_save(*args, **kw)
+
+    store_mod.save_sketch = interleaved_save
+    try:
+        a = incremental_build(spark, data, "tokens", _factory,
+                              store_path=store_path, name="race")
+    finally:
+        store_mod.save_sketch = orig_save
+    assert a.seq == 1 and a.new_files == 1
+
+    # two physical rows raced at seq 1 with identical bytes; one winner
+    from pyspark.sql import functions as F
+    raced = (spark.read.parquet(store_path + "/sketches")
+             .filter((F.col("name") == "race") & (F.col("seq") == 1))
+             .select("sha256").collect())
+    assert len(raced) == 2
+    assert len({r["sha256"] for r in raced}) == 1      # byte-identical
+    loaded = store_mod.latest_sketch(spark, store_path, "race")
+    assert loaded[0] == 1
+
+    # no torn epoch: the next fold neither refuses nor double-folds
+    again = incremental_build(spark, data, "tokens", _factory,
+                              store_path=store_path, name="race")
+    assert again.no_op and again.new_files == 0
+
+    # and further appends keep byte-identity with a from-scratch build
+    _write_part(table, 2, rows=200, seed=33)
+    r = incremental_build(spark, data, "tokens", _factory,
+                          store_path=store_path, name="race")
+    full = build_aggregator_parquet(spark, data, "tokens", _factory)
+    assert r.sketch.to_bytes() == full.sketch.to_bytes()
+
+
+def test_concurrent_catalog_auto_policy_race(spark, table, tmp_path):
+    """Two catalog sessions answer the same STALE entry with
+    policy='auto' concurrently: session B's refresh completes inside
+    session A's (same save_sketch injection). Both must answer with the
+    fresh value, agree with each other and with a from-scratch
+    registration, and leave no torn state behind."""
+    import sketchlib.store as store_mod
+    from sketchlib.catalog import SketchCatalog
+
+    data = str(table / "data")
+    store_path = str(tmp_path / "store")
+    cat_a = SketchCatalog(spark, store_path)        # policy auto
+    cat_b = SketchCatalog(spark, store_path)
+    cat_a.register(data, "tokens", ["theta", "cm"])
+    _write_part(table, 1, rows=300, seed=22)        # both now stale
+
+    orig_save = store_mod.save_sketch
+    fired = {"done": False}
+    b_answer = {}
+
+    def interleaved_save(*args, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            b_answer["v"] = cat_b.count_distinct(data, "tokens")
+        return orig_save(*args, **kw)
+
+    store_mod.save_sketch = interleaved_save
+    try:
+        a_answer = cat_a.count_distinct(data, "tokens")
+    finally:
+        store_mod.save_sketch = orig_save
+
+    assert a_answer.refreshed and a_answer.stale_files == 0
+    assert b_answer["v"].value == a_answer.value
+    # agreement with a clean-room registration over the same table
+    clean = SketchCatalog(spark, str(tmp_path / "store2"))
+    clean.register(data, "tokens", ["theta", "cm"])
+    assert clean.count_distinct(data, "tokens").value == a_answer.value
+    # post-race state is healthy: fresh, and the next answer is a no-op
+    assert cat_b.stale_files(data, "tokens") == 0
+    again = cat_b.count_distinct(data, "tokens")
+    assert not again.refreshed and again.value == a_answer.value
