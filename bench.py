@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -73,15 +74,41 @@ def token_table_path() -> str:
 
 
 def _cpu_jiffies():
-    """(total, steal, busy) jiffies from /proc/stat — the suite runs on a
-    shared VM whose throughput drifts 2-4x with co-tenant load (see
-    BENCH/BASELINE.md), so every bench line carries its own weather."""
+    """(total, steal, busy, iowait) jiffies from /proc/stat — the suite
+    runs on a shared VM whose throughput drifts 2-4x with co-tenant load
+    (see BENCH/BASELINE.md), so every bench line carries its own
+    weather."""
     try:
         vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
         busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
-        return sum(vals), (vals[7] if len(vals) > 7 else 0), busy
+        return (sum(vals), (vals[7] if len(vals) > 7 else 0), busy,
+                vals[4])
     except Exception:
-        return 0, 0, 0
+        return 0, 0, 0, 0
+
+
+_WHOLE_DISK = re.compile(r"(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\d+n\d+|"
+                         r"mmcblk\d+)")
+
+
+def _disk_io():
+    """(sectors_read, io_ticks_ms) summed over whole physical block
+    devices from /proc/diskstats (VERDICT r4 #8): at sf10 the 12 GB
+    token table no longer fits the page cache, so run totals spread
+    341-454 s with IO weather that steal%% cannot see. The sectors-read
+    delta separates cold-cache runs (GBs re-read from disk) from warm
+    ones (~0 MB) the same way steal separates CPU weather — see
+    BENCH/BASELINE.md for the interpretation rule."""
+    try:
+        rd = ms = 0
+        for line in open("/proc/diskstats"):
+            f = line.split()
+            if len(f) > 12 and _WHOLE_DISK.fullmatch(f[2]):
+                rd += int(f[5])
+                ms += int(f[12])
+        return rd, ms
+    except Exception:
+        return 0, 0
 
 
 def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
@@ -293,14 +320,19 @@ def main() -> None:
 
     runs = []
     for i in range(n_runs):
-        j0 = _cpu_jiffies()
+        j0, d0, t0 = _cpu_jiffies(), _disk_io(), time.perf_counter()
         timings, extra = run_suite(spark, sf_dir, cpus)
-        j1 = _cpu_jiffies()
+        wall, d1, j1 = time.perf_counter() - t0, _disk_io(), _cpu_jiffies()
         if j1[0] > j0[0]:
             extra["host_steal_pct"] = round(100.0 * (j1[1] - j0[1])
                                             / (j1[0] - j0[0]), 2)
             extra["host_busy_pct"] = round(100.0 * (j1[2] - j0[2])
                                            / (j1[0] - j0[0]), 2)
+            extra["host_iowait_pct"] = round(100.0 * (j1[3] - j0[3])
+                                             / (j1[0] - j0[0]), 2)
+        extra["disk_read_mb"] = round((d1[0] - d0[0]) * 512 / 1e6, 1)
+        extra["disk_io_pct"] = round(100.0 * (d1[1] - d0[1])
+                                     / (wall * 1000.0), 2)
         runs.append({"total": round(sum(timings.values()), 4),
                      "timings": timings, "extra": extra})
 
@@ -325,7 +357,10 @@ def main() -> None:
         "n_runs": n_runs,
         "runs": [{"total": r["total"],
                   "host_steal_pct": r["extra"].get("host_steal_pct"),
-                  "host_busy_pct": r["extra"].get("host_busy_pct")}
+                  "host_busy_pct": r["extra"].get("host_busy_pct"),
+                  "host_iowait_pct": r["extra"].get("host_iowait_pct"),
+                  "disk_read_mb": r["extra"].get("disk_read_mb"),
+                  "disk_io_pct": r["extra"].get("disk_io_pct")}
                  for r in runs],
         **med["extra"],
     }))
