@@ -3342,6 +3342,256 @@ def _q_catalog_grouped_route(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_catalog_sql_route(spark, sf_dir):
+    """SQL surface for the catalog (sketchlib/catalog_sql.py, VERDICT r4
+    #2): a SQL-only client answers count-distinct / frequency /
+    membership / quantile / top-k questions from published store blobs —
+    ``SELECT catalog_count_distinct('t','c')`` routes through the
+    store's winning epoch, never a table scan. Self-asserts against
+    exact companions computed once on the same table: hll_within_bound
+    (distinct within 5x KMV rse), est_ge_exact + within_bound (CM answer
+    brackets the hot key), no_false_negatives (bloom true for every
+    present probe key), within_tol (KLL median inside the exact 45-55
+    percentile window), matches_driver (SQL top-k TVF == the Python
+    verb's survivors, and each SQL scalar == its Python-API twin),
+    probe_match (grouped SQL answer from ONE committed row == the
+    grouped Python answer). Rows-only: answers are
+    sketch-parameter-specific."""
+    import shutil
+    import tempfile
+
+    from sketchlib.catalog import SketchCatalog
+    from sketchlib.catalog_sql import register_catalog_sql
+
+    root = tempfile.mkdtemp(prefix="sketchlib_catsql_")
+    data = f"{root}/data"
+    os.makedirs(data)
+    try:
+        _append_token_part(data, "initial", 4000, 909)
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register(data, "tokens",
+                     [("cm", {"eps": 1e-3}), "theta", ("mg", {"k": 256}),
+                      ("bloom", {"capacity": 200_000, "fpr": 0.01,
+                                 "seed": 1337})])
+        cat.register(data, "n_tok", ["kll"])
+        cat.register_grouped(data, "source", "tokens", ["theta"])
+        register_catalog_sql(spark, f"{root}/store")
+
+        # exact companions: one exploded groupBy + one percentile agg
+        exact = (spark.read.parquet(data)
+                 .select(F.explode("tokens").alias("t"))
+                 .groupBy("t").agg(F.count("*").alias("cnt"))
+                 .orderBy(F.desc("cnt"), "t"))
+        head = exact.limit(50).collect()
+        n_distinct = exact.count()
+        n_l1 = int(exact.agg(F.sum("cnt")).collect()[0][0])
+        hot, hot_c = int(head[0]["t"]), int(head[0]["cnt"])
+        win = (spark.read.parquet(data)
+               .agg(F.expr("percentile(n_tok, array(0.45, 0.5, 0.55))")
+                    .alias("p")).collect()[0]["p"])
+        grp = cat.count_distinct_grouped(data, "source", "tokens")
+        g0 = sorted(grp.value)[0]
+
+        row = spark.sql(f"""
+            SELECT catalog_count_distinct('{data}', 'tokens') AS cd,
+                   catalog_frequency('{data}', 'tokens', {hot}) AS fq,
+                   catalog_quantile('{data}', 'n_tok', 0.5) AS med,
+                   catalog_count_distinct_group('{data}', 'source',
+                                                'tokens', '{g0}') AS gcd
+        """).collect()[0]
+        sql_topk = [(int(r["key"]), int(r["count"])) for r in spark.sql(
+            f"SELECT * FROM catalog_topk('{data}', 'tokens', 10)"
+        ).collect()]
+
+        # bloom over every present probe key, batch-probed in SQL
+        spark.createDataFrame([(int(r["t"]),) for r in head], "t long") \
+            .createOrReplaceTempView("catsql_probe_keys")
+        misses = spark.sql(
+            f"SELECT SUM(CASE WHEN catalog_member('{data}', 'tokens', t)"
+            "  THEN 0 ELSE 1 END) AS miss FROM catsql_probe_keys"
+        ).collect()[0]["miss"]
+
+        rse = 1.0 / (4096 - 2) ** 0.5        # theta default k
+        hll_ok = abs(row["cd"] - n_distinct) <= 5 * rse * n_distinct + 2
+        cm_ok = row["fq"] >= hot_c
+        cm_tight = row["fq"] - hot_c <= 1e-3 * n_l1 + 1
+        med_ok = win[0] <= row["med"] <= win[2]
+        drv_ok = (row["cd"] == cat.count_distinct(data, "tokens").value
+                  and row["fq"] == cat.frequency(data, "tokens",
+                                                 hot).value
+                  and row["med"] == cat.quantile(data, "n_tok",
+                                                 0.5).value
+                  and sql_topk == [(int(k), int(c)) for k, c in
+                                   cat.topk(data, "tokens", k=10).value])
+        grp_ok = row["gcd"] == grp.value[g0]
+        return spark.createDataFrame(
+            [(len(sql_topk), bool(hll_ok), bool(cm_ok), bool(cm_tight),
+              bool(misses == 0), bool(med_ok), bool(drv_ok),
+              bool(grp_ok))],
+            "n_topk int, hll_within_bound boolean, est_ge_exact boolean, "
+            "within_bound boolean, no_false_negatives boolean, "
+            "within_tol boolean, matches_driver boolean, "
+            "probe_match boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_catalog_drift_grouped(spark, sf_dir):
+    """Per-group certified drift between two PUBLISHED epochs as a
+    catalog verb (catalog.drift_grouped, VERDICT r4 #4): register a
+    grouped fleet (epoch 0), append a part that shifts ONE planted
+    source onto a constant token, republish (epoch 1), then answer
+    "which sources moved?" entirely from the two epochs' committed
+    Misra-Gries rows — zero table scans, envelopes computed inside
+    mapInPandas. Self-asserts per source: lb_le_exact + exact_le_ub (the
+    certified envelope brackets the independently computed exact TV),
+    shift_detected (planted source's certified lower bound captures the
+    shift mass AND every untouched source certifies tv_lb == 0),
+    drift_rank_ok (planted ranks strictly first), plan_deterministic
+    (re-answering the same pinned epochs reproduces every envelope).
+    Rows-only: certified bounds are sketch-parameter-specific."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketchlib.catalog import SketchCatalog
+
+    root = tempfile.mkdtemp(prefix="sketchlib_catdg_")
+    data = f"{root}/data"
+    os.makedirs(data)
+    try:
+        _append_token_part(data, "initial", 1500, 808)
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register_grouped(data, "source", "tokens",
+                             [("mg", {"k": 1024}), "theta"])     # epoch 0
+
+        def freqs():
+            out = {}
+            for r in (spark.read.parquet(data)
+                      .select("source", F.explode("tokens").alias("t"))
+                      .groupBy("source", "t")
+                      .agg(F.count("*").alias("c")).collect()):
+                out.setdefault(str(r["source"]), {})[int(r["t"])] = \
+                    int(r["c"])
+            return out
+
+        fa = freqs()
+        srcs = sorted(fa)
+        planted = srcs[len(srcs) // 2]
+        SHIFT, N_NEW = 31337, 400
+        tbl = pa.table({
+            "doc_id": pa.array([f"drift-{i}" for i in range(N_NEW)]),
+            "tokens": pa.array([[SHIFT] * 64] * N_NEW,
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([64] * N_NEW, type=pa.int32()),
+            "source": pa.array([planted] * N_NEW),
+        })
+        pq.write_table(tbl, os.path.join(data, "part-drift.parquet"))
+        cat.refresh_grouped(data, "source", "tokens")            # epoch 1
+        fb = freqs()
+
+        d = cat.drift_grouped(data, "source", "tokens", 0, 1)
+        rows = {r["key"]: r for r in d.value.collect()}
+        again = {r["key"]: (r["tv_lb"], r["tv_ub"]) for r in
+                 cat.drift_grouped(data, "source", "tokens", 0, 1)
+                 .value.collect()}
+
+        bracket_lo = bracket_hi = True
+        for s in srcs:
+            na, nb = sum(fa[s].values()), sum(fb[s].values())
+            exact = 0.5 * sum(abs(fa[s].get(t, 0) / na
+                                  - fb[s].get(t, 0) / nb)
+                              for t in set(fa[s]) | set(fb[s]))
+            bracket_lo &= rows[s]["tv_lb"] - 1e-9 <= exact
+            bracket_hi &= exact <= rows[s]["tv_ub"] + 1e-9
+        shift_ok = (rows[planted]["tv_lb"] > 0.05
+                    and all(rows[s]["tv_lb"] == 0.0 for s in srcs
+                            if s != planted))
+        rank_ok = all(rows[planted]["tv_lb"] > rows[s]["tv_lb"]
+                      for s in srcs if s != planted)
+        det_ok = again == {k: (v["tv_lb"], v["tv_ub"])
+                           for k, v in rows.items()}
+        return spark.createDataFrame(
+            [(len(srcs), round(float(rows[planted]["tv_lb"]), 4),
+              bool(bracket_lo), bool(bracket_hi), bool(shift_ok),
+              bool(rank_ok), bool(det_ok))],
+            "n_sources int, planted_tv_lb double, lb_le_exact boolean, "
+            "exact_le_ub boolean, shift_detected boolean, "
+            "drift_rank_ok boolean, plan_deterministic boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_ivfpq_retrain_gate(spark, sf_dir):
+    """Self-repairing versioned IVF-PQ (similarity.ivfpq_append /
+    ivfpq_retrain, VERDICT r4 #3): an in-distribution append lands in
+    the committed epoch with models untouched (in_dist_silent); a
+    shifted append fires the drift gate and the index repairs ITSELF —
+    retrains models on a deterministic content-hash sample of old ∪ new,
+    re-encodes every vector distributedly, atomically swaps to epoch+1
+    (drift_detected). Self-asserts retrain_restores (the same probe that
+    fired at < threshold passes under the retrained models) and
+    byte_identical (retrained models == a fresh build over the same
+    table, bit for bit — repair converges to the from-scratch state).
+    Rows-only: ANN recall is not SQL-expressible."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from sketchlib.similarity import (ivfpq_append, ivfpq_build,
+                                      ivfpq_committed, ivfpq_drift_check)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    old = emb.filter(F.col("vec_id") < 300)
+    indist = emb.filter(F.col("vec_id") >= 300)
+    rng = np.random.default_rng(99)
+    shifted = spark.createDataFrame(
+        [(100000 + i, rng.normal(25.0, 8.0, 64).astype("float32")
+          .tolist()) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    full = emb.unionByName(shifted)
+
+    root = tempfile.mkdtemp(prefix="sketchlib_ivfr_")
+    try:
+        path = f"{root}/idx"
+        ivfpq_build(spark, old, "embedding", "vec_id", path,
+                    n_cells=8, m=16, ksub=32)
+        thr = 0.6
+        r1 = ivfpq_append(spark, indist, "embedding", "vec_id", path,
+                          min_recall=thr, n_probe=6)
+        in_dist_silent = (r1["action"] == "appended"
+                          and r1["epoch"] == 0)
+        r2 = ivfpq_append(spark, shifted, "embedding", "vec_id", path,
+                          min_recall=thr, full_df=full, n_probe=6)
+        drift_detected = (r2["action"] == "retrained"
+                          and r2["epoch"] == 1
+                          and r2["gate_recall"] < thr)
+        epoch, cents, cb, _meta = ivfpq_committed(spark, path)
+        rep = ivfpq_drift_check(shifted, "embedding", "vec_id", cents,
+                                cb, n_queries=12, k=10, n_probe=6)
+        restored = epoch == 1 and rep["recall"] >= thr
+        fresh = f"{root}/fresh"
+        ivfpq_build(spark, full, "embedding", "vec_id", fresh,
+                    n_cells=8, m=16, ksub=32)
+        _, fc, fcb, _ = ivfpq_committed(spark, fresh)
+        same = bool(np.array_equal(cents, fc) and np.array_equal(cb,
+                                                                 fcb))
+        return spark.createDataFrame(
+            [(round(float(r2["gate_recall"]), 4),
+              round(float(rep["recall"]), 4), thr,
+              bool(in_dist_silent), bool(drift_detected),
+              bool(restored), bool(same))],
+            "gate_recall double, retrained_recall double, "
+            "threshold double, in_dist_silent boolean, "
+            "drift_detected boolean, retrain_restores boolean, "
+            "byte_identical boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Self-assertion columns: rows-only sketch queries encode their own
 # guarantee as a boolean per row; selfcheck_summary and the local gate
 # (tools/check_entry.py) FAIL when any is false. Recall-style flags
@@ -3373,6 +3623,7 @@ SELF_ASSERT_COLS = {
     "matches_exact", "envelope_collapsed",  # per-source drift fleet
     "drift_rank_ok",
     "stale_detected",                     # catalog staleness lifecycle
+    "retrain_restores",                   # IVF-PQ self-repair
 }
 
 # Number of (tail query, self-assert flag column) pairs — schema-level,
@@ -3380,7 +3631,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 99
+_TAIL_FLAG_COLS = 115
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3620,6 +3871,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_fleet": _q_source_drift_fleet,
         "catalog_route": _q_catalog_route,
         "catalog_grouped_route": _q_catalog_grouped_route,
+        "catalog_sql_route": _q_catalog_sql_route,
+        "catalog_drift_grouped": _q_catalog_drift_grouped,
+        "ivfpq_retrain_gate": _q_ivfpq_retrain_gate,
         "selfcheck_summary": _q_selfcheck_summary,
         # LAST oracled on purpose — the deliberate window overflow
         # (see the docstring above)
