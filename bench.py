@@ -111,6 +111,46 @@ def _disk_io():
         return 0, 0
 
 
+_KERNEL_CHILD = r"""
+import os, sys, time, math
+sys.path.insert(0, {repo!r})
+import numpy as np
+from sketchlib.countmin import CMConfig, CountMinSketch
+cfg = CMConfig(eps=1e-4, delta=math.exp(-3), seed=1337)
+toks = np.random.default_rng(7).integers(
+    0, 2**31, size=2_000_000, dtype=np.int64).astype(np.int32)
+cm = CountMinSketch(cfg)
+cm.update_batch(toks, preaggregate=False)
+t0 = time.perf_counter()
+for _ in range(3):
+    cm.update_batch(toks, preaggregate=False)
+print(6e6 / (time.perf_counter() - t0))
+"""
+
+
+def _kernel_mtoks(n_procs: int) -> float:
+    """Closed-loop CM-update throughput (M tokens/s) of n_procs plain
+    processes — no Spark, no IO, byte-identical code every session. The
+    third weather axis: co-tenant contention on this shared VM slows
+    cycles WITHOUT appearing as steal (the vCPU is running, just
+    slowly) or as disk reads; suite walls drift 2-4x while both proxies
+    read zero. This calibration constant makes that visible — compare a
+    run's host_kernel_mtoks against the calm-host reference in
+    BENCH/BASELINE.md (~480-540 M/s at 32 procs) before reading its
+    wall times as code. ~2 s per sample."""
+    import subprocess
+    try:
+        code = _KERNEL_CHILD.format(
+            repo=os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, NUMPY_MADVISE_HUGEPAGE="0")
+        ps = [subprocess.Popen([sys.executable, "-c", code],
+                               stdout=subprocess.PIPE, env=env)
+              for _ in range(n_procs)]
+        return round(sum(float(p.communicate()[0]) for p in ps) / 1e6, 1)
+    except Exception:
+        return 0.0
+
+
 def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     """One pass over the headline suite; returns (timings, extra)."""
     import __spark_entry__ as entry_mod
@@ -333,6 +373,7 @@ def main() -> None:
         extra["disk_read_mb"] = round((d1[0] - d0[0]) * 512 / 1e6, 1)
         extra["disk_io_pct"] = round(100.0 * (d1[1] - d0[1])
                                      / (wall * 1000.0), 2)
+        extra["host_kernel_mtoks"] = _kernel_mtoks(cpus)
         runs.append({"total": round(sum(timings.values()), 4),
                      "timings": timings, "extra": extra})
 
@@ -360,7 +401,9 @@ def main() -> None:
                   "host_busy_pct": r["extra"].get("host_busy_pct"),
                   "host_iowait_pct": r["extra"].get("host_iowait_pct"),
                   "disk_read_mb": r["extra"].get("disk_read_mb"),
-                  "disk_io_pct": r["extra"].get("disk_io_pct")}
+                  "disk_io_pct": r["extra"].get("disk_io_pct"),
+                  "host_kernel_mtoks": r["extra"].get(
+                      "host_kernel_mtoks")}
                  for r in runs],
         **med["extra"],
     }))
