@@ -223,11 +223,15 @@ def register_catalog_sql(spark, store_path: str, *,
     - ``catalog_range_count(table, col, lo, hi)`` -> long (dyadic)
     - ``catalog_count_distinct_group(table, group_col, col, group)``
       -> double, from exactly ONE committed group row
+    - ``catalog_quantile_group(table, group_col, col, group, q)``
+      -> double, same one-committed-row shape
 
-    Table function:
+    Table functions:
 
     - ``catalog_topk(table, col, k)`` -> rows (key, count) — MG
       survivors, usable as ``SELECT * FROM catalog_topk(...)``.
+    - ``catalog_topk_group(table, group_col, col, group, k)`` -> rows
+      (key, count) — one group's survivors from ONE committed fleet row.
     """
     from pyspark.sql.functions import pandas_udf, udtf
 
@@ -299,6 +303,18 @@ def register_catalog_sql(spark, store_path: str, *,
                 & (group == g)] = float(part.estimate())
         return out
 
+    @pandas_udf("double")
+    def qgrp(table: pd.Series, gcol: pd.Series, col: pd.Series,
+             group: pd.Series, q: pd.Series) -> pd.Series:
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, gc, c, g, qq in set(zip(table, gcol, col, group, q)):
+            part, _ = _resolve_group(sp, t, gc, c, g,
+                                     ("kll", "tdigest", "dd"))
+            out[(table == t) & (gcol == gc) & (col == c)
+                & (group == g) & (q == qq)] = \
+                float(part.quantile(float(qq)))
+        return out
+
     @udtf(returnType="key bigint, count bigint")
     class TopK:
         def eval(self, table_path: str, column: str, k: int):
@@ -306,13 +322,26 @@ def register_catalog_sql(spark, store_path: str, *,
             for key, cnt in part.top_items(int(k)):
                 yield int(key), int(cnt)
 
+    @udtf(returnType="key bigint, count bigint")
+    class TopKGroup:
+        """One group's MG survivors from exactly ONE committed fleet
+        row — the SQL twin of ``topk_grouped(group=...)``."""
+        def eval(self, table_path: str, group_col: str, column: str,
+                 group: str, k: int):
+            part, _ = _resolve_group(sp, table_path, group_col, column,
+                                     group, ("mg",))
+            for key, cnt in part.top_items(int(k)):
+                yield int(key), int(cnt)
+
     names = []
     for suffix, fn in (("count_distinct", cd), ("frequency", freq),
                        ("member", member), ("quantile", quant),
                        ("range_count", rcount),
-                       ("count_distinct_group", cdg)):
+                       ("count_distinct_group", cdg),
+                       ("quantile_group", qgrp)):
         spark.udf.register(prefix + suffix, fn)
         names.append(prefix + suffix)
-    spark.udtf.register(prefix + "topk", TopK)
-    names.append(prefix + "topk")
+    for suffix, tvf in (("topk", TopK), ("topk_group", TopKGroup)):
+        spark.udtf.register(prefix + suffix, tvf)
+        names.append(prefix + suffix)
     return names

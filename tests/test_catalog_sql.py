@@ -28,7 +28,8 @@ def setup(spark, tmp_path):
     cat = SketchCatalog(spark, store_path)
     cat.register(data, "tokens", ["cm", "theta", "mg", "bloom"])
     cat.register(data, "n_tok", ["kll"])
-    cat.register_grouped(data, "source", "tokens", ["theta"])
+    cat.register_grouped(data, "source", "tokens", ["theta", "mg"])
+    cat.register_grouped(data, "source", "n_tok", ["kll"])
     register_catalog_sql(spark, store_path)
     return cat, data
 
@@ -123,3 +124,24 @@ def test_sql_unregistered_errors(spark, setup):
         # n_tok registered with kll only: no theta/hll part
         spark.sql(f"SELECT catalog_count_distinct('{data}', 'n_tok')"
                   ).collect()
+
+
+def test_sql_grouped_topk_and_quantile_match_python(spark, setup):
+    """The grouped TVF and scalar answer from ONE committed fleet row
+    and equal the Python verbs' group= answers exactly."""
+    cat, data = setup
+    fleet = cat.count_distinct_grouped(data, "source", "tokens")
+    g = sorted(fleet.value)[0]
+
+    got = [(r["key"], r["count"]) for r in spark.sql(
+        f"SELECT * FROM catalog_topk_group('{data}', 'source', "
+        f"'tokens', '{g}', 5)").collect()]
+    want = cat.topk_grouped(data, "source", "tokens", k=5, group=g)
+    assert got == [(int(k), int(c)) for k, c in want.value]
+    assert len(got) > 0
+
+    med = spark.sql(
+        f"SELECT catalog_quantile_group('{data}', 'source', 'n_tok', "
+        f"'{g}', 0.5) AS v").collect()[0]["v"]
+    assert med == cat.quantile_grouped(data, "source", "n_tok", 0.5,
+                                       group=g).value
