@@ -196,6 +196,33 @@ def _resolve_group(store_path: str, table_path: str, group_col: str,
     return _part_of(ms, meta, wanted, table_path, column)
 
 
+def _resolve_at(store_path: str, table_path: str, column: str,
+                seq: int, wanted: tuple):
+    """(part, meta) for a PINNED epoch of a global catalog entry —
+    exact-seq row, sha tie-break, mirroring store.latest_sketch(seq=)."""
+    import pyarrow.dataset as ds
+    name = _entry_name(table_path, column)
+    fp = _fingerprint(store_path + "/sketches")
+    key = (store_path, name, int(seq))
+    hit = _cache_get(key, fp)
+    if hit is None:
+        rows = _read_rows(store_path + "/sketches",
+                          (ds.field("name") == name)
+                          & (ds.field("seq") == int(seq)),
+                          ["seq", "blob", "sha256", "meta_json"])
+        if not rows:
+            raise KeyError(
+                f"{table_path}:{column} has no epoch {seq} in "
+                f"{store_path} (pruned or never published)")
+        win = _pick_winner(rows)
+        ms = _loads_verified(name, win)
+        meta = json.loads(win["meta_json"])
+        _cache_put(key, fp, ms, meta)
+    else:
+        ms, meta = hit
+    return _part_of(ms, meta, wanted, table_path, column)
+
+
 def _part_of(ms, meta: dict, wanted: tuple, table_path: str,
              column: str):
     spec_kinds = [e["kind"] for e in meta["catalog_spec"]["kinds"]]
@@ -232,6 +259,13 @@ def register_catalog_sql(spark, store_path: str, *,
       survivors, usable as ``SELECT * FROM catalog_topk(...)``.
     - ``catalog_topk_group(table, group_col, col, group, k)`` -> rows
       (key, count) — one group's survivors from ONE committed fleet row.
+    - ``catalog_drift(table, col, seq_old, seq_new)`` -> one row
+      (tv_lb, tv_ub, n_old, n_new, candidates) — the certified TV
+      envelope between two published epochs from two pinned KB rows
+      (NULL seq_new = latest epoch).
+    - ``catalog_entries()`` -> one row per registered entry/fleet
+      (name, table_path, column, group_col, kinds, seq) — store
+      metadata only, no blob reads.
     """
     from pyspark.sql.functions import pandas_udf, udtf
 
@@ -333,6 +367,79 @@ def register_catalog_sql(spark, store_path: str, *,
             for key, cnt in part.top_items(int(k)):
                 yield int(key), int(cnt)
 
+    @udtf(returnType="tv_lb double, tv_ub double, n_old bigint, "
+                     "n_new bigint, candidates bigint")
+    class Drift:
+        """Certified TV envelope between two published epochs of a
+        global entry, from two pinned KB store rows — the SQL twin of
+        ``cat.drift``. Pass NULL as seq_new for the latest epoch."""
+        def eval(self, table_path: str, column: str, seq_old: int,
+                 seq_new):
+            from .drift import tv_bounds
+            mg_old, _ = _resolve_at(sp, table_path, column,
+                                    int(seq_old), ("mg",))
+            if seq_new is None:
+                mg_new, _ = _resolve(sp, table_path, column, ("mg",))
+            else:
+                mg_new, _ = _resolve_at(sp, table_path, column,
+                                        int(seq_new), ("mg",))
+            b = tv_bounds(mg_old, mg_new)
+            yield (float(b.tv_lb), float(b.tv_ub), int(b.n_a),
+                   int(b.n_b), int(b.n_candidates))
+
+    @udtf(returnType="name string, table_path string, column string, "
+                     "group_col string, kinds string, seq bigint")
+    class Entries:
+        """Every registered (table, column) — global entries and
+        grouped fleets (one row per fleet) — from store metadata only
+        (name/seq/meta_json columns; blobs are never read). The SQL
+        twin of ``cat.entries()``; grouped kind lists are pinned to the
+        committed epoch exactly like the Python verb."""
+        def eval(self):
+            store_path = sp
+            rows = _read_rows(store_path + "/sketches", None,
+                              ["name", "seq", "meta_json"])
+            best: dict = {}
+            for r in rows:
+                nm = r["name"]
+                if nm.startswith("catalogg-"):
+                    entry = nm.split("/", 1)[0]
+                elif nm.startswith("catalog/"):
+                    entry = nm
+                else:
+                    continue
+                cur = best.get(entry)
+                if cur is None or int(r["seq"]) > int(cur["seq"]):
+                    best[entry] = r
+            for entry in sorted(best):
+                meta = json.loads(best[entry]["meta_json"])
+                if "catalog_spec" not in meta:
+                    continue
+                spec, seq = meta["catalog_spec"], int(best[entry]["seq"])
+                if meta.get("group_col") is not None:
+                    # pin the kind list to the committed epoch: the
+                    # max-seq fleet row may be a crashed publish's
+                    # orphan with a CHANGED spec
+                    try:
+                        epoch, base = _grouped_pins(store_path, entry)
+                    except KeyError:
+                        continue      # nothing committed: not listable
+                    cands = [r for r in rows
+                             if r["name"].startswith(entry + "/")
+                             and base <= int(r["seq"]) <= epoch]
+                    if not cands:
+                        continue
+                    win = max(cands, key=lambda r: int(r["seq"]))
+                    cspec = json.loads(win["meta_json"]).get(
+                        "catalog_spec")
+                    if cspec is None:
+                        continue
+                    spec, seq = cspec, epoch
+                yield (entry, meta["table_path"], meta["column"],
+                       meta.get("group_col"),
+                       ",".join(k["kind"] for k in spec["kinds"]),
+                       seq)
+
     names = []
     for suffix, fn in (("count_distinct", cd), ("frequency", freq),
                        ("member", member), ("quantile", quant),
@@ -341,7 +448,8 @@ def register_catalog_sql(spark, store_path: str, *,
                        ("quantile_group", qgrp)):
         spark.udf.register(prefix + suffix, fn)
         names.append(prefix + suffix)
-    for suffix, tvf in (("topk", TopK), ("topk_group", TopKGroup)):
+    for suffix, tvf in (("topk", TopK), ("topk_group", TopKGroup),
+                        ("drift", Drift), ("entries", Entries)):
         spark.udtf.register(prefix + suffix, tvf)
         names.append(prefix + suffix)
     return names

@@ -145,3 +145,46 @@ def test_sql_grouped_topk_and_quantile_match_python(spark, setup):
         f"'{g}', 0.5) AS v").collect()[0]["v"]
     assert med == cat.quantile_grouped(data, "source", "n_tok", 0.5,
                                        group=g).value
+
+
+def test_sql_drift_and_entries_match_python(spark, setup, tmp_path):
+    """catalog_drift answers from two pinned epochs and equals cat.drift;
+    catalog_entries lists every registration like cat.entries()."""
+    cat, data = setup
+    seq0 = cat.count_distinct(data, "tokens").seq
+    _write_part(tmp_path, 1, rows=400, seed=33)
+    cat.refresh(data, "tokens")
+    seq1 = cat.count_distinct(data, "tokens").seq
+    assert seq1 > seq0
+
+    row = spark.sql(
+        f"SELECT * FROM catalog_drift('{data}', 'tokens', {seq0}, "
+        f"{seq1})").collect()[0]
+    want = cat.drift(data, "tokens", seq0, seq1)
+    assert row["tv_lb"] == want.value["tv_lb"]
+    assert row["tv_ub"] == want.value["tv_ub"]
+    assert row["tv_lb"] <= row["tv_ub"]
+    # NULL seq_new = latest epoch
+    latest = spark.sql(
+        f"SELECT * FROM catalog_drift('{data}', 'tokens', {seq0}, "
+        f"NULL)").collect()[0]
+    assert (latest["tv_lb"], latest["tv_ub"]) == (row["tv_lb"],
+                                                  row["tv_ub"])
+
+    got = {(r["name"], r["group_col"], r["kinds"]) for r in
+           spark.sql("SELECT * FROM catalog_entries()").collect()}
+    want_e = {(e["name"], e["group_col"], ",".join(e["kinds"]))
+              for e in cat.entries()}
+    assert got == want_e and len(got) >= 4
+
+
+def test_sql_cache_invalidates_across_compaction(spark, setup):
+    """compact_store rewrites the store's file set; the fingerprint
+    cache must re-resolve (same answers, new files)."""
+    from sketchlib.store import compact_store
+    cat, data = setup
+    q = f"SELECT catalog_count_distinct('{data}', 'tokens') AS cd"
+    before = spark.sql(q).collect()[0]["cd"]
+    compact_store(spark, cat.store_path)
+    after = spark.sql(q).collect()[0]["cd"]
+    assert after == before == cat.count_distinct(data, "tokens").value
