@@ -3355,7 +3355,9 @@ def _q_catalog_sql_route(spark, sf_dir):
     percentile window), matches_driver (SQL top-k TVF == the Python
     verb's survivors, and each SQL scalar == its Python-API twin),
     probe_match (grouped SQL answer from ONE committed row == the
-    grouped Python answer). Rows-only: answers are
+    grouped Python answer), overlap_match (cross-table
+    ``catalog_overlap`` TVF == ``cat.overlap`` from the same two theta
+    winner rows, Jaccard in (0,1]). Rows-only: answers are
     sketch-parameter-specific."""
     import shutil
     import tempfile
@@ -3411,6 +3413,20 @@ def _q_catalog_sql_route(spark, sf_dir):
             "  THEN 0 ELSE 1 END) AS miss FROM catsql_probe_keys"
         ).collect()[0]["miss"]
 
+        # cross-table overlap: second table sharing the zipf head
+        data_b = f"{root}/data_b"
+        os.makedirs(data_b)
+        _append_token_part(data_b, "initial", 3000, 909)
+        cat.register(data_b, "tokens", ["theta"])
+        orow = spark.sql(
+            f"SELECT * FROM catalog_overlap('{data}', 'tokens', "
+            f"'{data_b}', 'tokens')").collect()[0]
+        owant = cat.overlap(data, "tokens", data_b, "tokens").value
+        overlap_ok = (orow["union_est"] == owant["union"]
+                      and orow["intersection_est"] == owant["intersection"]
+                      and orow["jaccard"] == owant["jaccard"]
+                      and 0.0 < orow["jaccard"] <= 1.0)
+
         rse = 1.0 / (4096 - 2) ** 0.5        # theta default k
         hll_ok = abs(row["cd"] - n_distinct) <= 5 * rse * n_distinct + 2
         cm_ok = row["fq"] >= hot_c
@@ -3427,11 +3443,11 @@ def _q_catalog_sql_route(spark, sf_dir):
         return spark.createDataFrame(
             [(len(sql_topk), bool(hll_ok), bool(cm_ok), bool(cm_tight),
               bool(misses == 0), bool(med_ok), bool(drv_ok),
-              bool(grp_ok))],
+              bool(grp_ok), bool(overlap_ok))],
             "n_topk int, hll_within_bound boolean, est_ge_exact boolean, "
             "within_bound boolean, no_false_negatives boolean, "
             "within_tol boolean, matches_driver boolean, "
-            "probe_match boolean")
+            "probe_match boolean, overlap_match boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

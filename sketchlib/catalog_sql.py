@@ -263,6 +263,9 @@ def register_catalog_sql(spark, store_path: str, *,
       (tv_lb, tv_ub, n_old, n_new, candidates) — the certified TV
       envelope between two published epochs from two pinned KB rows
       (NULL seq_new = latest epoch).
+    - ``catalog_overlap(table_a, col_a, table_b, col_b)`` -> one row
+      (union_est, intersection_est, jaccard, rse) — cross-table set
+      overlap from two theta winner rows, no table scans.
     - ``catalog_entries()`` -> one row per registered entry/fleet
       (name, table_path, column, group_col, kinds, seq) — store
       metadata only, no blob reads.
@@ -387,6 +390,24 @@ def register_catalog_sql(spark, store_path: str, *,
             yield (float(b.tv_lb), float(b.tv_ub), int(b.n_a),
                    int(b.n_b), int(b.n_candidates))
 
+    @udtf(returnType="union_est double, intersection_est double, "
+                     "jaccard double, rse double")
+    class Overlap:
+        """Cross-table set overlap from the theta parts of two GLOBAL
+        entries — the SQL twin of ``cat.overlap``. Two winner rows are
+        read; neither table is scanned. ``rse`` is the per-estimate
+        relative standard error of the smaller-k sketch (the binding
+        one); intersection error degrades with smaller overlap, as the
+        Python verb's contract states."""
+        def eval(self, table_a: str, col_a: str, table_b: str,
+                 col_b: str):
+            ta, _ = _resolve(sp, table_a, col_a, ("theta",))
+            tb, _ = _resolve(sp, table_b, col_b, ("theta",))
+            union = float(ta.estimate_union(tb))
+            inter = float(ta.estimate_intersection(tb))
+            yield (union, inter, (inter / union if union > 0 else 0.0),
+                   float(max(ta.rse(), tb.rse())))
+
     @udtf(returnType="name string, table_path string, column string, "
                      "group_col string, kinds string, seq bigint")
     class Entries:
@@ -449,7 +470,8 @@ def register_catalog_sql(spark, store_path: str, *,
         spark.udf.register(prefix + suffix, fn)
         names.append(prefix + suffix)
     for suffix, tvf in (("topk", TopK), ("topk_group", TopKGroup),
-                        ("drift", Drift), ("entries", Entries)):
+                        ("drift", Drift), ("overlap", Overlap),
+                        ("entries", Entries)):
         spark.udtf.register(prefix + suffix, tvf)
         names.append(prefix + suffix)
     return names

@@ -178,6 +178,30 @@ def test_sql_drift_and_entries_match_python(spark, setup, tmp_path):
     assert got == want_e and len(got) >= 4
 
 
+def test_sql_overlap_matches_python(spark, setup, tmp_path):
+    """catalog_overlap answers from two theta winner rows and equals
+    cat.overlap exactly (same blobs, same estimator)."""
+    cat, data = setup
+    # a second table sharing part of the vocabulary (overlapping seeds)
+    other_dir = tmp_path / "other"
+    os.makedirs(other_dir, exist_ok=True)
+    _write_part(other_dir, 0, rows=500, seed=11)   # same dist as table A
+    other = str(other_dir / "data")
+    cat.register(other, "tokens", ["theta"])
+
+    row = spark.sql(
+        f"SELECT * FROM catalog_overlap('{data}', 'tokens', "
+        f"'{other}', 'tokens')").collect()[0]
+    want = cat.overlap(data, "tokens", other, "tokens").value
+    assert row["union_est"] == want["union"]
+    assert row["intersection_est"] == want["intersection"]
+    assert row["jaccard"] == want["jaccard"]
+    # identical zipf draw: heavy overlap, sane estimates
+    assert row["intersection_est"] > 0
+    assert 0.0 < row["jaccard"] <= 1.0
+    assert row["rse"] > 0
+
+
 def test_sql_cache_invalidates_across_compaction(spark, setup):
     """compact_store rewrites the store's file set; the fingerprint
     cache must re-resolve (same answers, new files)."""
