@@ -3129,6 +3129,85 @@ def _q_cm_token_bigrams(spark, sf_dir):
               "mg_sound boolean")
 
 
+def _q_bigram_pmi_collocations(spark, sf_dir):
+    """Collocation discovery with CERTIFIED PMI brackets
+    (sketchlib.ngrams.pmi_collocations): the top Misra-Gries-surviving
+    bigrams are ranked by pointwise mutual information, and each
+    candidate carries a [pmi_lb, pmi_ub] interval composed ONLY of
+    certain inequalities — CM never undercounts (cm.h:275-312 one-sided
+    contract), MG survivor counts never overcount, and structurally
+    c_a >= c_ab — so the bracket holds ALWAYS, not w.p. 1-delta.
+    Everything after the two one-scan builds (unigram CM+MG; bigram
+    CM+MG over packed Arrow-buffer pairs) is O(k) driver float ops on
+    KB blobs — the 10^12-sequence "which phrases are surprising?"
+    question without a pair-space shuffle.
+
+    Self-asserts per candidate against exact counts computed
+    distributedly for ONLY the candidate keys/tokens: est_ge_exact (CM
+    never undercounts c_ab), lb_le_exact + exact_le_ub (the certified
+    bracket contains the exact PMI — deterministic, so it must hold for
+    every candidate at every sf). Rows-only: estimates are
+    sketch-parameter-specific."""
+    import functools
+
+    from sketchlib.countmin import CountMinSketch
+    from sketchlib.mg import MisraGries
+    from sketchlib.multi import MultiSketch
+    from sketchlib.ngrams import batch_bigrams, pmi_collocations
+    from sketchlib.spark_build import build_aggregator
+
+    toks = _tokenized_docs(spark, sf_dir)
+    uni_cm, uni_mg = build_aggregator(
+        toks, "tokens",
+        functools.partial(MultiSketch, (
+            functools.partial(CountMinSketch, CM_CFG),
+            functools.partial(MisraGries, 1024)))).sketch.parts
+    bi_cm, bi_mg = build_aggregator(
+        toks, "tokens",
+        functools.partial(MultiSketch, (
+            functools.partial(CountMinSketch, CM_CFG),
+            functools.partial(MisraGries, 1024))),
+        extract=batch_bigrams).sketch.parts
+
+    cand = pmi_collocations(uni_cm, bi_cm, bi_mg, uni_mg=uni_mg,
+                            k=20, min_pairs=2)
+    keys = [(a << 31) | b for a, b, *_ in cand]
+    involved = sorted({t for a, b, *_ in cand for t in (a, b)})
+
+    n = F.size("tokens")
+    exact_bi = {int(r["key"]): int(r["cnt"]) for r in (
+        toks.filter(n >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice("tokens", 1, n - 1).alias("a"),
+            F.slice("tokens", 2, n - 1).alias("b"))).alias("p"))
+        .select((F.col("p.a").cast("long") * F.lit(2**31)
+                 + F.col("p.b").cast("long")).alias("key"))
+        .filter(F.col("key").isin(keys))
+        .groupBy("key").agg(F.count("*").alias("cnt")).collect())}
+    exact_uni = {int(r["t"]): int(r["cnt"]) for r in (
+        toks.select(F.explode("tokens").alias("t"))
+        .filter(F.col("t").isin(involved))
+        .groupBy("t").agg(F.count("*").alias("cnt")).collect())}
+    n_tok = float(uni_cm.total_count)     # exact by construction
+    n_pairs = float(bi_cm.total_count)
+
+    rows = []
+    for a, b, est_ab, lb, pmi, ub in cand:
+        c_ab = exact_bi[(a << 31) | b]
+        exact_pmi = math.log((c_ab / n_pairs)
+                             / ((exact_uni[a] / n_tok)
+                                * (exact_uni[b] / n_tok)))
+        rows.append((a, b, est_ab, c_ab, lb, pmi, ub, exact_pmi,
+                     bool(est_ab >= c_ab),
+                     bool(lb <= exact_pmi + 1e-9),
+                     bool(exact_pmi <= ub + 1e-9)))
+    return spark.createDataFrame(
+        rows, "tok_a int, tok_b int, cm_est long, exact_cnt long, "
+              "pmi_lb double, pmi_est double, pmi_ub double, "
+              "exact_pmi double, est_ge_exact boolean, "
+              "lb_le_exact boolean, exact_le_ub boolean")
+
+
 def _q_catalog_route(spark, sf_dir):
     """Approximate-query CATALOG (sketchlib/catalog.py): the engine-level
     router that turns the sketch store into a metadata layer. ONE
@@ -3640,6 +3719,7 @@ SELF_ASSERT_COLS = {
     "drift_rank_ok",
     "stale_detected",                     # catalog staleness lifecycle
     "retrain_restores",                   # IVF-PQ self-repair
+    "overlap_match",                      # catalog SQL overlap TVF
 }
 
 # Number of (tail query, self-assert flag column) pairs — schema-level,
@@ -3647,7 +3727,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 115
+_TAIL_FLAG_COLS = 119
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3881,6 +3961,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _q_corpus_profile,
         "corpus_profile_by_source": _q_corpus_profile_by_source,
         "cm_token_bigrams": _q_cm_token_bigrams,
+        "bigram_pmi_collocations": _q_bigram_pmi_collocations,
         "cm_token_13grams": _q_cm_token_13grams,
         "token_13gram_decontamination": _q_token_13gram_decontamination,
         "token_drift_bounds": _q_token_drift_bounds,

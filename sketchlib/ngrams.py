@@ -185,3 +185,63 @@ def unpack_bigram(key: int) -> tuple[int, int]:
 def unpack_bigrams(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     k = np.asarray(keys, dtype=np.int64)
     return k >> np.int64(31), k & _MASK31
+
+
+def pmi_collocations(uni_cm, bi_cm, bi_mg, *, uni_mg=None, k: int = 20,
+                     min_pairs: int = 1) -> list[tuple]:
+    """Sketch-certified collocation discovery: rank Misra-Gries-surviving
+    bigrams by pointwise mutual information, with a DETERMINISTICALLY
+    certified bracket per candidate — answered entirely from KB-scale
+    blobs, no corpus rescans.
+
+    PMI(a,b) = log( (c_ab/P) / ((c_a/N)(c_b/N)) ) with N total tokens,
+    P total adjacent pairs (both exact: sketches carry exact totals).
+    The bracket composes only CERTAIN inequalities — never the
+    probabilistic eps*||f||_1 tail, which fails ~delta per query and
+    would make the bracket a coin flip across many candidates:
+
+    - c_ab in [mg_cnt, cm_ab]: CM never underestimates (cm.h:275-312
+      one-sided contract); the MG survivor count never overestimates
+      (decrements only remove true mass).
+    - c_a, c_b in [max(uni_mg survivor count, mg_cnt, 1), cm_x]: every
+      occurrence of the pair (a,b) contains one occurrence of a and one
+      of b, so c_x >= c_ab >= mg_cnt structurally; an optional unigram
+      MG tightens the lower end for head tokens.
+
+    Monotonicity then gives PMI_exact in [pmi_lb, pmi_ub] ALWAYS.
+    Returns the top-``k`` of (tok_a, tok_b, c_ab_est, pmi_lb, pmi_est,
+    pmi_ub) ranked by certified PMI lower bound (desc, then tok_a/tok_b
+    asc — fully deterministic); ``pmi_est`` is the plug-in estimate from
+    the CM point queries. ``min_pairs`` drops candidates whose CM
+    estimate is below a support floor before ranking.
+
+    Scale shape: candidates come from the MG survivor set (<= its k),
+    so the driver does O(k) float ops on blobs the build already
+    shuffled — the 10^12-sequence cost is the two sketch builds, which
+    are the existing one-scan topologies (build_aggregator over tokens
+    and over batch_bigrams)."""
+    import math
+
+    n_tok = float(uni_cm.total_count)
+    n_pairs = float(bi_cm.total_count)
+    if n_tok <= 0 or n_pairs <= 0:
+        return []
+    uni_lo = dict(uni_mg.top_items()) if uni_mg is not None else {}
+    out = []
+    for key, mg_cnt in bi_mg.top_items():
+        est_ab = float(bi_cm.point_query(int(key)))
+        if est_ab < min_pairs:
+            continue
+        a, b = unpack_bigram(int(key))
+        lo_ab = max(float(mg_cnt), 1.0)
+        est_a = float(uni_cm.point_query(a))
+        est_b = float(uni_cm.point_query(b))
+        lo_a = max(float(uni_lo.get(a, 0)), lo_ab)
+        lo_b = max(float(uni_lo.get(b, 0)), lo_ab)
+        scale = n_tok * n_tok / n_pairs
+        pmi = math.log(est_ab * scale / (est_a * est_b))
+        pmi_ub = math.log(est_ab * scale / (lo_a * lo_b))
+        pmi_lb = math.log(lo_ab * scale / (est_a * est_b))
+        out.append((a, b, int(est_ab), pmi_lb, pmi, pmi_ub))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out[:k]

@@ -265,3 +265,78 @@ def test_null_elements_refused():
         array_bigrams(bad)
     ok = pa.array([None, [1, 2, 3], []], type=pa.list_(pa.int32()))
     assert array_ngrams(ok, 2).shape[0] == 2
+
+
+def test_pmi_collocations_certified_bracket():
+    """Every returned candidate's certified [pmi_lb, pmi_ub] contains
+    the exact PMI; CM never undercounts; ranking is deterministic."""
+    from collections import Counter
+
+    from sketchlib.mg import MisraGries
+    from sketchlib.ngrams import pmi_collocations
+
+    rng = np.random.default_rng(42)
+    # background zipf stream + a planted collocation (7001, 7002) whose
+    # parts are rare alone: high PMI by construction
+    rows = [rng.zipf(1.3, rng.integers(3, 40)).astype(np.int64) % 5000
+            for _ in range(400)]
+    rows += [np.array([7001, 7002], dtype=np.int64)] * 30
+
+    uni = Counter()
+    bi = Counter()
+    for r in rows:
+        uni.update(int(x) for x in r)
+        bi.update((int(x) << 31) | int(y) for x, y in zip(r, r[1:]))
+    n_tok = sum(uni.values())
+    n_pairs = sum(bi.values())
+
+    cfg = CMConfig(eps=1e-3, delta=1e-3, seed=7)
+    uni_cm, bi_cm = CountMinSketch(cfg), CountMinSketch(cfg)
+    mg, uni_mg = MisraGries(256), MisraGries(256)
+    for r in rows:
+        uni_cm.update_batch(r)
+        uni_mg.update_batch(r)
+    keys = np.fromiter(
+        (k for k, c in bi.items() for _ in range(c)), dtype=np.int64)
+    bi_cm.update_batch(keys)
+    mg.update_batch(keys)
+
+    got = pmi_collocations(uni_cm, bi_cm, mg, uni_mg=uni_mg, k=15)
+    assert got, "no candidates survived"
+    for a, b, est_ab, lb, pmi, ub in got:
+        key = (a << 31) | b
+        exact_ab, exact_a, exact_b = bi[key], uni[a], uni[b]
+        assert est_ab >= exact_ab > 0
+        exact_pmi = math.log((exact_ab / n_pairs)
+                             / ((exact_a / n_tok) * (exact_b / n_tok)))
+        assert lb <= exact_pmi <= ub
+        assert lb <= pmi <= ub
+    # the planted collocation must rank first by certified lower bound
+    assert (got[0][0], got[0][1]) == (7001, 7002)
+    # deterministic: same blobs, same ranking
+    assert got == pmi_collocations(uni_cm, bi_cm, mg, uni_mg=uni_mg,
+                                   k=15)
+    # the unigram MG tightens (never loosens) the certified upper end
+    loose = {(r[0], r[1]): r[5]
+             for r in pmi_collocations(uni_cm, bi_cm, mg, k=15)}
+    for a, b, _, _, _, ub in got:
+        assert ub <= loose[(a, b)] + 1e-12
+
+
+def test_pmi_collocations_min_pairs_floor():
+    from sketchlib.mg import MisraGries
+    from sketchlib.ngrams import pmi_collocations
+
+    cfg = CMConfig(eps=1e-3, delta=1e-3, seed=7)
+    uni_cm, bi_cm = CountMinSketch(cfg), CountMinSketch(cfg)
+    mg = MisraGries(64)
+    row = np.array([1, 2] * 50 + [3, 4], dtype=np.int64)
+    uni_cm.update_batch(row)
+    pairs = np.fromiter(((int(x) << 31) | int(y)
+                         for x, y in zip(row, row[1:])), dtype=np.int64)
+    bi_cm.update_batch(pairs)
+    mg.update_batch(pairs)
+    allc = pmi_collocations(uni_cm, bi_cm, mg, k=10)
+    floored = pmi_collocations(uni_cm, bi_cm, mg, k=10, min_pairs=5)
+    assert len(floored) < len(allc)
+    assert all(r[2] >= 5 for r in floored)
