@@ -136,8 +136,10 @@ def _kernel_mtoks(n_procs: int) -> float:
     slowly) or as disk reads; suite walls drift 2-4x while both proxies
     read zero. This calibration constant makes that visible — compare a
     run's host_kernel_mtoks against the calm-host reference in
-    BENCH/BASELINE.md (~480-540 M/s at 32 procs) before reading its
-    wall times as code. ~2 s per sample."""
+    BENCH/BASELINE.md (~480-680 M/s at 32 procs; the constant itself
+    spreads ~25% with host frequency/boost weather, so treat it as a
+    same-direction proxy, not a divisor with three digits) before
+    reading its wall times as code. ~2 s per sample."""
     import subprocess
     try:
         code = _KERNEL_CHILD.format(
