@@ -250,6 +250,9 @@ def register_catalog_sql(spark, store_path: str, *,
     - ``catalog_range_count(table, col, lo, hi)`` -> long (dyadic)
     - ``catalog_count_distinct_group(table, group_col, col, group)``
       -> double, from exactly ONE committed group row
+    - ``catalog_frequency_group(table, group_col, col, group, key)``
+      -> long (per-group CM upper bound; ``key`` may be a per-row
+      column — batch-probed), same one-committed-row shape
     - ``catalog_quantile_group(table, group_col, col, group, q)``
       -> double, same one-committed-row shape
 
@@ -338,6 +341,21 @@ def register_catalog_sql(spark, store_path: str, *,
             part, _ = _resolve_group(sp, t, gc, c, g, ("theta", "hll"))
             out[(table == t) & (gcol == gc) & (col == c)
                 & (group == g)] = float(part.estimate())
+        return out
+
+    @pandas_udf("long")
+    def fqg(table: pd.Series, gcol: pd.Series, col: pd.Series,
+            group: pd.Series, key: pd.Series) -> pd.Series:
+        if key.isna().any():
+            raise ValueError("catalog_frequency_group key column "
+                             "contains NULLs; filter isNotNull() first")
+        out = pd.Series(0, index=table.index, dtype="int64")
+        for t, gc, c, g in set(zip(table, gcol, col, group)):
+            m = ((table == t) & (gcol == gc) & (col == c)
+                 & (group == g))
+            part, _ = _resolve_group(sp, t, gc, c, g, ("cm",))
+            out[m] = part.point_query_batch(
+                key[m].to_numpy(dtype=np.int64))
         return out
 
     @pandas_udf("double")
@@ -466,6 +484,7 @@ def register_catalog_sql(spark, store_path: str, *,
                        ("member", member), ("quantile", quant),
                        ("range_count", rcount),
                        ("count_distinct_group", cdg),
+                       ("frequency_group", fqg),
                        ("quantile_group", qgrp)):
         spark.udf.register(prefix + suffix, fn)
         names.append(prefix + suffix)

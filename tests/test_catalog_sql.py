@@ -147,6 +147,32 @@ def test_sql_grouped_topk_and_quantile_match_python(spark, setup):
                                        group=g).value
 
 
+def test_sql_grouped_frequency_matches_python(spark, setup):
+    """catalog_frequency_group batch-probes one committed fleet row's
+    CM and equals the Python frequency_grouped(group=) answer; the
+    per-group CM never undercounts the group's exact count."""
+    from pyspark.sql import functions as F
+
+    cat, data = setup
+    cat.register_grouped(data, "source", "tokens", ["theta", "mg", "cm"],
+                         rebuild=True)
+    fleet = cat.count_distinct_grouped(data, "source", "tokens")
+    g = sorted(fleet.value)[0]
+    exact = (spark.read.parquet(data)
+             .filter(F.col("source") == g)
+             .select(F.explode("tokens").alias("t"))
+             .groupBy("t").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), "t").limit(10).collect())
+    assert exact
+    for r in exact:
+        got = spark.sql(
+            f"SELECT catalog_frequency_group('{data}', 'source', "
+            f"'tokens', '{g}', {int(r['t'])}) AS v").collect()[0]["v"]
+        assert got == cat.frequency_grouped(
+            data, "source", "tokens", int(r["t"]), group=g).value
+        assert got >= int(r["cnt"])
+
+
 def test_sql_drift_and_entries_match_python(spark, setup, tmp_path):
     """catalog_drift answers from two pinned epochs and equals cat.drift;
     catalog_entries lists every registration like cat.entries()."""
