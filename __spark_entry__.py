@@ -3687,6 +3687,74 @@ def _q_ivfpq_retrain_gate(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_catalog_stream_upkeep(spark, sf_dir):
+    """Streaming catalog upkeep (streaming.CatalogStreamUpkeep): a
+    Structured Stream of token files appends each micro-batch to the
+    table as an atomically committed ``batch-<id>/`` dir and delta-folds
+    the registered entry per batch through the store manifest — the
+    reference's buffer-then-merge loop (cm.h:523-530) run forever.
+    Self-asserts: covers_all_batches (covered_rows == base rows + every
+    streamed row), est_ge_exact / within_bound (the fresh CM answer
+    brackets the exact hot count over base+streamed data within ε·N),
+    replay_noop (re-processing a committed batch id rewrites no data and
+    re-folds no files — foreachBatch's at-least-once contract never
+    double-counts a token). Rows-only: streaming + temp stores are not
+    SQL-expressible."""
+    import shutil
+    import tempfile
+
+    from sketchlib.catalog import SketchCatalog
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.streaming import CatalogStreamUpkeep
+
+    root = tempfile.mkdtemp(prefix="sketchlib_catstream_")
+    try:
+        table = f"{root}/table"
+        os.makedirs(table)
+        _append_token_part(table, "base", 600, 901)
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register(table, "tokens", ["cm"])
+
+        src = f"{root}/incoming"
+        os.makedirs(src)
+        for i in range(2):
+            generate_token_table(f"{src}/d{i}.parquet", rows=250,
+                                 seed=910 + i, dist="zipf")
+        static = spark.read.parquet(src)
+        stream = (spark.readStream.schema(static.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        upkeep = CatalogStreamUpkeep(cat, table, ["tokens"])
+        q = upkeep.attach(stream, checkpoint_dir=f"{root}/ckpt")
+        q.awaitTermination(180)
+
+        exact = {int(r["t"]): int(r["c"]) for r in
+                 (spark.read.option("recursiveFileLookup", "true")
+                  .parquet(table)
+                  .select(F.explode("tokens").alias("t"))
+                  .groupBy("t").agg(F.count("*").alias("c")).collect())}
+        n = sum(exact.values())
+        hot, hot_c = max(exact.items(), key=lambda kv: (kv[1], kv[0]))
+
+        fq = cat.frequency(table, "tokens", hot)
+        covered = cat.refresh(table, "tokens").covered_rows
+        upkeep.process_batch(spark.read.parquet(f"{src}/d0.parquet"), 0)
+        covered2 = cat.refresh(table, "tokens").covered_rows
+
+        eps = 1e-4
+        return spark.createDataFrame(
+            [(int(covered), int(n), int(hot_c), float(fq.value),
+              bool(covered == 600 + 500),
+              bool(fq.value >= hot_c),
+              bool(fq.value <= hot_c + eps * n + 1),
+              bool(covered2 == covered))],
+            "covered_rows bigint, total_tokens bigint, hot_exact bigint, "
+            "hot_est double, covers_all_batches boolean, "
+            "est_ge_exact boolean, within_bound boolean, "
+            "replay_noop boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Self-assertion columns: rows-only sketch queries encode their own
 # guarantee as a boolean per row; selfcheck_summary and the local gate
 # (tools/check_entry.py) FAIL when any is false. Recall-style flags
@@ -3719,6 +3787,7 @@ SELF_ASSERT_COLS = {
     "drift_rank_ok",
     "stale_detected",                     # catalog staleness lifecycle
     "retrain_restores",                   # IVF-PQ self-repair
+    "covers_all_batches", "replay_noop",  # streaming catalog upkeep
     "overlap_match",                      # catalog SQL overlap TVF
 }
 
@@ -3727,7 +3796,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 119
+_TAIL_FLAG_COLS = 123
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3970,6 +4039,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_grouped_route": _q_catalog_grouped_route,
         "catalog_sql_route": _q_catalog_sql_route,
         "catalog_drift_grouped": _q_catalog_drift_grouped,
+        "catalog_stream_upkeep": _q_catalog_stream_upkeep,
         "ivfpq_retrain_gate": _q_ivfpq_retrain_gate,
         "selfcheck_summary": _q_selfcheck_summary,
         # LAST oracled on purpose — the deliberate window overflow

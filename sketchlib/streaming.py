@@ -574,3 +574,87 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key_col: str,
         & F.expr(f"{rts} >= {lts} + INTERVAL {int(lower_us)} MICROSECOND")
         & F.expr(f"{rts} <= {lts} + INTERVAL {int(upper_us)} MICROSECOND"))
     return lsel.join(rsel, cond, "inner").drop("_rkey")
+
+
+# -- catalog upkeep from a stream ----------------------------------------------
+
+class CatalogStreamUpkeep:
+    """Keep :class:`~sketchlib.catalog.SketchCatalog` entries fresh from a
+    Structured Stream.
+
+    Each micro-batch is appended to the catalog's table as an atomically
+    committed parquet directory (``batch-<id>/`` — named deterministically
+    by ``batch_id``, staged OUTSIDE the table and renamed in, so a
+    concurrent reader sees the whole batch or none of it, and a
+    foreachBatch replay after a crash finds the committed dir and skips
+    the write). The registered entries then delta-fold exactly the new
+    files through the store manifest (incremental.py): the same per-file
+    idempotency that makes batch ``refresh()`` safe makes the replayed
+    refresh a no-op, so the at-least-once contract of foreachBatch never
+    double-counts a token.
+
+    At scale this is the catalog's freshness loop: the stream sink writes
+    data files, the sketch fold scans ONLY those files, every published
+    epoch is drift-comparable via ``cat.drift`` / ``cat.drift_grouped``,
+    and a batch reader of the table sees exactly the committed batches
+    (batch dirs are subdirectories — read with ``recursiveFileLookup``;
+    the manifest walk is recursive already). The reference's
+    buffer-then-merge loop (cm.h:523-530) run forever.
+    """
+
+    def __init__(self, cat, table_path: str, columns, *,
+                 grouped=()) -> None:
+        """``columns``: registered global entries to keep fresh;
+        ``grouped``: (group_col, column) pairs with grouped
+        registrations. All must be registered up front — upkeep never
+        invents a spec."""
+        self.cat = cat
+        self.table_path = os.path.abspath(table_path)
+        if not os.path.isdir(self.table_path):
+            raise ValueError(
+                f"{table_path} must be a directory of parquet files "
+                "(single-file tables cannot take streamed appends)")
+        self.columns = list(columns)
+        self.grouped = [tuple(g) for g in grouped]
+        if not self.columns and not self.grouped:
+            raise ValueError("nothing to keep fresh: columns and grouped "
+                             "are both empty")
+        for c in self.columns:
+            cat._spec(self.table_path, c)
+        for g, c in self.grouped:
+            cat._gspec(self.table_path, g, c)
+        #: last Answer per entry, keyed ("" | group_col, column)
+        self.last: dict[tuple, object] = {}
+
+    def _commit_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        final = os.path.join(self.table_path, f"batch-{batch_id:08d}")
+        if os.path.isdir(final):
+            return False  # replayed batch: data already committed
+        # stage as a SIBLING of the table dir — the manifest's file walk is
+        # recursive, so an in-table staging dir would expose half-written
+        # parts to a concurrent refresh
+        staging = (self.table_path.rstrip(os.sep)
+                   + f".upkeep-staging-{batch_id:08d}")
+        shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(staging)
+        os.rename(staging, final)
+        return True
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._commit_batch(batch_df, batch_id)
+        for c in self.columns:
+            self.last[("", c)] = self.cat.refresh(self.table_path, c)
+        for g, c in self.grouped:
+            self.last[(g, c)] = self.cat.refresh_grouped(
+                self.table_path, g, c)
+
+    def attach(self, stream_df: DataFrame, *, checkpoint_dir: str,
+               trigger_once: bool = True):
+        """Wire the upkeep to a streaming DataFrame; returns the query."""
+        writer = (stream_df.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("update"))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -605,3 +605,65 @@ def test_drift_grouped_between_epochs(spark, tmp_path):
         {k: (v["tv_lb"], v["tv_ub"]) for k, v in rows.items()}
     with pytest.raises(KeyError, match="no committed epoch 9"):
         cat.drift_grouped(data, "source", "tokens", 9, 1)
+
+
+def test_catalog_stream_upkeep(spark, table, tmp_path):
+    """Streamed appends land as atomically committed batch dirs, the
+    registered entry delta-folds them per micro-batch, answers stay
+    fresh within contract, and a replayed batch never double-counts."""
+    from sketchlib.streaming import CatalogStreamUpkeep
+
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register(table, "tokens", ["cm", "theta"])
+    base_exact = _exact_counts(spark, table)
+
+    src = tmp_path / "incoming"
+    os.makedirs(src)
+    generate_token_table(str(src / "a.parquet"), rows=250, seed=21,
+                         dist="zipf")
+    generate_token_table(str(src / "b.parquet"), rows=250, seed=22,
+                         dist="zipf")
+
+    static = spark.read.parquet(str(src))
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    upkeep = CatalogStreamUpkeep(cat, table, ["tokens"])
+    q = upkeep.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    # batch dirs are subdirectories — batch readers of a streamed table use
+    # recursiveFileLookup (the catalog's own manifest walk is recursive)
+    from pyspark.sql import functions as F
+    rows = (spark.read.option("recursiveFileLookup", "true").parquet(table)
+            .select(F.explode("tokens").alias("t"))
+            .groupBy("t").agg(F.count("*").alias("c")).collect())
+    exact = {int(r["t"]): int(r["c"]) for r in rows}
+    n = sum(exact.values())
+    assert n > sum(base_exact.values())   # streamed tokens reached the table
+    ans = upkeep.last[("", "tokens")]
+    assert ans.covered_rows == 800 + 500  # base rows + both streamed batches
+
+    hot, hot_c = max(exact.items(), key=lambda kv: (kv[1], kv[0]))
+    fq = cat.frequency(table, "tokens", hot)
+    assert fq.stale_files == 0
+    assert hot_c <= fq.value <= hot_c + 1e-4 * n + 1
+    cd = cat.count_distinct(table, "tokens")
+    assert abs(cd.value - len(exact)) <= 4 * 0.03 * len(exact) + 2
+
+    # replay idempotency: foreachBatch is at-least-once — re-processing a
+    # committed batch id must not rewrite data or re-fold files
+    covered = cat.refresh(table, "tokens").covered_rows
+    replay = spark.read.parquet(str(src / "a.parquet"))
+    upkeep.process_batch(replay, batch_id=0)
+    assert cat.refresh(table, "tokens").covered_rows == covered
+
+
+def test_catalog_stream_upkeep_requires_registration(spark, table, tmp_path):
+    from sketchlib.streaming import CatalogStreamUpkeep
+
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    with pytest.raises(KeyError):
+        CatalogStreamUpkeep(cat, table, ["tokens"])
+    cat.register(table, "tokens", ["cm"])
+    with pytest.raises(ValueError):
+        CatalogStreamUpkeep(cat, table, [])
