@@ -667,3 +667,37 @@ def test_catalog_stream_upkeep_requires_registration(spark, table, tmp_path):
     cat.register(table, "tokens", ["cm"])
     with pytest.raises(ValueError):
         CatalogStreamUpkeep(cat, table, [])
+
+
+def test_catalog_stream_upkeep_grouped(spark, table, tmp_path):
+    """Grouped fleets stay fresh from the same stream: every micro-batch
+    delta-republishes only the groups it touches, and per-group answers
+    reflect base + streamed rows."""
+    from pyspark.sql import functions as F
+    from sketchlib.streaming import CatalogStreamUpkeep
+
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register_grouped(table, "source", "tokens", ["theta"])
+
+    src = tmp_path / "incoming"
+    os.makedirs(src)
+    generate_token_table(str(src / "a.parquet"), rows=200, seed=31,
+                         dist="zipf")
+    static = spark.read.parquet(str(src))
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    upkeep = CatalogStreamUpkeep(cat, table, [],
+                                 grouped=[("source", "tokens")])
+    q = upkeep.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert ("source", "tokens") in upkeep.last
+
+    rows = (spark.read.option("recursiveFileLookup", "true").parquet(table)
+            .select("source", F.explode("tokens").alias("t"))
+            .groupBy("source")
+            .agg(F.countDistinct("t").alias("d")).collect())
+    exact = {str(r["source"]): int(r["d"]) for r in rows}
+    ans = cat.count_distinct_grouped(table, "source", "tokens")
+    assert set(ans.value) == set(exact)
+    for g, d in exact.items():
+        assert abs(ans.value[g] - d) <= 4 * 0.03 * d + 2
