@@ -19,6 +19,7 @@ identical content regardless of how much is generated at once.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -58,16 +59,19 @@ def _zipf_ranks(rng: np.random.Generator, n: int, theta: float = 0.99,
 # chain: PCG64 random() is block-splittable (tested), every other op is
 # elementwise.
 _GEN_BLOCK = 1 << 16
-_gen_ws = None
+# Thread-local: Spark workers are single-threaded, but driver-side callers
+# (thread-pooled query fan-outs) may generate concurrently — a shared
+# scratch buffer would interleave two generators' half-computed blocks.
+_gen_tls = threading.local()
 
 
 def _gen_workspace():
-    global _gen_ws
-    if _gen_ws is None:
-        _gen_ws = (np.empty(_GEN_BLOCK, np.float64),
-                   np.empty(_GEN_BLOCK, np.uint64),
-                   np.empty(_GEN_BLOCK, np.uint64))
-    return _gen_ws
+    ws = getattr(_gen_tls, "ws", None)
+    if ws is None:
+        ws = _gen_tls.ws = (np.empty(_GEN_BLOCK, np.float64),
+                            np.empty(_GEN_BLOCK, np.uint64),
+                            np.empty(_GEN_BLOCK, np.uint64))
+    return ws
 
 
 def _zipf_tokens_blocked(rng: np.random.Generator, total: int,

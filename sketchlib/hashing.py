@@ -23,6 +23,8 @@ sketch in the library (Count-Min, HLL, Bloom, MinHash, SimHash).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 _U64 = np.uint64
@@ -96,17 +98,22 @@ def hash_u64(keys: np.ndarray, seed: int) -> np.ndarray:
 # 32k 530 M, 8k 430 M (loop overhead) -> 32k.
 
 _CHUNK = 1 << 15
-_ws: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+# Workspaces are THREAD-LOCAL: driver-side callers (e.g. a query fan-out
+# over a ThreadPoolExecutor, py4j callback threads) may hash concurrently
+# in one process, and a shared scratch buffer would let one thread
+# overwrite another's half-computed columns — garbage indices at best,
+# silently wrong but in-range estimates at worst.
+_tls = threading.local()
 
 
 def _workspace():
-    global _ws
-    if _ws is None:
-        _ws = (np.empty(_CHUNK, np.uint64),
-               np.empty(_CHUNK, np.uint64),
-               np.empty(_CHUNK, np.uint64),
-               np.empty(_CHUNK, np.uint64))
-    return _ws
+    ws = getattr(_tls, "ws", None)
+    if ws is None:
+        ws = _tls.ws = (np.empty(_CHUNK, np.uint64),
+                        np.empty(_CHUNK, np.uint64),
+                        np.empty(_CHUNK, np.uint64),
+                        np.empty(_CHUNK, np.uint64))
+    return ws
 
 
 def _h2_chunk(seg: np.ndarray, s8: np.uint64, a: np.ndarray, b: np.ndarray,
@@ -241,14 +248,11 @@ def accumulate_into(keys: np.ndarray, seeds, width: int, table: np.ndarray,
                                         minlength=width).astype(np.int64)
 
 
-_cols_ws: np.ndarray | None = None
-
-
 def _cols_workspace() -> np.ndarray:
-    global _cols_ws
-    if _cols_ws is None:
-        _cols_ws = np.empty(_CHUNK, np.int64)
-    return _cols_ws
+    cols = getattr(_tls, "cols", None)
+    if cols is None:
+        cols = _tls.cols = np.empty(_CHUNK, np.int64)
+    return cols
 
 
 def h1h2_chunks(keys: np.ndarray, seed: int):

@@ -158,3 +158,40 @@ def test_accumulate_into_rejects_nonintegral_weights_on_every_path():
         H.accumulate_into(keys, [1, 2], width, table,
                           weights=np.full(100, 2.0))
         assert table.sum() == 2 * 2 * 100
+
+
+def test_concurrent_hashing_thread_safe():
+    """Round-5 regression: the hash/column workspaces were module-global,
+    so driver-side thread pools (the selfcheck fan-out, py4j callback
+    threads) corrupted each other's half-computed columns — observed as
+    an out-of-bounds IndexError inside point_query, but a collision can
+    also land IN-range and return a silently wrong estimate. Workspaces
+    are now thread-local; N threads hashing concurrently must reproduce
+    the single-threaded answers bit-for-bit, across many iterations so a
+    regression actually interleaves."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sketchlib import hashing as H
+
+    rng = np.random.default_rng(7)
+    # span multiple chunks so every loop iteration touches the workspace
+    keys = rng.integers(0, 2**63, size=3 * H._CHUNK + 123, dtype=np.int64)
+    seeds = [11, 22, 33, 44]
+    width = 40961
+    expected = {}
+    for s in seeds:
+        out = np.empty(keys.shape[0], dtype=np.int64)
+        H.columns_into(keys, s, width, out)
+        expected[s] = out.copy()
+
+    def worker(seed):
+        for _ in range(8):
+            out = np.empty(keys.shape[0], dtype=np.int64)
+            H.columns_into(keys, seed, width, out)
+            if not np.array_equal(out, expected[seed]):
+                return False
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(worker, seeds * 4))
+    assert all(results)
