@@ -118,6 +118,23 @@ def _normalize_kinds(kinds) -> list[dict]:
     return out
 
 
+
+# verb -> preference-ordered sketch kinds that can serve it; the FIRST
+# kind present in the entry's registered spec answers. One table shared
+# by the answer methods and explain(), so the provenance report can
+# never disagree with actual routing.
+_VERB_ROUTES = {
+    "count_distinct": ("theta", "hll"),
+    "frequency": ("cm",),
+    "member": ("bloom",),
+    "topk": ("mg",),
+    "quantile": ("kll", "tdigest", "dd"),
+    "range_count": ("dyadic",),
+    "key_quantile": ("dyadic",),
+    "drift": ("mg",),
+    "top_movers": ("mg",),
+}
+
 def _factory_from_spec(spec: dict):
     parts = tuple(_KINDS[e["kind"]][1](e["params"])
                   for e in spec["kinds"])
@@ -304,7 +321,7 @@ class SketchCatalog:
             rse = 1.04 / math.sqrt(part.m)
             return est, f"rse={rse:.4f} (1 sigma)", {}
         return self._answer(table_path, column, policy,
-                            ("theta", "hll"), make)
+                            _VERB_ROUTES["count_distinct"], make)
 
     def frequency(self, table_path: str, column: str, key: int, *,
                   policy: str | None = None) -> Answer:
@@ -315,7 +332,7 @@ class SketchCatalog:
             return (int(part.point_query(int(key))),
                     f"one-sided: exact <= est <= exact + {eps:g}*{n} "
                     f"w.p. >= {1 - delta:.4f}", {"l1": n})
-        return self._answer(table_path, column, policy, ("cm",), make)
+        return self._answer(table_path, column, policy, _VERB_ROUTES["frequency"], make)
 
     def frequencies(self, table_path: str, column: str, keys, *,
                     policy: str | None = None) -> Answer:
@@ -331,7 +348,7 @@ class SketchCatalog:
             return (part.point_query_batch(arr),
                     f"one-sided per key: exact <= est <= exact + "
                     f"{eps:g}*{n} w.p. >= {1 - delta:.4f}", {"l1": n})
-        return self._answer(table_path, column, policy, ("cm",), make)
+        return self._answer(table_path, column, policy, _VERB_ROUTES["frequency"], make)
 
     def members(self, table_path: str, column: str, keys, *,
                 policy: str | None = None) -> Answer:
@@ -343,7 +360,7 @@ class SketchCatalog:
             return (part.contains_batch(arr),
                     f"no false negatives; false-positive rate <= "
                     f"{part.fpr:g} at capacity", {})
-        return self._answer(table_path, column, policy, ("bloom",), make)
+        return self._answer(table_path, column, policy, _VERB_ROUTES["member"], make)
 
     def topk(self, table_path: str, column: str, k: int = 10, *,
              policy: str | None = None) -> Answer:
@@ -356,7 +373,7 @@ class SketchCatalog:
             return (items,
                     f"complete above count > {bound}; counts in "
                     f"[reported, reported + {bound}]", {"bound": bound})
-        return self._answer(table_path, column, policy, ("mg",), make)
+        return self._answer(table_path, column, policy, _VERB_ROUTES["topk"], make)
 
     def quantile(self, table_path: str, column: str, q: float, *,
                  policy: str | None = None) -> Answer:
@@ -373,7 +390,7 @@ class SketchCatalog:
             return (float(part.quantile(q)),
                     f"rank error ~ O(1/k), k={part.k}", {})
         return self._answer(table_path, column, policy,
-                            ("kll", "tdigest", "dd"), make)
+                            _VERB_ROUTES["quantile"], make)
 
     def range_count(self, table_path: str, column: str, lo: int, hi: int,
                     *, policy: str | None = None) -> Answer:
@@ -386,7 +403,7 @@ class SketchCatalog:
             return (int(est),
                     f"one-sided: exact <= est <= exact + {bound:.6g} "
                     f"w.p. >= {1 - part.delta:.4f}", {"bound": bound})
-        return self._answer(table_path, column, policy, ("dyadic",), make)
+        return self._answer(table_path, column, policy, _VERB_ROUTES["range_count"], make)
 
     def key_quantile(self, table_path: str, column: str, q: float, *,
                      policy: str | None = None) -> Answer:
@@ -397,7 +414,7 @@ class SketchCatalog:
             return (int(part.quantile(q)),
                     "rank bracketed by the dyadic prefix bounds "
                     f"(eps={part.eps:g} per level, one-sided)", {})
-        return self._answer(table_path, column, policy, ("dyadic",), make)
+        return self._answer(table_path, column, policy, _VERB_ROUTES["key_quantile"], make)
 
     def member(self, table_path: str, column: str, key: int, *,
                policy: str | None = None) -> Answer:
@@ -406,7 +423,7 @@ class SketchCatalog:
             return (bool(part.contains(int(key))),
                     f"no false negatives; false-positive rate <= "
                     f"{part.fpr:g} at capacity", {})
-        return self._answer(table_path, column, policy, ("bloom",), make)
+        return self._answer(table_path, column, policy, _VERB_ROUTES["member"], make)
 
     def drift(self, table_path: str, column: str, seq_old: int,
               seq_new: int | None = None, *,
@@ -789,7 +806,7 @@ class SketchCatalog:
             return float(part.estimate())
         make.contract = "theta unbiased / hll rse=1.04/sqrt(m) (1 sigma)"
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("theta", "hll"), make,
+                                    _VERB_ROUTES["count_distinct"], make,
                                     group=group, as_df=as_df)
 
     def topk_grouped(self, table_path: str, group_col: str, column: str,
@@ -805,7 +822,7 @@ class SketchCatalog:
                                         for key, cnt in part.top_items(k)]
         make.df_schema = "group string, key long, count long"
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("mg",), make,
+                                    _VERB_ROUTES["topk"], make,
                                     group=group, as_df=as_df)
 
     def frequency_grouped(self, table_path: str, group_col: str,
@@ -820,7 +837,7 @@ class SketchCatalog:
             int(key))))]
         make.df_schema = "group string, value long"
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("cm",), make,
+                                    _VERB_ROUTES["frequency"], make,
                                     group=group, as_df=as_df)
 
     def quantile_grouped(self, table_path: str, group_col: str,
@@ -840,7 +857,7 @@ class SketchCatalog:
             None: "per-group quantile sketch answer",
         }
         return self._grouped_answer(table_path, group_col, column, policy,
-                                    ("kll", "tdigest", "dd"), make,
+                                    _VERB_ROUTES["quantile"], make,
                                     group=group, as_df=as_df)
 
     def _mg_part_df(self, name: str, epoch: int, base: int, spec: dict):
@@ -933,6 +950,60 @@ class SketchCatalog:
                    "distributed": True})
 
     # -- introspection ------------------------------------------------------
+
+    # grouped verbs the catalog exposes (count_distinct_grouped, ...)
+    _GROUPED_VERBS = ("count_distinct", "topk", "frequency", "quantile",
+                      "drift")
+
+    def explain(self, table_path: str, column: str, *,
+                group_col: str | None = None) -> dict:
+        """Answer provenance WITHOUT reading a single sketch blob: for
+        every catalog verb, which registered kind would serve it —
+        resolved through the SAME ``_VERB_ROUTES`` preference table the
+        answer methods route through, so this report can never disagree
+        with actual routing — plus which store row(s) an answer would
+        read, the committed seq/epoch it would read them at, and the
+        entry's current staleness. Store-metadata reads only; at a
+        G=10^6 fleet this costs the same two KB-scale metadata lookups
+        as a freshness check, never a blob load or table scan."""
+        if group_col is None:
+            name = self._name(table_path, column)
+            entry = store.latest_entry(self.spark, self.store_path, name)
+            if entry is None or "catalog_spec" not in entry[1]:
+                raise KeyError(
+                    f"{table_path}:{column} is not registered in this "
+                    f"catalog (store: {self.store_path})")
+            seq, meta = entry
+            spec = meta["catalog_spec"]
+            stale = self._stale_from(name, meta, table_path)
+            covered = int(meta.get("table_rows", -1))
+            store_rows = {"answer": f"{name} @ seq {seq} (one row)"}
+            verbs = dict(_VERB_ROUTES)
+        else:
+            name = self._gname(table_path, group_col, column)
+            spec = self._gspec(table_path, group_col, column)
+            epoch, _base = grouped_epoch(self.spark, self.store_path, name)
+            seq = int(epoch)
+            stale = self.stale_files_grouped(table_path, group_col, column)
+            covered = -1
+            store_rows = {
+                "single_group": f"{name}/<group> winner row within "
+                                f"committed epoch {seq} (one row)",
+                "fleet": f"{name}/* winners DataFrame at committed "
+                         f"epoch {seq} (distributed, never collected)"}
+            verbs = {v: _VERB_ROUTES[v] for v in self._GROUPED_VERBS}
+        kinds = [e["kind"] for e in spec["kinds"]]
+        routes = {}
+        for verb, wanted in sorted(verbs.items()):
+            served = next((w for w in wanted if w in kinds), None)
+            routes[verb] = {"kind": served,
+                            "available": served is not None,
+                            "preference": list(wanted)}
+        return {"name": name, "table_path": os.path.abspath(table_path),
+                "column": column, "group_col": group_col, "seq": seq,
+                "kinds": kinds, "covered_rows": covered,
+                "stale_files": stale, "store_rows": store_rows,
+                "routes": routes}
 
     def entries(self) -> list[dict]:
         """Every registered (table, column) — global entries AND grouped

@@ -701,3 +701,58 @@ def test_catalog_stream_upkeep_grouped(spark, table, tmp_path):
     assert set(ans.value) == set(exact)
     for g, d in exact.items():
         assert abs(ans.value[g] - d) <= 4 * 0.03 * d + 2
+
+
+def test_explain_routes_match_actual_answers(spark, table, tmp_path):
+    """explain() is provenance without blob reads: its routed kind per
+    verb must equal the Answer.kind the verb actually returns (both
+    resolve through _VERB_ROUTES), unroutable verbs must say so, and
+    staleness must track appended files."""
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register(table, "tokens", ["cm", "theta", "mg"])
+
+    ex = cat.explain(table, "tokens")
+    assert ex["kinds"] == ["cm", "theta", "mg"]
+    assert ex["stale_files"] == 0 and ex["covered_rows"] == 800
+    r = ex["routes"]
+    assert r["count_distinct"]["kind"] == "theta"   # preferred over hll
+    assert r["frequency"]["kind"] == "cm"
+    assert r["topk"]["kind"] == "mg"
+    assert r["drift"]["kind"] == "mg"
+    # not registered: quantile (kll/tdigest/dd), member (bloom), range
+    for verb in ("quantile", "member", "range_count", "key_quantile"):
+        assert r[verb]["kind"] is None and not r[verb]["available"]
+
+    # never-disagree: the actual answers carry exactly the routed kind
+    assert cat.count_distinct(table, "tokens").kind == "theta"
+    assert cat.frequency(table, "tokens", 1).kind == "cm"
+    assert cat.topk(table, "tokens", k=3).kind == "mg"
+    with pytest.raises(KeyError):
+        cat.quantile(table, "tokens", 0.5)
+
+    # staleness surfaces without a refresh
+    _write_part(tmp_path, 1, rows=200, seed=12)
+    assert cat.explain(table, "tokens")["stale_files"] == 1
+
+    with pytest.raises(KeyError):
+        cat.explain(table, "nope")
+
+
+def test_explain_grouped(spark, tmp_path):
+    """Grouped explain: committed-epoch seq, grouped verb subset only,
+    store rows describe the winner-row / fleet-DataFrame reads."""
+    _write_part(tmp_path, 0, rows=400, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    reg = cat.register_grouped(data, "source", "tokens", ["theta", "mg"])
+
+    ex = cat.explain(data, "tokens", group_col="source")
+    assert ex["group_col"] == "source" and ex["seq"] == reg.seq
+    assert set(ex["routes"]) == set(SketchCatalog._GROUPED_VERBS)
+    assert ex["routes"]["count_distinct"]["kind"] == "theta"
+    assert ex["routes"]["topk"]["kind"] == "mg"
+    assert ex["routes"]["frequency"]["kind"] is None   # no cm registered
+    assert "winner" in ex["store_rows"]["single_group"]
+    assert ex["stale_files"] == 0
+
+    assert cat.count_distinct_grouped(data, "source", "tokens").kind == "theta"
