@@ -121,7 +121,9 @@ def _cache_get(key: tuple, fp: tuple):
 
 def _cache_put(key: tuple, fp: tuple, ms, meta) -> None:
     while len(_ENTRY_CACHE) >= _ENTRY_CACHE_MAX:
-        _ENTRY_CACHE.pop(next(iter(_ENTRY_CACHE)))
+        # default=None: concurrent driver threads may evict the same
+        # oldest key; a bare pop would KeyError on the loser
+        _ENTRY_CACHE.pop(next(iter(_ENTRY_CACHE)), None)
     _ENTRY_CACHE[key] = (fp, ms, meta)
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 import struct
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -51,9 +52,11 @@ _VERSION = 1
 # BENCH/BASELINE.md Session E). Under 32 concurrent workers that
 # fault/zeroing storm collapses aggregate throughput ~2x (88 -> 158 M tok/s
 # measured at 32 procs). Workspaces grow geometrically, keyed by key dtype;
-# one set per process. NOT thread-safe within a process — Spark Python
-# workers and the driver are single-threaded through this path.
-_UC_WS: dict[str, list] = {}
+# one set per thread: Spark Python workers are single-threaded, but
+# driver-side thread pools (the selfcheck query fan-out) can build
+# sketches concurrently, and a process-shared buffer would interleave two
+# sorts — silently wrong (vals, counts) since the output is a view.
+_UC_TLS = threading.local()
 
 
 def _unique_counts(arr: np.ndarray):
@@ -67,11 +70,14 @@ def _unique_counts(arr: np.ndarray):
     """
     n = arr.shape[0]
     key = arr.dtype.str
-    ws = _UC_WS.get(key)
+    pool = getattr(_UC_TLS, "ws", None)
+    if pool is None:
+        pool = _UC_TLS.ws = {}
+    ws = pool.get(key)
     if ws is None:
         ws = [np.empty(0, arr.dtype), np.empty(0, bool),
               np.empty(0, arr.dtype), np.empty(0, np.float64)]
-        _UC_WS[key] = ws
+        pool[key] = ws
     if ws[0].shape[0] < n:
         cap = max(n, 2 * ws[0].shape[0])
         ws[0] = np.empty(cap, arr.dtype)

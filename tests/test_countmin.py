@@ -284,3 +284,31 @@ def test_unique_counts_matches_np_unique():
         np.testing.assert_array_equal(np.asarray(got_v), want_v)
         np.testing.assert_array_equal(np.asarray(got_c, dtype=np.int64), want_c)
         assert got_c.dtype == np.float64
+
+
+def test_concurrent_sketch_builds_thread_safe():
+    """Round-5 regression (same family as the hashing workspace race):
+    _unique_counts returns VIEWS into a reused workspace that used to be
+    process-global — two driver threads building sketches concurrently
+    (the selfcheck fan-out) could interleave sorts and silently corrupt
+    (vals, counts). Workspaces are thread-local now; concurrent builds
+    must be byte-identical to single-threaded ones."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sketchlib.countmin import CMConfig, CountMinSketch
+
+    rng = np.random.default_rng(42)
+    streams = [rng.zipf(1.2, 200_000).astype(np.int64) % 50_000
+               for _ in range(6)]
+    cfg = CMConfig(eps=1e-3, delta=0.01, seed=1337)
+
+    def build(toks):
+        cm = CountMinSketch(cfg)
+        cm.update_batch(toks, preaggregate=True)
+        return cm.to_bytes()
+
+    expected = [build(s) for s in streams]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for _ in range(4):
+            got = list(pool.map(build, streams))
+            assert got == expected
