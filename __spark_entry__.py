@@ -3436,8 +3436,10 @@ def _q_catalog_sql_route(spark, sf_dir):
     probe_match (grouped SQL answer from ONE committed row == the
     grouped Python answer), overlap_match (cross-table
     ``catalog_overlap`` TVF == ``cat.overlap`` from the same two theta
-    winner rows, Jaccard in (0,1]). Rows-only: answers are
-    sketch-parameter-specific."""
+    winner rows, Jaccard in (0,1]), explain_match (the
+    ``catalog_explain`` provenance TVF agrees verb-for-verb with the
+    Python ``explain()`` — both resolve through _VERB_ROUTES).
+    Rows-only: answers are sketch-parameter-specific."""
     import shutil
     import tempfile
 
@@ -3519,14 +3521,25 @@ def _q_catalog_sql_route(spark, sf_dir):
                   and sql_topk == [(int(k), int(c)) for k, c in
                                    cat.topk(data, "tokens", k=10).value])
         grp_ok = row["gcd"] == grp.value[g0]
+        # provenance parity: the catalog_explain TVF must agree
+        # verb-for-verb with the Python explain() — both resolve through
+        # _VERB_ROUTES, so any drift between them is a routing bug
+        ex = cat.explain(data, "tokens")
+        sql_ex = {r["verb"]: (r["kind"], bool(r["available"]))
+                  for r in spark.sql(
+                      f"SELECT * FROM catalog_explain('{data}', "
+                      "'tokens')").collect()}
+        explain_ok = sql_ex == {v: (r["kind"], r["available"])
+                                for v, r in ex["routes"].items()}
         return spark.createDataFrame(
             [(len(sql_topk), bool(hll_ok), bool(cm_ok), bool(cm_tight),
               bool(misses == 0), bool(med_ok), bool(drv_ok),
-              bool(grp_ok), bool(overlap_ok))],
+              bool(grp_ok), bool(overlap_ok), bool(explain_ok))],
             "n_topk int, hll_within_bound boolean, est_ge_exact boolean, "
             "within_bound boolean, no_false_negatives boolean, "
             "within_tol boolean, matches_driver boolean, "
-            "probe_match boolean, overlap_match boolean")
+            "probe_match boolean, overlap_match boolean, "
+            "explain_match boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -481,6 +481,67 @@ def register_catalog_sql(spark, store_path: str, *,
                        ",".join(k["kind"] for k in spec["kinds"]),
                        seq)
 
+    @udtf(returnType="verb string, kind string, available boolean, "
+                     "preference string, seq bigint, kinds string")
+    class Explain:
+        """SQL twin of ``cat.explain()``: one row per catalog verb with
+        the registered kind that would serve it — resolved through the
+        SAME ``_VERB_ROUTES`` preference table the Python answer methods
+        route through, so the report can never disagree with routing.
+        Pass ``group_col=''`` for a global entry (all verbs), a real
+        group column for a fleet (grouped verb subset, spec pinned to
+        the committed epoch). Store-metadata reads only — no blob is
+        deserialized, no table is scanned. Freshness policy enforcement
+        stays with the answer verbs; use the Python ``explain()`` for
+        the stale-file count."""
+        def eval(self, table_path: str, column: str,
+                 group_col: str = ""):
+            import pyarrow.dataset as ds
+
+            from .catalog import _VERB_ROUTES, SketchCatalog
+            store_path = sp
+            if group_col:
+                entry = _group_entry_name(table_path, group_col, column)
+                epoch, base = _grouped_pins(store_path, entry)
+                rows = _read_rows(
+                    store_path + "/sketches",
+                    (ds.field("seq") >= base)
+                    & (ds.field("seq") <= epoch),
+                    ["name", "seq", "meta_json"])
+                cands = [r for r in rows
+                         if r["name"].startswith(entry + "/")]
+                if not cands:
+                    raise KeyError(
+                        f"{table_path}:{group_col}:{column} has no "
+                        "committed grouped registration")
+                win = max(cands, key=lambda r: int(r["seq"]))
+                spec = json.loads(win["meta_json"]).get("catalog_spec")
+                seq = int(epoch)
+                verbs = {v: _VERB_ROUTES[v]
+                         for v in SketchCatalog._GROUPED_VERBS}
+            else:
+                entry = _entry_name(table_path, column)
+                rows = _read_rows(store_path + "/sketches",
+                                  ds.field("name") == entry,
+                                  ["seq", "meta_json"])
+                if not rows:
+                    raise KeyError(
+                        f"{table_path}:{column} is not registered")
+                win = max(rows, key=lambda r: int(r["seq"]))
+                spec = json.loads(win["meta_json"]).get("catalog_spec")
+                seq = int(win["seq"])
+                verbs = dict(_VERB_ROUTES)
+            if spec is None:
+                raise KeyError(f"{table_path}:{column} carries no "
+                               "catalog spec")
+            kinds = [e["kind"] for e in spec["kinds"]]
+            kinds_s = ",".join(kinds)
+            for verb in sorted(verbs):
+                wanted = verbs[verb]
+                served = next((w for w in wanted if w in kinds), None)
+                yield (verb, served, served is not None,
+                       ",".join(wanted), seq, kinds_s)
+
     names = []
     for suffix, fn in (("count_distinct", cd), ("frequency", freq),
                        ("member", member), ("quantile", quant),
@@ -492,7 +553,7 @@ def register_catalog_sql(spark, store_path: str, *,
         names.append(prefix + suffix)
     for suffix, tvf in (("topk", TopK), ("topk_group", TopKGroup),
                         ("drift", Drift), ("overlap", Overlap),
-                        ("entries", Entries)):
+                        ("entries", Entries), ("explain", Explain)):
         spark.udtf.register(prefix + suffix, tvf)
         names.append(prefix + suffix)
     return names

@@ -238,3 +238,34 @@ def test_sql_cache_invalidates_across_compaction(spark, setup):
     compact_store(spark, cat.store_path)
     after = spark.sql(q).collect()[0]["cd"]
     assert after == before == cat.count_distinct(data, "tokens").value
+
+
+def test_sql_explain_matches_python_explain(spark, setup):
+    """catalog_explain TVF rows must agree verb-for-verb with the Python
+    explain() (both resolve through _VERB_ROUTES), for global and
+    grouped entries; unroutable verbs report kind NULL."""
+    cat, data = setup
+
+    rows = {r["verb"]: r for r in spark.sql(
+        f"SELECT * FROM catalog_explain('{data}', 'tokens')").collect()}
+    ex = cat.explain(data, "tokens")
+    assert set(rows) == set(ex["routes"])
+    for verb, route in ex["routes"].items():
+        assert rows[verb]["kind"] == route["kind"]
+        assert rows[verb]["available"] == route["available"]
+        assert rows[verb]["preference"] == ",".join(route["preference"])
+        assert int(rows[verb]["seq"]) == ex["seq"]
+        assert rows[verb]["kinds"] == ",".join(ex["kinds"])
+    assert rows["count_distinct"]["kind"] == "theta"
+    assert rows["quantile"]["kind"] is None          # kll on n_tok only
+
+    grows = {r["verb"]: r for r in spark.sql(
+        f"SELECT * FROM catalog_explain('{data}', 'tokens', 'source')"
+    ).collect()}
+    gex = cat.explain(data, "tokens", group_col="source")
+    assert set(grows) == set(gex["routes"])
+    for verb, route in gex["routes"].items():
+        assert grows[verb]["kind"] == route["kind"]
+        assert int(grows[verb]["seq"]) == gex["seq"]
+    assert grows["topk"]["kind"] == "mg"
+    assert grows["frequency"]["kind"] is None        # no cm in the fleet
