@@ -3556,7 +3556,12 @@ def _q_catalog_drift_grouped(spark, sf_dir):
     shift_detected (planted source's certified lower bound captures the
     shift mass AND every untouched source certifies tv_lb == 0),
     drift_rank_ok (planted ranks strictly first), plan_deterministic
-    (re-answering the same pinned epochs reproduces every envelope).
+    (re-answering the same pinned epochs reproduces every envelope),
+    movers_certified (the key-level companion top_movers_grouped names
+    the planted token as the planted source's top certified mover and
+    every reported shift_lb lower-bounds the exact |p_old - p_new|),
+    movers_single_match (the targeted single-group TWO-store-row read
+    returns the identical mover list as the fleet DataFrame).
     Rows-only: certified bounds are sketch-parameter-specific."""
     import shutil
     import tempfile
@@ -3621,13 +3626,42 @@ def _q_catalog_drift_grouped(spark, sf_dir):
                       for s in srcs if s != planted)
         det_ok = again == {k: (v["tv_lb"], v["tv_ub"])
                            for k, v in rows.items()}
+
+        # key-level companion (top_movers_grouped) over the SAME two
+        # epochs: the planted source's top certified mover must be the
+        # planted token — from the fleet DataFrame AND from the
+        # targeted two-row single-group read, identically; every
+        # certified shift_lb must lower-bound the exact |p_old - p_new|
+        mv = cat.top_movers_grouped(data, "source", "tokens", 0, 1)
+        mrows = {}
+        for r in mv.value.collect():
+            mrows.setdefault(str(r["key"]), []).append(
+                (int(r["token"]), r["p_old"], r["p_new"],
+                 r["shift_lb"]))
+        ptop = sorted(mrows.get(planted, []), key=lambda r: -r[3])
+        movers_ok = bool(ptop) and ptop[0][0] == SHIFT \
+            and ptop[0][3] > 0.05
+        for s, movers in mrows.items():
+            na, nb = sum(fa[s].values()), sum(fb[s].values())
+            movers_ok &= all(
+                lb <= abs(fa[s].get(t, 0) / na
+                          - fb[s].get(t, 0) / nb) + 1e-9
+                for t, _po, _pn, lb in movers)
+        single = cat.top_movers_grouped(data, "source", "tokens", 0, 1,
+                                        group=planted)
+        movers_single_ok = [
+            (int(t), po, pn, lb) for t, po, pn, lb in single.value
+        ] == sorted(mrows.get(planted, []), key=lambda r: (-r[3], r[0]))
+
         return spark.createDataFrame(
             [(len(srcs), round(float(rows[planted]["tv_lb"]), 4),
               bool(bracket_lo), bool(bracket_hi), bool(shift_ok),
-              bool(rank_ok), bool(det_ok))],
+              bool(rank_ok), bool(det_ok), bool(movers_ok),
+              bool(movers_single_ok))],
             "n_sources int, planted_tv_lb double, lb_le_exact boolean, "
             "exact_le_ub boolean, shift_detected boolean, "
-            "drift_rank_ok boolean, plan_deterministic boolean")
+            "drift_rank_ok boolean, plan_deterministic boolean, "
+            "movers_certified boolean, movers_single_match boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -949,11 +949,94 @@ class SketchCatalog:
             extra={"seq_old": old_epoch, "group_col": group_col,
                    "distributed": True})
 
+    def top_movers_grouped(self, table_path: str, group_col: str,
+                           column: str, seq_old: int,
+                           seq_new: int | None = None, *,
+                           group: str | None = None, limit: int = 20,
+                           policy: str | None = None) -> Answer:
+        """Per-group certified top movers between two PUBLISHED epochs
+        of a grouped fleet — "which tokens moved, per source, between
+        snapshots?" answered entirely from store rows, the key-level
+        companion of ``drift_grouped``.
+
+        - ``group=<g>``: reads exactly TWO committed winner rows (that
+          group at each epoch) and runs drift.top_movers driver-side —
+          O(1) store rows and driver bytes at any G; ``value`` is the
+          mover list [(token, p_old, p_new, shift_lb), ...].
+        - fleet (default): drift.grouped_top_movers pairs each group's
+          MG parts by equi-join and extracts movers inside mapInPandas;
+          ``value`` is a lazy DataFrame (key, token, p_old, p_new,
+          shift_lb), up to ``limit`` rows per group, no blob on the
+          driver. Groups present in only one epoch are omitted.
+
+        Every reported mover is certified (shift lower bound positive);
+        silence is NOT stability — resolution is d_old + d_new."""
+        from .drift import grouped_top_movers
+        from .drift import top_movers as _tm
+        from .incremental import grouped_epoch_at
+
+        name = self._gname(table_path, group_col, column)
+        refreshed, stale = False, 0
+        if seq_new is None:
+            _, stale, refreshed = self._gscope(table_path, group_col,
+                                               column, policy)
+            seq_new, _ = grouped_epoch(self.spark, self.store_path, name)
+        old_epoch, old_base = grouped_epoch_at(
+            self.spark, self.store_path, name, seq_old)
+        new_epoch, new_base = grouped_epoch_at(
+            self.spark, self.store_path, name, seq_new)
+        spec_old = self._gspec_at(name, old_epoch, old_base)
+        spec_new = self._gspec_at(name, new_epoch, new_base)
+        if spec_old is None or spec_new is None:
+            raise KeyError(
+                f"{table_path}:{group_col}:{column} has no committed "
+                f"group rows for epoch {seq_old} / {seq_new}")
+        contract = ("per group: certified shifts only — "
+                    "|p_new - p_old| lower bound positive; magnitudes "
+                    "are lower bounds, silence is not stability")
+
+        if group is not None:
+            g = str(group)
+            pair = []
+            for spec, epoch, base in ((spec_old, old_epoch, old_base),
+                                      (spec_new, new_epoch, new_base)):
+                got = store.load_group_sketches(
+                    self.spark, self.store_path, name,
+                    max_seq=epoch, min_seq=base, groups=[g])
+                if g not in got:
+                    raise KeyError(
+                        f"group {g!r} has no committed sketch at epoch "
+                        f"{epoch} under {table_path}:{group_col}:"
+                        f"{column}")
+                _, part = self._part({"catalog_spec": spec}, got[g],
+                                     "mg")
+                pair.append(part)
+            movers = _tm(pair[0], pair[1], limit=limit)
+            return Answer(
+                value=movers, kind="mg", contract=contract,
+                table=table_path, column=column, seq=new_epoch,
+                covered_rows=-1, stale_files=stale, refreshed=refreshed,
+                sketch_bytes=pair[0].nbytes() + pair[1].nbytes(),
+                extra={"seq_old": old_epoch, "group": g,
+                       "group_col": group_col})
+
+        value = grouped_top_movers(
+            self._mg_part_df(name, old_epoch, old_base, spec_old),
+            self._mg_part_df(name, new_epoch, new_base, spec_new),
+            limit=limit)
+        return Answer(
+            value=value, kind="mg", contract=contract,
+            table=table_path, column=column, seq=new_epoch,
+            covered_rows=-1, stale_files=stale, refreshed=refreshed,
+            sketch_bytes=-1,
+            extra={"seq_old": old_epoch, "group_col": group_col,
+                   "distributed": True})
+
     # -- introspection ------------------------------------------------------
 
     # grouped verbs the catalog exposes (count_distinct_grouped, ...)
     _GROUPED_VERBS = ("count_distinct", "topk", "frequency", "quantile",
-                      "drift")
+                      "drift", "top_movers")
 
     def explain(self, table_path: str, column: str, *,
                 group_col: str | None = None) -> dict:

@@ -175,6 +175,54 @@ def grouped_tv_bounds(gdf_a, gdf_b, *, key_col: str = "key",
                    "n_candidates int, n_a long, n_b long")
 
 
+def grouped_top_movers(gdf_a, gdf_b, *, key_col: str = "key",
+                       sketch_col: str = "sketch", limit: int = 20):
+    """Per-group certified top movers between two epochs of grouped
+    Misra-Gries summaries — the fleet version of ``top_movers`` for
+    "which tokens moved, per source, between snapshots?".
+
+    Same input shape and pairing as ``grouped_tv_bounds`` (equi-join on
+    group key; each pair evaluated inside a mapInPandas batch — KB
+    blobs, no driver loop, G = 10^4+ stays a Spark problem). Emits up
+    to ``limit`` rows per group: (key, token, p_old, p_new, shift_lb),
+    only tokens whose certified lower bound on |p_old - p_new| is
+    positive — every reported mover genuinely moved; silence about a
+    token is NOT evidence of stability (resolution d_a + d_b). Groups
+    present in only one epoch are omitted."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import serde
+
+    a = gdf_a.select(F.col(key_col).alias("key"),
+                     F.col(sketch_col).alias("sk_a"))
+    b = gdf_b.select(F.col(key_col).alias("key"),
+                     F.col(sketch_col).alias("sk_b"))
+    joined = a.join(b, "key")
+    key_type = joined.schema["key"].dataType.simpleString()
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            out = []
+            for key, ba, bb in zip(pdf["key"], pdf["sk_a"], pdf["sk_b"]):
+                mg_a = serde.loads(bytes(ba))
+                mg_b = serde.loads(bytes(bb))
+                for m in (mg_a, mg_b):
+                    if not isinstance(m, MisraGries):
+                        raise TypeError(
+                            "grouped_top_movers needs MisraGries blobs, "
+                            f"got {type(m).__name__} for key {key!r}")
+                for tok, pa, pb, lb in top_movers(mg_a, mg_b,
+                                                  limit=limit):
+                    out.append((key, int(tok), pa, pb, lb))
+            yield pd.DataFrame(out, columns=[
+                "key", "token", "p_old", "p_new", "shift_lb"])
+
+    return joined.mapInPandas(
+        fn, schema=f"key {key_type}, token long, p_old double, "
+                   "p_new double, shift_lb double")
+
+
 def drift_report(df_a, df_b, values_col: str, *, k: int = 4096,
                  extract=None, limit: int = 20):
     """End-to-end drift check between two DataFrame epochs.

@@ -756,3 +756,77 @@ def test_explain_grouped(spark, tmp_path):
     assert ex["stale_files"] == 0
 
     assert cat.count_distinct_grouped(data, "source", "tokens").kind == "theta"
+
+
+def test_top_movers_grouped_between_epochs(spark, tmp_path):
+    """cat.top_movers_grouped — per-group certified key movers between
+    two published epochs: the planted source must report the planted
+    token as its top mover (fleet DataFrame AND targeted single-group
+    two-row read agree), untouched sources report no movers for the
+    planted token, and every reported shift_lb is a true lower bound on
+    the exact |p_old - p_new|."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    _write_part(tmp_path, 0, rows=500, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register_grouped(data, "source", "tokens", ["mg"])        # ep 0
+
+    srcs = sorted(r["source"] for r in
+                  spark.read.parquet(data).select("source")
+                  .distinct().collect())
+    planted = srcs[0]
+
+    def freqs(df):
+        out = {}
+        for r in (df.select("source", F.explode("tokens").alias("t"))
+                  .groupBy("source", "t").agg(F.count("*").alias("c"))
+                  .collect()):
+            out.setdefault(r["source"], {})[int(r["t"])] = int(r["c"])
+        return out
+    fa = freqs(spark.read.parquet(data))
+
+    SHIFT, N_NEW = 41414, 150
+    tbl = pa.table({
+        "doc_id": pa.array([f"mv-{i}" for i in range(N_NEW)]),
+        "tokens": pa.array([[SHIFT] * 64] * N_NEW,
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([64] * N_NEW, type=pa.int32()),
+        "source": pa.array([planted] * N_NEW),
+    })
+    pq.write_table(tbl, os.path.join(data, "part-movers.parquet"))
+    cat.refresh_grouped(data, "source", "tokens")                 # ep 1
+    fb = freqs(spark.read.parquet(data))
+
+    ans = cat.top_movers_grouped(data, "source", "tokens", 0, 1)
+    assert ans.extra["distributed"] is True and ans.kind == "mg"
+    rows = {}
+    for r in ans.value.collect():
+        rows.setdefault(r["key"], []).append(
+            (int(r["token"]), r["p_old"], r["p_new"], r["shift_lb"]))
+
+    # planted source's top mover is the planted token
+    top = sorted(rows[planted], key=lambda r: -r[3])[0]
+    assert top[0] == SHIFT and top[3] > 0.05
+    # no other source certifies the planted token as a mover
+    for s in srcs[1:]:
+        assert SHIFT not in {t for t, *_ in rows.get(s, [])}
+    # every certified shift is a true lower bound on the exact shift
+    for s, movers in rows.items():
+        na, nb = sum(fa[s].values()), sum(fb[s].values())
+        for t, p_old, p_new, lb in movers:
+            exact = abs(fa[s].get(t, 0) / na - fb[s].get(t, 0) / nb)
+            assert lb <= exact + 1e-9, (s, t, lb, exact)
+
+    # targeted single-group mode: identical movers, O(1) store rows
+    single = cat.top_movers_grouped(data, "source", "tokens", 0, 1,
+                                    group=planted)
+    assert single.extra["group"] == planted
+    assert [(int(t), pa_, pb_, lb) for t, pa_, pb_, lb in single.value] \
+        == sorted(rows[planted], key=lambda r: (-r[3], r[0]))
+
+    with pytest.raises(KeyError):
+        cat.top_movers_grouped(data, "source", "tokens", 0, 1,
+                               group="no-such-source")
