@@ -198,6 +198,56 @@ def _resolve_group(store_path: str, table_path: str, group_col: str,
     return _part_of(ms, meta, wanted, table_path, column)
 
 
+def _grouped_pins_at(store_path: str, name: str,
+                     seq: int) -> tuple[int, int]:
+    """(epoch, base) pins for a HISTORICAL committed epoch of a grouped
+    fleet — pyarrow mirror of incremental.grouped_epoch_at: the commit
+    marker at ``seq`` carries its lineage's base in file_size; crashed-
+    epoch orphans are not addressable."""
+    import pyarrow.dataset as ds
+    rows = _read_rows(store_path + "/ingested",
+                      (ds.field("name") == name)
+                      & (ds.field("file") == "")
+                      & (ds.field("seq") == int(seq)),
+                      ["file_size"])
+    if not rows:
+        raise KeyError(f"{name!r} has no committed epoch {seq} in "
+                       f"{store_path}")
+    return int(seq), max(int(rows[0]["file_size"]), 0)
+
+
+def _resolve_group_at(store_path: str, table_path: str, group_col: str,
+                      column: str, group: str, seq: int, wanted: tuple):
+    """(part, meta) for ONE committed group row at a PINNED epoch —
+    the group's winner within [base_at_seq, seq]; exactly one store
+    row is read."""
+    import pyarrow.dataset as ds
+    prefix = _group_entry_name(table_path, group_col, column)
+    row_name = f"{prefix}/{group}"
+    epoch, base = _grouped_pins_at(store_path, prefix, seq)
+    fp = _fingerprint(store_path + "/sketches") + \
+        _fingerprint(store_path + "/ingested")
+    key = (store_path, row_name, int(seq))
+    hit = _cache_get(key, fp)
+    if hit is None:
+        rows = _read_rows(
+            store_path + "/sketches",
+            (ds.field("name") == row_name)
+            & (ds.field("seq") >= base) & (ds.field("seq") <= epoch),
+            ["seq", "blob", "sha256", "meta_json"])
+        if not rows:
+            raise KeyError(
+                f"group {group!r} has no committed sketch at epoch "
+                f"{seq} under {table_path}:{group_col}:{column}")
+        win = _pick_winner(rows)
+        ms = _loads_verified(row_name, win)
+        meta = json.loads(win["meta_json"])
+        _cache_put(key, fp, ms, meta)
+    else:
+        ms, meta = hit
+    return _part_of(ms, meta, wanted, table_path, column)
+
+
 def _resolve_at(store_path: str, table_path: str, column: str,
                 seq: int, wanted: tuple):
     """(part, meta) for a PINNED epoch of a global catalog entry —
@@ -410,6 +460,69 @@ def register_catalog_sql(spark, store_path: str, *,
             yield (float(b.tv_lb), float(b.tv_ub), int(b.n_a),
                    int(b.n_b), int(b.n_candidates))
 
+    @udtf(returnType="token bigint, p_old double, p_new double, "
+                     "shift_lb double")
+    class TopMovers:
+        """Certified key-level movers between two published epochs of a
+        global entry — the SQL twin of ``cat.top_movers``, from the
+        same two pinned KB rows as catalog_drift. Only tokens whose
+        certified lower bound on |p_old - p_new| is positive are
+        returned; silence is NOT stability."""
+        def eval(self, table_path: str, column: str, seq_old: int,
+                 seq_new, limit: int = 20):
+            from .drift import top_movers as _tm
+            mg_old, _ = _resolve_at(sp, table_path, column,
+                                    int(seq_old), ("mg",))
+            if seq_new is None:
+                mg_new, _ = _resolve(sp, table_path, column, ("mg",))
+            else:
+                mg_new, _ = _resolve_at(sp, table_path, column,
+                                        int(seq_new), ("mg",))
+            for tok, p_old, p_new, lb in _tm(mg_old, mg_new,
+                                             limit=int(limit)):
+                yield (int(tok), float(p_old), float(p_new), float(lb))
+
+    @udtf(returnType="tv_lb double, tv_ub double, n_old bigint, "
+                     "n_new bigint, n_candidates int")
+    class DriftGroup:
+        """Certified TV envelope between two published epochs of ONE
+        group of a fleet — exactly two committed winner rows are read
+        (each pinned by its epoch's commit marker), never the fleet.
+        The single-group SQL twin of ``cat.drift_grouped(group=...)``;
+        fleet-scale questions belong to the Python DataFrame verb."""
+        def eval(self, table_path: str, group_col: str, column: str,
+                 group: str, seq_old: int, seq_new: int):
+            from .drift import tv_bounds
+            mg_old, _ = _resolve_group_at(sp, table_path, group_col,
+                                          column, group, int(seq_old),
+                                          ("mg",))
+            mg_new, _ = _resolve_group_at(sp, table_path, group_col,
+                                          column, group, int(seq_new),
+                                          ("mg",))
+            b = tv_bounds(mg_old, mg_new)
+            yield (float(b.tv_lb), float(b.tv_ub), int(b.n_a),
+                   int(b.n_b), int(b.n_candidates))
+
+    @udtf(returnType="token bigint, p_old double, p_new double, "
+                     "shift_lb double")
+    class TopMoversGroup:
+        """Certified key movers between two published epochs of ONE
+        group — the SQL twin of ``cat.top_movers_grouped(group=...)``:
+        two committed winner rows, O(1) at any fleet size."""
+        def eval(self, table_path: str, group_col: str, column: str,
+                 group: str, seq_old: int, seq_new: int,
+                 limit: int = 20):
+            from .drift import top_movers as _tm
+            mg_old, _ = _resolve_group_at(sp, table_path, group_col,
+                                          column, group, int(seq_old),
+                                          ("mg",))
+            mg_new, _ = _resolve_group_at(sp, table_path, group_col,
+                                          column, group, int(seq_new),
+                                          ("mg",))
+            for tok, p_old, p_new, lb in _tm(mg_old, mg_new,
+                                             limit=int(limit)):
+                yield (int(tok), float(p_old), float(p_new), float(lb))
+
     @udtf(returnType="union_est double, intersection_est double, "
                      "jaccard double, rse double")
     class Overlap:
@@ -552,7 +665,10 @@ def register_catalog_sql(spark, store_path: str, *,
         spark.udf.register(prefix + suffix, fn)
         names.append(prefix + suffix)
     for suffix, tvf in (("topk", TopK), ("topk_group", TopKGroup),
-                        ("drift", Drift), ("overlap", Overlap),
+                        ("drift", Drift), ("top_movers", TopMovers),
+                        ("drift_group", DriftGroup),
+                        ("top_movers_group", TopMoversGroup),
+                        ("overlap", Overlap),
                         ("entries", Entries), ("explain", Explain)):
         spark.udtf.register(prefix + suffix, tvf)
         names.append(prefix + suffix)

@@ -269,3 +269,52 @@ def test_sql_explain_matches_python_explain(spark, setup):
         assert int(grows[verb]["seq"]) == gex["seq"]
     assert grows["topk"]["kind"] == "mg"
     assert grows["frequency"]["kind"] is None        # no cm in the fleet
+
+
+def test_sql_movers_and_group_drift_match_python(spark, setup, tmp_path):
+    """catalog_top_movers == cat.top_movers (global, two pinned rows);
+    catalog_drift_group / catalog_top_movers_group == the single-group
+    Python verbs (two committed winner rows, never the fleet)."""
+    cat, data = setup
+    seq0 = cat.count_distinct(data, "tokens").seq
+    g_ans = cat.count_distinct_grouped(data, "source", "tokens")
+    gep0 = 0
+    _write_part(tmp_path, 1, rows=400, seed=33)
+    cat.refresh(data, "tokens")
+    reg2 = cat.refresh_grouped(data, "source", "tokens")
+    seq1 = cat.count_distinct(data, "tokens").seq
+    gep1 = reg2.seq
+
+    # global movers
+    rows = [(r["token"], r["p_old"], r["p_new"], r["shift_lb"])
+            for r in spark.sql(
+                f"SELECT * FROM catalog_top_movers('{data}', 'tokens', "
+                f"{seq0}, {seq1}, 10)").collect()]
+    want = [(int(t), po, pn, lb) for t, po, pn, lb in
+            cat.top_movers(data, "tokens", seq0, seq1, limit=10).value]
+    assert rows == want
+
+    g = sorted(g_ans.value)[0]
+    drow = spark.sql(
+        f"SELECT * FROM catalog_drift_group('{data}', 'source', "
+        f"'tokens', '{g}', {gep0}, {gep1})").collect()[0]
+    # single-group Python verb reads the same two rows
+    mrows = [(r["token"], r["p_old"], r["p_new"], r["shift_lb"])
+             for r in spark.sql(
+                 f"SELECT * FROM catalog_top_movers_group('{data}', "
+                 f"'source', 'tokens', '{g}', {gep0}, {gep1}, 10)"
+             ).collect()]
+    mwant = [(int(t), po, pn, lb) for t, po, pn, lb in
+             cat.top_movers_grouped(data, "source", "tokens", gep0,
+                                    gep1, group=g, limit=10).value]
+    assert mrows == mwant
+    assert drow["tv_lb"] <= drow["tv_ub"]
+    # the group's certified mover mass is consistent with its envelope:
+    # every mover's lb/2 contributes to TV, so max mover lb/2 <= tv_ub
+    if mrows:
+        assert max(r[3] for r in mrows) / 2 <= drow["tv_ub"] + 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="no committed epoch"):
+        spark.sql(f"SELECT * FROM catalog_drift_group('{data}', "
+                  f"'source', 'tokens', '{g}', 99, {gep1})").collect()
