@@ -1032,6 +1032,60 @@ class SketchCatalog:
             extra={"seq_old": old_epoch, "group_col": group_col,
                    "distributed": True})
 
+    def groups_diff(self, table_path: str, group_col: str, column: str,
+                    seq_old: int, seq_new: int | None = None, *,
+                    policy: str | None = None) -> Answer:
+        """Which groups APPEARED or DISAPPEARED between two PUBLISHED
+        epochs of a grouped fleet — the membership companion of
+        ``drift_grouped`` (which, like any two-sided envelope, can only
+        speak about groups present in BOTH epochs). Store-METADATA
+        only: the two epochs' committed row-name sets full-outer-join
+        on the group key; no blob is ever deserialized, no table
+        scanned. ``Answer.value`` is a lazy DataFrame (key, status)
+        with status in {'appeared', 'disappeared'} — empty when the
+        fleet membership is unchanged."""
+        from pyspark.sql import functions as F
+
+        from .incremental import grouped_epoch_at
+
+        name = self._gname(table_path, group_col, column)
+        refreshed, stale = False, 0
+        if seq_new is None:
+            _, stale, refreshed = self._gscope(table_path, group_col,
+                                               column, policy)
+            seq_new, _ = grouped_epoch(self.spark, self.store_path, name)
+        old_epoch, old_base = grouped_epoch_at(
+            self.spark, self.store_path, name, seq_old)
+        new_epoch, new_base = grouped_epoch_at(
+            self.spark, self.store_path, name, seq_new)
+
+        def keys_at(epoch, base):
+            df = store.read_table(self.spark,
+                                  self.store_path + "/sketches")
+            prefix = name + "/"
+            return (df.filter(F.col("name").startswith(prefix))
+                    .filter((F.col("seq") >= base)
+                            & (F.col("seq") <= epoch))
+                    .select(F.expr(f"substring(name, {len(prefix) + 1})")
+                            .alias("key"))
+                    .distinct())
+
+        old_keys = keys_at(old_epoch, old_base)
+        new_keys = keys_at(new_epoch, new_base)
+        appeared = (new_keys.join(old_keys, "key", "left_anti")
+                    .withColumn("status", F.lit("appeared")))
+        gone = (old_keys.join(new_keys, "key", "left_anti")
+                .withColumn("status", F.lit("disappeared")))
+        return Answer(
+            value=appeared.unionByName(gone), kind="metadata",
+            contract="exact: committed row-name set difference between "
+                     "the two pinned epochs",
+            table=table_path, column=column, seq=new_epoch,
+            covered_rows=-1, stale_files=stale, refreshed=refreshed,
+            sketch_bytes=0,
+            extra={"seq_old": old_epoch, "group_col": group_col,
+                   "distributed": True})
+
     # -- introspection ------------------------------------------------------
 
     # grouped verbs the catalog exposes (count_distinct_grouped, ...)

@@ -830,3 +830,46 @@ def test_top_movers_grouped_between_epochs(spark, tmp_path):
     with pytest.raises(KeyError):
         cat.top_movers_grouped(data, "source", "tokens", 0, 1,
                                group="no-such-source")
+
+
+def test_groups_diff_between_epochs(spark, tmp_path):
+    """cat.groups_diff — fleet-membership changes between published
+    epochs from store METADATA only: an appended novel source shows as
+    'appeared'; after a rebuild without it, it shows as 'disappeared';
+    unchanged epochs diff to empty. Epoch pins follow the committed
+    lineage (crashed orphans unaddressable, pre-rebuild rows dead)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _write_part(tmp_path, 0, rows=300, seed=11)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    reg0 = cat.register_grouped(data, "source", "tokens", ["mg"])  # ep0
+
+    part = os.path.join(data, "part-novel.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["n-0", "n-1"]),
+        "tokens": pa.array([[7, 8, 9], [9, 10]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 2], type=pa.int32()),
+        "source": pa.array(["novel-src"] * 2),
+    }), part)
+    reg1 = cat.refresh_grouped(data, "source", "tokens")           # ep1
+
+    d01 = cat.groups_diff(data, "source", "tokens", reg0.seq, reg1.seq)
+    assert d01.kind == "metadata" and d01.sketch_bytes == 0
+    assert [(r["key"], r["status"]) for r in d01.value.collect()] == \
+        [("novel-src", "appeared")]
+
+    os.remove(part)
+    reg2 = cat.register_grouped(data, "source", "tokens", ["mg"],
+                                rebuild=True)                      # ep2
+    d12 = cat.groups_diff(data, "source", "tokens", reg1.seq, reg2.seq)
+    assert [(r["key"], r["status"]) for r in d12.value.collect()] == \
+        [("novel-src", "disappeared")]
+    # ep0 and the current epoch (ep2, default seq_new) share the same
+    # membership — both lack the novel source: empty diff
+    assert cat.groups_diff(data, "source", "tokens",
+                           reg0.seq).value.count() == 0
+    with pytest.raises(KeyError, match="no committed epoch"):
+        cat.groups_diff(data, "source", "tokens", 99, reg2.seq)
