@@ -523,6 +523,35 @@ def register_catalog_sql(spark, store_path: str, *,
                                              limit=int(limit)):
                 yield (int(tok), float(p_old), float(p_new), float(lb))
 
+    @udtf(returnType="key string, status string")
+    class GroupsDiff:
+        """Fleet-membership changes between two published epochs — the
+        SQL twin of ``cat.groups_diff``: committed row-NAME set
+        difference (status 'appeared' / 'disappeared'), each epoch
+        pinned to its commit marker's base so pre-rebuild dead groups
+        and crashed orphans are excluded. Store metadata only — no
+        blob is deserialized."""
+        def eval(self, table_path: str, group_col: str, column: str,
+                 seq_old: int, seq_new: int):
+            import pyarrow.dataset as ds
+            prefix = _group_entry_name(table_path, group_col, column)
+            plen = len(prefix) + 1
+
+            def keys_at(seq):
+                epoch, base = _grouped_pins_at(sp, prefix, int(seq))
+                rows = _read_rows(
+                    sp + "/sketches",
+                    (ds.field("seq") >= base)
+                    & (ds.field("seq") <= epoch), ["name"])
+                return {r["name"][plen:] for r in rows
+                        if r["name"].startswith(prefix + "/")}
+
+            old_k, new_k = keys_at(seq_old), keys_at(seq_new)
+            for k in sorted(new_k - old_k):
+                yield (k, "appeared")
+            for k in sorted(old_k - new_k):
+                yield (k, "disappeared")
+
     @udtf(returnType="union_est double, intersection_est double, "
                      "jaccard double, rse double")
     class Overlap:
@@ -668,6 +697,7 @@ def register_catalog_sql(spark, store_path: str, *,
                         ("drift", Drift), ("top_movers", TopMovers),
                         ("drift_group", DriftGroup),
                         ("top_movers_group", TopMoversGroup),
+                        ("groups_diff", GroupsDiff),
                         ("overlap", Overlap),
                         ("entries", Entries), ("explain", Explain)):
         spark.udtf.register(prefix + suffix, tvf)

@@ -318,3 +318,27 @@ def test_sql_movers_and_group_drift_match_python(spark, setup, tmp_path):
     with _pytest.raises(Exception, match="no committed epoch"):
         spark.sql(f"SELECT * FROM catalog_drift_group('{data}', "
                   f"'source', 'tokens', '{g}', 99, {gep1})").collect()
+
+
+def test_sql_groups_diff_matches_python(spark, setup, tmp_path):
+    """catalog_groups_diff == cat.groups_diff (metadata-only membership
+    delta between pinned epochs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cat, data = setup
+    part = os.path.join(data, "part-novel.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["n-0"]),
+        "tokens": pa.array([[5, 6]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2], type=pa.int32()),
+        "source": pa.array(["novel-src"]),
+    }), part)
+    reg1 = cat.refresh_grouped(data, "source", "tokens")
+    rows = [(r["key"], r["status"]) for r in spark.sql(
+        f"SELECT * FROM catalog_groups_diff('{data}', 'source', "
+        f"'tokens', 0, {reg1.seq})").collect()]
+    want = sorted((r["key"], r["status"]) for r in
+                  cat.groups_diff(data, "source", "tokens", 0,
+                                  reg1.seq).value.collect())
+    assert rows == want == [("novel-src", "appeared")]
