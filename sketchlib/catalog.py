@@ -42,6 +42,7 @@ from pyspark.sql import SparkSession
 from . import store
 from .bloom import BloomFilter
 from .countmin import CMConfig, CountMinSketch
+from .countsketch import CSConfig, CountSketch
 from .ddsketch import DDSketch
 from .dyadic import DyadicCM
 from .hll import HllSketch
@@ -88,6 +89,11 @@ _KINDS: dict[str, tuple[dict, object]] = {
                 lambda p: functools.partial(TDigest, p["delta"])),
     "dd": ({"alpha": 0.01},
            lambda p: functools.partial(DDSketch, p["alpha"])),
+    "cs": ({"width": 8192, "depth": 5, "seed": 1337},
+           lambda p: functools.partial(
+               CountSketch,
+               CSConfig(width=p["width"], depth=p["depth"],
+                        seed=p["seed"]))),
 }
 
 
@@ -126,6 +132,8 @@ def _normalize_kinds(kinds) -> list[dict]:
 _VERB_ROUTES = {
     "count_distinct": ("theta", "hll"),
     "frequency": ("cm",),
+    "frequency_unbiased": ("cs",),
+    "second_moment": ("cs",),
     "member": ("bloom",),
     "topk": ("mg",),
     "quantile": ("kll", "tdigest", "dd"),
@@ -333,6 +341,36 @@ class SketchCatalog:
                     f"one-sided: exact <= est <= exact + {eps:g}*{n} "
                     f"w.p. >= {1 - delta:.4f}", {"l1": n})
         return self._answer(table_path, column, policy, _VERB_ROUTES["frequency"], make)
+
+    def frequency_unbiased(self, table_path: str, column: str,
+                           key: int, *,
+                           policy: str | None = None) -> Answer:
+        """UNBIASED occurrence estimate of ``key`` (Count-Sketch,
+        median-of-rows) — the two-sided companion of ``frequency()``:
+        no systematic overcount, error scales with ||f||_2 instead of
+        ||f||_1, so tail keys in heavy-skew columns answer far tighter
+        than CM's one-sided bound; in exchange the estimate can come in
+        BELOW the true count."""
+        def make(kind, part):
+            sd = math.sqrt(part.f2_estimate() / part.cfg.width)
+            return (float(part.point_query(int(key))),
+                    "unbiased (median of d rows); per-row sd ~ "
+                    f"sqrt(F2/w) ~ {sd:.1f}", {})
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["frequency_unbiased"], make)
+
+    def second_moment(self, table_path: str, column: str, *,
+                      policy: str | None = None) -> Answer:
+        """Second frequency moment F2 = Σ f(t)² of the column (AMS via
+        Count-Sketch row sums-of-squares, median of d rows) — the
+        SELF-JOIN SIZE of the column, the quantity join planners need
+        before shuffling anything."""
+        def make(kind, part):
+            return (float(part.f2_estimate()),
+                    "unbiased per row; row variance <= 2*F2^2/w, "
+                    f"median of {part.cfg.depth} rows", {})
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["second_moment"], make)
 
     def frequencies(self, table_path: str, column: str, keys, *,
                     policy: str | None = None) -> Answer:

@@ -351,6 +351,28 @@ def register_catalog_sql(spark, store_path: str, *,
                 key[m].to_numpy(dtype=np.int64))
         return out
 
+    @pandas_udf("double")
+    def frequb(table: pd.Series, col: pd.Series,
+               key: pd.Series) -> pd.Series:
+        if key.isna().any():
+            raise ValueError("catalog_frequency_unbiased key column "
+                             "contains NULLs; filter isNotNull() first")
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, c in set(zip(table, col)):
+            m = (table == t) & (col == c)
+            part, _ = _resolve(sp, t, c, ("cs",))
+            out[m] = part.point_query_batch(
+                key[m].to_numpy(dtype=np.int64))
+        return out
+
+    @pandas_udf("double")
+    def f2(table: pd.Series, col: pd.Series) -> pd.Series:
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, c in set(zip(table, col)):
+            part, _ = _resolve(sp, t, c, ("cs",))
+            out[(table == t) & (col == c)] = float(part.f2_estimate())
+        return out
+
     @pandas_udf("boolean")
     def member(table: pd.Series, col: pd.Series,
                key: pd.Series) -> pd.Series:
@@ -686,6 +708,8 @@ def register_catalog_sql(spark, store_path: str, *,
 
     names = []
     for suffix, fn in (("count_distinct", cd), ("frequency", freq),
+                       ("frequency_unbiased", frequb),
+                       ("second_moment", f2),
                        ("member", member), ("quantile", quant),
                        ("range_count", rcount),
                        ("count_distinct_group", cdg),

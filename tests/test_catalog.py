@@ -873,3 +873,42 @@ def test_groups_diff_between_epochs(spark, tmp_path):
                            reg0.seq).value.count() == 0
     with pytest.raises(KeyError, match="no committed epoch"):
         cat.groups_diff(data, "source", "tokens", 99, reg2.seq)
+
+
+def test_cs_kind_unbiased_frequency_and_second_moment(spark, table,
+                                                      tmp_path):
+    """'cs' catalog kind: frequency_unbiased answers within a few
+    per-row sds of exact (and, unlike CM, is NOT systematically
+    one-sided), second_moment brackets the exact self-join size
+    Σf², and explain routes both verbs to cs."""
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register(table, "tokens", ["cm", "cs"])
+
+    exact = _exact_counts(spark, table)
+    f2_exact = sum(c * c for c in exact.values())
+
+    sm = cat.second_moment(table, "tokens")
+    assert sm.kind == "cs"
+    # median-of-5 AMS rows at w=8192: well within 5 per-row sigmas
+    sigma = math.sqrt(2.0 / 8192) * f2_exact
+    assert abs(sm.value - f2_exact) <= 5 * sigma
+
+    hot, hot_c = max(exact.items(), key=lambda kv: (kv[1], kv[0]))
+    fu = cat.frequency_unbiased(table, "tokens", hot)
+    assert fu.kind == "cs"
+    sd = math.sqrt(f2_exact / 8192)
+    assert abs(fu.value - hot_c) <= 5 * sd
+
+    ex = cat.explain(table, "tokens")
+    assert ex["routes"]["frequency_unbiased"]["kind"] == "cs"
+    assert ex["routes"]["second_moment"]["kind"] == "cs"
+    assert ex["routes"]["frequency"]["kind"] == "cm"
+
+    # SQL parity
+    from sketchlib.catalog_sql import register_catalog_sql
+    register_catalog_sql(spark, str(tmp_path / "store"))
+    row = spark.sql(
+        f"SELECT catalog_frequency_unbiased('{table}', 'tokens', "
+        f"{hot}) AS fu, catalog_second_moment('{table}', 'tokens') "
+        "AS f2").collect()[0]
+    assert row["fu"] == fu.value and row["f2"] == sm.value
