@@ -3438,7 +3438,10 @@ def _q_catalog_sql_route(spark, sf_dir):
     ``catalog_overlap`` TVF == ``cat.overlap`` from the same two theta
     winner rows, Jaccard in (0,1]), explain_match (the
     ``catalog_explain`` provenance TVF agrees verb-for-verb with the
-    Python ``explain()`` — both resolve through _VERB_ROUTES).
+    Python ``explain()`` — both resolve through _VERB_ROUTES),
+    cs_within_bound (Count-Sketch verbs: unbiased frequency within 5
+    per-row sds of the hot key's exact count, second moment within 5
+    AMS sigmas of the exact self-join size, SQL scalars == Python).
     Rows-only: answers are sketch-parameter-specific."""
     import shutil
     import tempfile
@@ -3455,7 +3458,9 @@ def _q_catalog_sql_route(spark, sf_dir):
         cat.register(data, "tokens",
                      [("cm", {"eps": 1e-3}), "theta", ("mg", {"k": 256}),
                       ("bloom", {"capacity": 200_000, "fpr": 0.01,
-                                 "seed": 1337})])
+                                 "seed": 1337}),
+                      ("cs", {"width": 8192, "depth": 5,
+                              "seed": 1337})])
         cat.register(data, "n_tok", ["kll"])
         cat.register_grouped(data, "source", "tokens", ["theta"])
         register_catalog_sql(spark, f"{root}/store")
@@ -3531,15 +3536,32 @@ def _q_catalog_sql_route(spark, sf_dir):
                       "'tokens')").collect()}
         explain_ok = sql_ex == {v: (r["kind"], r["available"])
                                 for v, r in ex["routes"].items()}
+
+        # Count-Sketch verbs: unbiased frequency within 5 per-row sds
+        # of the hot key's exact count, second moment within 5 AMS
+        # sigmas of the exact self-join size, SQL scalars == Python
+        f2_exact = sum(int(r["cnt"]) ** 2 for r in exact.collect())
+        sm = cat.second_moment(data, "tokens")
+        fu = cat.frequency_unbiased(data, "tokens", hot)
+        csrow = spark.sql(
+            f"SELECT catalog_second_moment('{data}', 'tokens') AS f2, "
+            f"catalog_frequency_unbiased('{data}', 'tokens', {hot}) "
+            "AS fu").collect()[0]
+        cs_ok = (abs(sm.value - f2_exact)
+                 <= 5 * math.sqrt(2.0 / 8192) * f2_exact
+                 and abs(fu.value - hot_c)
+                 <= 5 * math.sqrt(f2_exact / 8192)
+                 and csrow["f2"] == sm.value and csrow["fu"] == fu.value)
         return spark.createDataFrame(
             [(len(sql_topk), bool(hll_ok), bool(cm_ok), bool(cm_tight),
               bool(misses == 0), bool(med_ok), bool(drv_ok),
-              bool(grp_ok), bool(overlap_ok), bool(explain_ok))],
+              bool(grp_ok), bool(overlap_ok), bool(explain_ok),
+              bool(cs_ok))],
             "n_topk int, hll_within_bound boolean, est_ge_exact boolean, "
             "within_bound boolean, no_false_negatives boolean, "
             "within_tol boolean, matches_driver boolean, "
             "probe_match boolean, overlap_match boolean, "
-            "explain_match boolean")
+            "explain_match boolean, cs_within_bound boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
