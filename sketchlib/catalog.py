@@ -43,6 +43,7 @@ from . import store
 from .bloom import BloomFilter
 from .countmin import CMConfig, CountMinSketch
 from .countsketch import CSConfig, CountSketch
+from .psample import PrioritySample
 from .ddsketch import DDSketch
 from .dyadic import DyadicCM
 from .hll import HllSketch
@@ -1070,6 +1071,164 @@ class SketchCatalog:
             extra={"seq_old": old_epoch, "group_col": group_col,
                    "distributed": True})
 
+    # -- weighted-sample entries --------------------------------------------
+    #
+    # A PrioritySample registration is row-level, not token-level:
+    # (key_col, weight_col[, payload_col]) rows stream through
+    # build_aggregator_pairs instead of the MultiSketch token scan, and
+    # the published blob answers SUBSET-SUM questions over arbitrary key
+    # predicates in O(k) — "how many tokens do docs matching P hold?"
+    # without a scan. Maintenance is the same delta-only fold (priority
+    # sampling is mergeable and idempotent: same (key, weight) always
+    # draws the same priority).
+
+    @staticmethod
+    def _sample_col(key_col: str, weight_col: str) -> str:
+        return f"{key_col}~{weight_col}"
+
+    def register_sample(self, table_path: str, key_col: str,
+                        weight_col: str, *, payload_col: str | None = None,
+                        k: int = 256, seed: int = 1337,
+                        rebuild: bool = False) -> Answer:
+        """Register a weighted row sample over (key_col, weight_col):
+        one PrioritySample blob, delta-maintained like every entry.
+        Duplicate keys (within a batch or across delta folds) collapse
+        to the MAX (weight, payload) instance — the sample's documented
+        dedup rule — so re-ingested rows never double-count."""
+        import functools as _ft
+
+        spec = {"version": _SPEC_VERSION,
+                "sample": {"key_col": key_col, "weight_col": weight_col,
+                           "payload_col": payload_col, "k": int(k),
+                           "seed": int(seed)}}
+        col = self._sample_col(key_col, weight_col)
+        name = self._name(table_path, col)
+        prev = store.latest_entry(self.spark, self.store_path, name)
+        if prev is not None and not rebuild:
+            old = prev[1].get("catalog_spec")
+            if old is not None and old != spec:
+                raise ValueError(
+                    f"{table_path}:{col} is already registered with a "
+                    "different sample spec; pass rebuild=True.\n"
+                    f"  registered: {json.dumps(old, sort_keys=True)}\n"
+                    f"  requested:  {json.dumps(spec, sort_keys=True)}")
+        factory = _ft.partial(PrioritySample, int(k), int(seed))
+
+        def builder(sp, files):
+            from .spark_build import build_aggregator_pairs
+            return build_aggregator_pairs(
+                sp.read.parquet(*files), key_col, weight_col, factory,
+                payload_col=payload_col)
+
+        res = incremental_build(
+            self.spark, table_path, col, factory,
+            store_path=self.store_path, name=name, rebuild=rebuild,
+            builder=builder,
+            meta={"catalog_spec": spec,
+                  "table_path": os.path.abspath(table_path),
+                  "column": col})
+        entry = store.latest_entry(self.spark, self.store_path, name)
+        return Answer(value=None, kind="refresh_sample",
+                      contract="delta-only incremental sample fold",
+                      table=table_path, column=col, seq=res.seq,
+                      covered_rows=int(entry[1].get("table_rows", -1)),
+                      stale_files=0, refreshed=res.new_files > 0,
+                      sketch_bytes=res.sketch.nbytes(),
+                      extra={"new_files": res.new_files,
+                             "new_rows": res.new_rows})
+
+    def _sample_entry(self, table_path: str, key_col: str,
+                      weight_col: str, policy: str | None):
+        policy = policy or self.policy
+        col = self._sample_col(key_col, weight_col)
+        name = self._name(table_path, col)
+        loaded = store.latest_sketch(self.spark, self.store_path, name)
+        if loaded is None or "sample" not in (loaded[1].get(
+                "catalog_spec") or {}):
+            raise KeyError(
+                f"{table_path}:({key_col}, {weight_col}) has no sample "
+                f"registration (store: {self.store_path}); call "
+                "register_sample() first")
+        stale = self._stale_from(name, loaded[1], table_path)
+        refreshed = False
+        if stale and policy == "refuse":
+            raise StaleEntryError(
+                f"{table_path}:{col} sample is stale by {stale} "
+                "file(s); register_sample() again or answer with "
+                "policy='stale_ok'/'auto'")
+        if stale and policy == "auto":
+            s = loaded[1]["catalog_spec"]["sample"]
+            self.register_sample(table_path, key_col, weight_col,
+                                 payload_col=s["payload_col"],
+                                 k=s["k"], seed=s["seed"])
+            loaded = store.latest_sketch(self.spark, self.store_path,
+                                         name)
+            stale, refreshed = 0, True
+        return loaded[0], loaded[1], loaded[2], stale, refreshed
+
+    def _sample_answer(self, table_path, key_col, weight_col, policy,
+                       make) -> Answer:
+        seq, meta, ps, stale, refreshed = self._sample_entry(
+            table_path, key_col, weight_col, policy)
+        value, contract, extra = make(ps)
+        return Answer(value=value, kind="psample", contract=contract,
+                      table=table_path,
+                      column=self._sample_col(key_col, weight_col),
+                      seq=seq,
+                      covered_rows=int(meta.get("table_rows", -1)),
+                      stale_files=stale, refreshed=refreshed,
+                      sketch_bytes=ps.nbytes(), extra=extra)
+
+    def subset_sum(self, table_path: str, key_col: str, weight_col: str,
+                   pred=None, *, pattern: str | None = None,
+                   policy: str | None = None) -> Answer:
+        """Unbiased subset-sum estimate over an arbitrary key predicate
+        — ``pred`` (callable on the key string) or ``pattern`` (fnmatch
+        glob, the SQL-shippable form). O(k) on the sampled items; EXACT
+        while the sample has never overflowed (threshold None)."""
+        import fnmatch
+        if (pred is None) == (pattern is None):
+            raise ValueError("pass exactly one of pred= or pattern=")
+        if pattern is not None:
+            pred = lambda s: fnmatch.fnmatchcase(s, pattern)  # noqa: E731
+
+        def make(ps):
+            exact = ps.threshold is None
+            var = ("exact (sample never overflowed)" if exact else
+                   f"unbiased; variance within {(ps.k + 1)}/{ps.k - 1} "
+                   "of the optimal k-sample (Duffield-Lund-Thorup)")
+            return (float(ps.estimate_subset(pred)), var,
+                    {"exact_mode": exact, "n_sampled":
+                     min(len(ps.keys), ps.k)})
+        return self._sample_answer(table_path, key_col, weight_col,
+                                   policy, make)
+
+    def sample_total(self, table_path: str, key_col: str,
+                     weight_col: str, *,
+                     policy: str | None = None) -> Answer:
+        """Total weight: the exact folded Σw plus the sample's own
+        unbiased estimate of it (their gap is the sampling noise)."""
+        def make(ps):
+            return ({"exact": float(ps.total_weight),
+                     "estimate": float(ps.estimate_total())},
+                    "exact Sigma-w tracked exactly; estimate unbiased",
+                    {})
+        return self._sample_answer(table_path, key_col, weight_col,
+                                   policy, make)
+
+    def sample_group_sums(self, table_path: str, key_col: str,
+                          weight_col: str, *,
+                          policy: str | None = None) -> Answer:
+        """Per-payload-group subset sums (e.g. total tokens per source)
+        from the sample alone — requires the entry to have been
+        registered with payload_col."""
+        def make(ps):
+            return (ps.estimate_group_sums(),
+                    "unbiased per group; exact while the sample never "
+                    "overflowed", {"exact_mode": ps.threshold is None})
+        return self._sample_answer(table_path, key_col, weight_col,
+                                   policy, make)
+
     def groups_diff(self, table_path: str, group_col: str, column: str,
                     seq_old: int, seq_new: int | None = None, *,
                     policy: str | None = None) -> Answer:
@@ -1153,6 +1312,17 @@ class SketchCatalog:
             stale = self._stale_from(name, meta, table_path)
             covered = int(meta.get("table_rows", -1))
             store_rows = {"answer": f"{name} @ seq {seq} (one row)"}
+            if "sample" in spec:
+                routes = {v: {"kind": "psample", "available": True,
+                              "preference": ["psample"]}
+                          for v in ("subset_sum", "sample_total",
+                                    "sample_group_sums")}
+                return {"name": name,
+                        "table_path": os.path.abspath(table_path),
+                        "column": column, "group_col": None,
+                        "seq": seq, "kinds": ["psample"],
+                        "covered_rows": covered, "stale_files": stale,
+                        "store_rows": store_rows, "routes": routes}
             verbs = dict(_VERB_ROUTES)
         else:
             name = self._gname(table_path, group_col, column)
@@ -1218,11 +1388,13 @@ class SketchCatalog:
                 if committed is None:
                     continue       # nothing committed yet: not listable
                 spec = committed
+            kinds = (["psample"] if "sample" in spec
+                     else [k["kind"] for k in spec["kinds"]])
             e = {"name": r["entry"], "seq": int(r["seq"]),
                  "table_path": meta["table_path"],
                  "column": meta["column"],
                  "group_col": meta.get("group_col"),
-                 "kinds": [k["kind"] for k in spec["kinds"]],
+                 "kinds": kinds,
                  "covered_rows": int(meta.get("table_rows", -1))}
             try:
                 if e["group_col"] is not None:

@@ -373,6 +373,40 @@ def register_catalog_sql(spark, store_path: str, *,
             out[(table == t) & (col == c)] = float(part.f2_estimate())
         return out
 
+    @pandas_udf("double")
+    def subsum(table: pd.Series, key_col: pd.Series,
+               weight_col: pd.Series, pattern: pd.Series) -> pd.Series:
+        """Unbiased subset-sum from a registered PrioritySample entry:
+        Σ weight over keys matching the fnmatch ``pattern`` — O(k) on
+        the sample, exact while it never overflowed."""
+        import fnmatch
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, kc, wc, pat in set(zip(table, key_col, weight_col,
+                                      pattern)):
+            m = ((table == t) & (key_col == kc) & (weight_col == wc)
+                 & (pattern == pat))
+            name = _entry_name(t, f"{kc}~{wc}")
+            fp = _fingerprint(sp + "/sketches")
+            hit = _cache_get((sp, name), fp)
+            if hit is None:
+                import pyarrow.dataset as ds
+                rows = _read_rows(sp + "/sketches",
+                                  ds.field("name") == name,
+                                  ["seq", "blob", "sha256", "meta_json"])
+                if not rows:
+                    raise KeyError(
+                        f"{t}:({kc}, {wc}) has no sample registration "
+                        f"in {sp}")
+                win = _pick_winner(rows)
+                ps = _loads_verified(name, win)
+                meta = json.loads(win["meta_json"])
+                _cache_put((sp, name), fp, ps, meta)
+            else:
+                ps, meta = hit
+            out[m] = ps.estimate_subset(
+                lambda s: fnmatch.fnmatchcase(s, pat))
+        return out
+
     @pandas_udf("boolean")
     def member(table: pd.Series, col: pd.Series,
                key: pd.Series) -> pd.Series:
@@ -640,10 +674,10 @@ def register_catalog_sql(spark, store_path: str, *,
                     if cspec is None:
                         continue
                     spec, seq = cspec, epoch
+                kinds = ("psample" if "sample" in spec else
+                         ",".join(k["kind"] for k in spec["kinds"]))
                 yield (entry, meta["table_path"], meta["column"],
-                       meta.get("group_col"),
-                       ",".join(k["kind"] for k in spec["kinds"]),
-                       seq)
+                       meta.get("group_col"), kinds, seq)
 
     @udtf(returnType="verb string, kind string, available boolean, "
                      "preference string, seq bigint, kinds string")
@@ -710,6 +744,7 @@ def register_catalog_sql(spark, store_path: str, *,
     for suffix, fn in (("count_distinct", cd), ("frequency", freq),
                        ("frequency_unbiased", frequb),
                        ("second_moment", f2),
+                       ("subset_sum", subsum),
                        ("member", member), ("quantile", quant),
                        ("range_count", rcount),
                        ("count_distinct_group", cdg),

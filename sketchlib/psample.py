@@ -327,6 +327,20 @@ class PrioritySample:
             return float(self.weights[:top].sum())
         return float(np.maximum(self.weights[:top], tau).sum())
 
+    def estimate_subset(self, pred) -> float:
+        """Unbiased subset-sum estimate over an ARBITRARY key predicate
+        (Duffield-Lund-Thorup's core property: E[Σ_{i in S, sampled}
+        max(w_i, tau)] = Σ_{i in S} w_i for any fixed S). ``pred`` takes
+        the decoded key string; only the k sampled items are evaluated,
+        so the cost is O(k) regardless of how many items ever streamed.
+        Exact when the sample never overflowed (tau is None)."""
+        tau = self.threshold
+        top = min(len(self.keys), self.k)
+        adj = (self.weights[:top] if tau is None
+               else np.maximum(self.weights[:top], tau))
+        return float(sum(float(adj[i]) for i in range(top)
+                         if pred(self.keys[i].decode("utf-8"))))
+
     def estimate_group_sums(self) -> dict[str, float]:
         """Subset-sum estimates grouped by payload — e.g. total n_tok per
         source from the sample alone."""

@@ -912,3 +912,82 @@ def test_cs_kind_unbiased_frequency_and_second_moment(spark, table,
         f"{hot}) AS fu, catalog_second_moment('{table}', 'tokens') "
         "AS f2").collect()[0]
     assert row["fu"] == fu.value and row["f2"] == sm.value
+
+
+def test_sample_registration_subset_sums(spark, table, tmp_path):
+    """Weighted-sample entries: register_sample builds a PrioritySample
+    over (doc_id, n_tok, payload=source); subset_sum answers arbitrary
+    key predicates (exact while the sample never overflowed),
+    sample_group_sums matches per-source totals, staleness folds
+    delta-only under policy='auto', and the SQL scalar matches."""
+    from pyspark.sql import functions as F
+
+    cat = SketchCatalog(spark, str(tmp_path / "store"), policy="auto")
+    reg = cat.register_sample(table, "doc_id", "n_tok",
+                              payload_col="source", k=4096)
+    assert reg.covered_rows == 800
+
+    pdf = spark.read.parquet(table).select("doc_id", "n_tok",
+                                           "source").toPandas()
+    total = int(pdf["n_tok"].sum())
+
+    st = cat.sample_total(table, "doc_id", "n_tok")
+    assert st.value["exact"] == total
+    assert st.value["estimate"] == total        # k=4096 > 800: exact mode
+
+    # arbitrary predicate: every doc whose id ends in an odd digit
+    want = int(pdf[pdf["doc_id"].str[-1].astype(int) % 2 == 1]
+               ["n_tok"].sum())
+    a = cat.subset_sum(table, "doc_id", "n_tok",
+                       pred=lambda s: int(s[-1]) % 2 == 1)
+    assert a.value == want and a.extra["exact_mode"] and a.kind == "psample"
+
+    # fnmatch pattern form (SQL-shippable)
+    want_p = int(pdf[pdf["doc_id"].str.endswith("7")]["n_tok"].sum())
+    p = cat.subset_sum(table, "doc_id", "n_tok", pattern="*7")
+    assert p.value == want_p
+
+    gs = cat.sample_group_sums(table, "doc_id", "n_tok")
+    want_g = pdf.groupby("source")["n_tok"].sum().to_dict()
+    assert gs.value == {k: float(v) for k, v in want_g.items()}
+
+    # staleness: appended part folds delta-only, answers go fresh
+    _write_part(tmp_path, 1, rows=200, seed=44)
+    a2 = cat.subset_sum(table, "doc_id", "n_tok", pattern="*7")
+    assert a2.refreshed and a2.covered_rows == 1000
+    pdf2 = spark.read.parquet(table).select("doc_id",
+                                            "n_tok").toPandas()
+    # the appended fixture part reuses doc ids with different weights;
+    # the sample's documented duplicate-key collapse keeps the MAX
+    # (weight, payload) instance per key
+    dd = pdf2.groupby("doc_id", as_index=False)["n_tok"].max()
+    assert a2.value == int(dd[dd["doc_id"].str.endswith("7")]
+                           ["n_tok"].sum())
+
+    # SQL parity
+    from sketchlib.catalog_sql import register_catalog_sql
+    register_catalog_sql(spark, str(tmp_path / "store"))
+    row = spark.sql(
+        f"SELECT catalog_subset_sum('{table}', 'doc_id', 'n_tok', "
+        "'*7') AS s").collect()[0]
+    assert row["s"] == a2.value
+
+    # overflow regime: small k still lands within a loose band and
+    # reports estimation mode
+    cat.register_sample(table, "doc_id", "n_tok", k=64, seed=7,
+                        rebuild=True)
+    small = cat.subset_sum(table, "doc_id", "n_tok", pattern="*")
+    assert not small.extra["exact_mode"]
+    exact_all = int(dd["n_tok"].sum())
+    assert 0.5 * exact_all <= small.value <= 1.5 * exact_all
+
+    # entries()/explain() render the sample entry
+    ent = [e for e in cat.entries() if e["kinds"] == ["psample"]]
+    assert len(ent) == 1 and ent[0]["column"] == "doc_id~n_tok"
+    ex = cat.explain(table, "doc_id~n_tok")
+    assert ex["routes"]["subset_sum"]["kind"] == "psample"
+
+    with pytest.raises(ValueError, match="exactly one"):
+        cat.subset_sum(table, "doc_id", "n_tok")
+    with pytest.raises(KeyError, match="no sample registration"):
+        cat.subset_sum(table, "doc_id", "nope", pattern="*")
