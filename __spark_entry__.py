@@ -1279,6 +1279,58 @@ def _q_jsonl_source_stats(spark, sf_dir):
                  F.sum(F.length("text")).alias("total_text_len")))
 
 
+def _q_catalog_sample_subset(spark, sf_dir):
+    """Catalog weighted-sample registration end-to-end
+    (catalog.register_sample + subset_sum/sample_total/sample_group_sums
+    + the catalog_subset_sum SQL scalar): documents sampled by
+    (doc_id, weight=n_chars, payload=source) into ONE delta-maintained
+    PrioritySample blob; subset sums over arbitrary doc-id patterns are
+    answered from the KB blob in O(k) — no corpus rescan. k=4096 exceeds
+    the fixture's document count, so the sample is in EXACT mode
+    (threshold None) and every answer is deterministic — this query is
+    DuckDB-ORACLED: each (pattern, est) row must equal the exact SQL
+    aggregate (LIKE '%d' subsets, per-source totals, grand total). The
+    SQL scalar must agree with the Python verb bit-for-bit (asserted
+    in-body; a mismatch raises). No reference counterpart (cm.h is
+    frequency-only; no sampling surface)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.catalog import SketchCatalog
+    from sketchlib.catalog_sql import register_catalog_sql
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    root = tempfile.mkdtemp(prefix="sketchlib_catsamp_")
+    try:
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register_sample(docs_path, "doc_id", "n_chars",
+                            payload_col="source", k=4096)
+        register_catalog_sql(spark, f"{root}/store")
+
+        rows = []
+        for pat in ("*1", "*5", "*7"):
+            a = cat.subset_sum(docs_path, "doc_id", "n_chars",
+                               pattern=pat)
+            if not a.extra["exact_mode"]:
+                raise AssertionError(
+                    "sample overflowed at this sf; raise k")
+            sql_v = spark.sql(
+                f"SELECT catalog_subset_sum('{docs_path}', 'doc_id', "
+                f"'n_chars', '{pat}') AS s").collect()[0]["s"]
+            if sql_v != a.value:
+                raise AssertionError(f"SQL != Python for {pat}")
+            rows.append((pat, float(a.value)))
+        for src_name, v in sorted(cat.sample_group_sums(
+                docs_path, "doc_id", "n_chars").value.items()):
+            rows.append((f"src:{src_name}", float(v)))
+        rows.append(("total", float(cat.sample_total(
+            docs_path, "doc_id", "n_chars").value["exact"])))
+        return (spark.createDataFrame(rows, "pattern string, est double")
+                .orderBy("pattern"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_csv_source_stats(spark, sf_dir):
     """CSV source connector round-trip (quoted text fields with embedded
     spaces), value-checked against the parquet ground truth."""
@@ -3858,6 +3910,9 @@ SELF_ASSERT_COLS = {
     "retrain_restores",                   # IVF-PQ self-repair
     "covers_all_batches", "replay_noop",  # streaming catalog upkeep
     "overlap_match",                      # catalog SQL overlap TVF
+    "explain_match", "cs_within_bound",   # provenance TVF, cs verbs
+    "movers_certified",                   # grouped epoch movers
+    "movers_single_match",
 }
 
 # Number of (tail query, self-assert flag column) pairs — schema-level,
@@ -3865,7 +3920,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 123
+_TAIL_FLAG_COLS = 127
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -3926,7 +3981,7 @@ def _q_selfcheck_summary(spark, sf_dir):
     window (VERDICT r3 #2): every ``queries()`` entry from position 51 on
     is RE-RUN here — each SELF_ASSERT_COLS flag column is checked on
     every row, and any tail entry that also carries an ``oracle_sql()``
-    string (the one deliberate overflow, csv_source_stats) is compared
+    string (the deliberate overflows, e.g. csv_source_stats) is compared
     against DuckDB in-process with the driver's own protocol (row count,
     column names, order-insensitive value hash). One deterministic row
     comes back and the DuckDB oracle pins it to all-zeros/TRUE, so a
@@ -3991,12 +4046,12 @@ def _q_selfcheck_summary(spark, sf_dir):
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Raw name -> callable registry in registration order (the stable
     sort in queries() keeps this order within the oracled and rows-only
-    groups). csv_source_stats is registered LAST among the oracled
-    entries ON PURPOSE: with 51 oracled queries and a 50-entry driver
-    window, exactly one must overflow — it is the least marginal (the
-    jsonl twin stays in the window) and selfcheck_summary re-checks it
-    against its DuckDB oracle in-process, so it keeps an indirect
-    driver verdict."""
+    groups). catalog_sample_subset and csv_source_stats are registered
+    LAST among the oracled entries ON PURPOSE: with 52 oracled queries
+    and a 50-entry driver window, exactly two must overflow —
+    csv_source_stats is the least marginal (the jsonl twin stays in the
+    window) and selfcheck_summary re-checks both against their DuckDB
+    oracles in-process, so each keeps an indirect driver verdict."""
     return {
         "word_freq_exact": _q_word_freq_exact,
         "source_doc_stats": _q_source_doc_stats,
@@ -4111,6 +4166,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_stream_upkeep": _q_catalog_stream_upkeep,
         "ivfpq_retrain_gate": _q_ivfpq_retrain_gate,
         "selfcheck_summary": _q_selfcheck_summary,
+        # deliberately past the 50-entry window (oracled tail entries are
+        # DuckDB-checked in-process by selfcheck_summary)
+        "catalog_sample_subset": _q_catalog_sample_subset,
         # LAST oracled on purpose — the deliberate window overflow
         # (see the docstring above)
         "csv_source_stats": _q_csv_source_stats,
@@ -4120,14 +4178,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries, ORACLE-CHECKED ONES FIRST (VERDICT r2 #1): the driver
     records correctness rows for at most the first 50 entries, so the
-    registration order is re-sorted (stably) oracled-first. There are 51
-    oracled queries: 50 fill the window exactly and csv_source_stats is
-    the one deliberate overflow — selfcheck_summary (inside the window)
-    re-runs EVERYTHING past position 50, enforcing the rows-only tail's
-    self-assert flag columns and csv_source_stats's DuckDB oracle, so
-    the whole tail is visible to the driver's hard signal through one
-    pinned row. tools/check_entry.py and tools/sync_survey_inventory.py
-    machine-check the window arithmetic."""
+    registration order is re-sorted (stably) oracled-first. There are 52
+    oracled queries: 50 fill the window exactly and catalog_sample_subset
+    + csv_source_stats are the deliberate overflows — selfcheck_summary
+    (inside the window) re-runs EVERYTHING past position 50, enforcing
+    the rows-only tail's self-assert flag columns and the overflow
+    queries' DuckDB oracles, so the whole tail is visible to the
+    driver's hard signal through one pinned row. tools/check_entry.py
+    and tools/sync_survey_inventory.py machine-check the window
+    arithmetic."""
     q = _registry()
     oracled = set(oracle_sql())
     return {k: q[k] for k in sorted(q, key=lambda n: n not in oracled)}
@@ -4631,6 +4690,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    CAST(SUM(length(text)) AS BIGINT) AS total_text_len
             FROM documents GROUP BY source
+        """,
+        "catalog_sample_subset": """
+            SELECT pattern, est FROM (
+              SELECT '*1' AS pattern,
+                     CAST(SUM(n_chars) AS DOUBLE) AS est
+              FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '%1'
+              UNION ALL
+              SELECT '*5', CAST(SUM(n_chars) AS DOUBLE)
+              FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '%5'
+              UNION ALL
+              SELECT '*7', CAST(SUM(n_chars) AS DOUBLE)
+              FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '%7'
+              UNION ALL
+              SELECT 'src:' || source, CAST(SUM(n_chars) AS DOUBLE)
+              FROM documents GROUP BY source
+              UNION ALL
+              SELECT 'total', CAST(SUM(n_chars) AS DOUBLE)
+              FROM documents
+            ) ORDER BY pattern
         """,
         "bucketed_join_agg": """
             SELECT o_orderpriority, COUNT(*) AS n_items,

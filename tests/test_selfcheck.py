@@ -11,15 +11,17 @@ import __spark_entry__ as E
 
 
 def test_window_arithmetic():
-    """51 oracled queries: 50 fill the driver window exactly (the 50th
-    being selfcheck_summary) and csv_source_stats is the one deliberate
-    overflow, re-checked inside selfcheck_summary."""
+    """52 oracled queries: 50 fill the driver window exactly (the 50th
+    being selfcheck_summary); catalog_sample_subset and
+    csv_source_stats are the deliberate overflows, re-checked against
+    their DuckDB oracles inside selfcheck_summary."""
     names = list(E.queries())
     oracled = set(E.oracle_sql())
     window, tail = names[:50], names[50:]
     assert all(n in oracled for n in window)
     assert names[49] == "selfcheck_summary"
-    assert [n for n in tail if n in oracled] == ["csv_source_stats"]
+    assert [n for n in tail if n in oracled] == [
+        "catalog_sample_subset", "csv_source_stats"]
 
 
 def test_selfcheck_oracle_literals_track_registry():

@@ -60,11 +60,11 @@ def main(sf_dir="/root/testdata/sf0.01"):
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    # one oracled query (csv_source_stats) deliberately overflows the
-    # driver's 50-entry window — selfcheck_summary re-checks it against
-    # its oracle in-process, so only an UNEXPECTED overflow is a problem
+    # two oracled queries deliberately overflow the driver's 50-entry
+    # window — selfcheck_summary re-checks them against their oracles
+    # in-process, so only an UNEXPECTED overflow is a problem
     overflow = [k for k in list(qs)[50:] if k in oracles]
-    if overflow != ["csv_source_stats"]:
+    if overflow != ["catalog_sample_subset", "csv_source_stats"]:
         print(f"WARNING: oracled queries outside the driver's 50-entry "
               f"window: {overflow} — they will NOT get a driver "
               "correctness row")
