@@ -1229,6 +1229,138 @@ class SketchCatalog:
         return self._sample_answer(table_path, key_col, weight_col,
                                    policy, make)
 
+    def register_sample_grouped(self, table_path: str, group_col: str,
+                                key_col: str, weight_col: str, *,
+                                payload_col: str | None = None,
+                                k: int = 256, seed: int = 1337,
+                                rebuild: bool = False) -> Answer:
+        """One weighted row sample PER ``group_col`` value (e.g. a
+        per-language document sample), delta-maintained like every
+        grouped fleet: an append touching 3 of 10k groups republishes
+        3 KB-scale rows. Built via build_grouped_aggregator_pairs
+        through the grouped incremental builder hook."""
+        import functools as _ft
+
+        spec = {"version": _SPEC_VERSION, "group_col": group_col,
+                "sample": {"key_col": key_col, "weight_col": weight_col,
+                           "payload_col": payload_col, "k": int(k),
+                           "seed": int(seed)}}
+        col = self._sample_col(key_col, weight_col)
+        name = self._gname(table_path, group_col, col)
+        old = self._gspec_at_name(name)
+        if old is not None and old != spec and not rebuild:
+            raise ValueError(
+                f"{table_path}:{group_col}:{col} is already registered "
+                "with a different sample spec; pass rebuild=True.\n"
+                f"  registered: {json.dumps(old, sort_keys=True)}\n"
+                f"  requested:  {json.dumps(spec, sort_keys=True)}")
+        factory = _ft.partial(PrioritySample, int(k), int(seed))
+
+        def builder(sp, files):
+            from .spark_build import build_grouped_aggregator_pairs
+            return build_grouped_aggregator_pairs(
+                sp.read.parquet(*files), group_col, key_col, weight_col,
+                factory, payload_col=payload_col)
+
+        res = incremental_build_grouped(
+            self.spark, table_path, group_col, col, factory,
+            store_path=self.store_path, name=name, rebuild=rebuild,
+            builder=builder,
+            meta={"catalog_spec": spec,
+                  "table_path": os.path.abspath(table_path),
+                  "column": col, "group_col": group_col})
+        if res.prev_seq is None and res.updated_groups == 0:
+            raise ValueError(
+                f"cannot register a grouped sample over an empty table "
+                f"({table_path}): no group row would carry the spec")
+        return Answer(value=None, kind="refresh_sample_grouped",
+                      contract="delta-only grouped incremental sample "
+                               "fold",
+                      table=table_path, column=col, seq=res.seq,
+                      covered_rows=-1, stale_files=0,
+                      refreshed=res.new_files > 0, sketch_bytes=0,
+                      extra={"new_files": res.new_files,
+                             "new_rows": res.new_rows,
+                             "updated_groups": res.updated_groups,
+                             "group_col": group_col})
+
+    def _gspec_at_name(self, name: str) -> dict | None:
+        """Committed spec of an arbitrary grouped lineage name (shared
+        by token fleets and sample fleets)."""
+        epoch, base = grouped_epoch(self.spark, self.store_path, name)
+        return None if epoch is None else self._gspec_at(name, epoch,
+                                                         base)
+
+    def subset_sum_grouped(self, table_path: str, group_col: str,
+                           key_col: str, weight_col: str, pred=None, *,
+                           pattern: str | None = None,
+                           group: str | None = None,
+                           policy: str | None = None) -> Answer:
+        """Per-group unbiased subset sums over an arbitrary key
+        predicate. ``group=<g>`` reads exactly ONE committed winner row;
+        default returns the {group: estimate} dict (small-G driver
+        convenience, same envelope as the other grouped dict answers)."""
+        import fnmatch
+        if (pred is None) == (pattern is None):
+            raise ValueError("pass exactly one of pred= or pattern=")
+        if pattern is not None:
+            pred = lambda s: fnmatch.fnmatchcase(s, pattern)  # noqa: E731
+        col = self._sample_col(key_col, weight_col)
+        name = self._gname(table_path, group_col, col)
+        spec = self._gspec_at_name(name)
+        if spec is None or "sample" not in spec:
+            raise KeyError(
+                f"{table_path}:{group_col}:({key_col}, {weight_col}) "
+                "has no grouped sample registration; call "
+                "register_sample_grouped() first")
+        policy = policy or self.policy
+        stale = self.stale_files_grouped(table_path, group_col, col)
+        refreshed = False
+        if stale and policy == "refuse":
+            raise StaleEntryError(
+                f"grouped sample is stale by {stale} file(s)")
+        if stale and policy == "auto":
+            s = spec["sample"]
+            self.register_sample_grouped(
+                table_path, group_col, key_col, weight_col,
+                payload_col=s["payload_col"], k=s["k"], seed=s["seed"])
+            stale, refreshed = 0, True
+        epoch, base = grouped_epoch(self.spark, self.store_path, name)
+        contract = ("per group: unbiased subset sum "
+                    "(Duffield-Lund-Thorup); exact while that group's "
+                    "sample never overflowed")
+        if group is not None:
+            g = str(group)
+            got = store.load_group_sketches(
+                self.spark, self.store_path, name,
+                max_seq=epoch, min_seq=base, groups=[g])
+            if g not in got:
+                raise KeyError(
+                    f"group {g!r} has no committed sample under "
+                    f"{table_path}:{group_col}")
+            ps = got[g]
+            return Answer(value=float(ps.estimate_subset(pred)),
+                          kind="psample", contract=contract,
+                          table=table_path, column=col, seq=epoch,
+                          covered_rows=-1, stale_files=stale,
+                          refreshed=refreshed,
+                          sketch_bytes=ps.nbytes(),
+                          extra={"group": g, "groups": 1,
+                                 "group_col": group_col,
+                                 "exact_mode": ps.threshold is None})
+        groups = current_group_sketches(self.spark, self.store_path,
+                                        name)
+        value = {g: float(ps.estimate_subset(pred))
+                 for g, ps in sorted(groups.items())}
+        return Answer(value=value, kind="psample", contract=contract,
+                      table=table_path, column=col, seq=epoch,
+                      covered_rows=-1, stale_files=stale,
+                      refreshed=refreshed,
+                      sketch_bytes=sum(ps.nbytes()
+                                       for ps in groups.values()),
+                      extra={"groups": len(groups),
+                             "group_col": group_col})
+
     def groups_diff(self, table_path: str, group_col: str, column: str,
                     seq_old: int, seq_new: int | None = None, *,
                     policy: str | None = None) -> Answer:

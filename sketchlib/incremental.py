@@ -315,7 +315,8 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
                               store_path: str, name: str,
                               rebuild: bool = False, fanout: int = 8,
                               n_slices: int | None = None,
-                              meta: dict | None = None
+                              meta: dict | None = None,
+                              builder=None
                               ) -> GroupedIncrementalResult:
     """Grouped counterpart of incremental_build: keep ONE sketch per
     ``key_col`` value (e.g. per-source corpus profiles) current over an
@@ -340,7 +341,15 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
     delta's groups are loaded from the store and only they are returned
     in ``sketches``; groups the delta doesn't touch are never read (use
     current_group_sketches for the committed full set). At 10^12 scale
-    the delta touches few groups, which is the point."""
+    the delta touches few groups, which is the point.
+
+    ``builder`` generalizes the delta scan like the global path's hook:
+    a callable ``(spark, file_list) -> DataFrame`` whose result carries
+    (key string, sketch binary, n_rows long) rows — e.g.
+    ``build_grouped_aggregator_pairs`` for per-group weighted samples.
+    When set, values_col/fanout/n_slices are ignored; it must be
+    deterministic in the file list and use the same factory config
+    every call."""
     t0 = time.perf_counter()
     if "/" in name:
         raise ValueError(f"grouped sketch name may not contain '/': {name!r}")
@@ -367,10 +376,13 @@ def incremental_build_grouped(spark: SparkSession, table_path: str,
     from . import serde
     rows = []
     if new:
-        gdf = build_grouped_parquet(
-            spark, table_path, key_col, values_col, factory,
-            fanout=fanout, n_slices=n_slices,
-            files=_abs_files(table_path, new))
+        if builder is not None:
+            gdf = builder(spark, _abs_files(table_path, new))
+        else:
+            gdf = build_grouped_parquet(
+                spark, table_path, key_col, values_col, factory,
+                fanout=fanout, n_slices=n_slices,
+                files=_abs_files(table_path, new))
         rows = gdf.collect()
     if any(r["key"] is None for r in rows):
         raise ValueError(

@@ -991,3 +991,56 @@ def test_sample_registration_subset_sums(spark, table, tmp_path):
         cat.subset_sum(table, "doc_id", "n_tok")
     with pytest.raises(KeyError, match="no sample registration"):
         cat.subset_sum(table, "doc_id", "nope", pattern="*")
+
+
+def test_grouped_sample_subset_sums(spark, table, tmp_path):
+    """Per-group weighted samples (register_sample_grouped): exact-mode
+    per-source subset sums match exact SQL, single-group mode reads one
+    committed row and agrees with the fleet dict, delta folds republish
+    only touched groups, and entries() lists the fleet."""
+    cat = SketchCatalog(spark, str(tmp_path / "store"), policy="auto")
+    reg = cat.register_sample_grouped(table, "source", "doc_id",
+                                      "n_tok", k=4096)
+    pdf = spark.read.parquet(table).select("doc_id", "n_tok",
+                                           "source").toPandas()
+    assert reg.extra["updated_groups"] == pdf["source"].nunique()
+
+    want = (pdf[pdf["doc_id"].str.endswith("3")]
+            .groupby("source")["n_tok"].sum().to_dict())
+    fleet = cat.subset_sum_grouped(table, "source", "doc_id", "n_tok",
+                                   pattern="*3")
+    assert fleet.kind == "psample"
+    for g in sorted(set(pdf["source"])):
+        assert fleet.value[g] == float(want.get(g, 0))
+
+    g0 = sorted(fleet.value)[0]
+    single = cat.subset_sum_grouped(table, "source", "doc_id", "n_tok",
+                                    pattern="*3", group=g0)
+    assert single.value == fleet.value[g0]
+    assert single.extra["groups"] == 1 and single.extra["exact_mode"]
+
+    # delta fold under policy='auto': answers refresh and still exact
+    # (appended fixture part reuses doc ids -> max-(weight) collapse)
+    _write_part(tmp_path, 1, rows=200, seed=55)
+    f2 = cat.subset_sum_grouped(table, "source", "doc_id", "n_tok",
+                                pattern="*3")
+    assert f2.refreshed
+    pdf2 = spark.read.parquet(table).select("doc_id", "n_tok",
+                                            "source").toPandas()
+    dd = (pdf2.sort_values("n_tok", ascending=False)
+          .drop_duplicates(["source", "doc_id"]))
+    want2 = (dd[dd["doc_id"].str.endswith("3")]
+             .groupby("source")["n_tok"].sum().to_dict())
+    for g, v in f2.value.items():
+        assert v == float(want2.get(g, 0)), (g, v, want2.get(g))
+
+    ent = [e for e in cat.entries()
+           if e["kinds"] == ["psample"] and e["group_col"] == "source"]
+    assert len(ent) == 1 and ent[0]["column"] == "doc_id~n_tok"
+
+    with pytest.raises(KeyError, match="no grouped sample"):
+        cat.subset_sum_grouped(table, "source", "doc_id", "nope",
+                               pattern="*")
+    with pytest.raises(ValueError, match="different sample spec"):
+        cat.register_sample_grouped(table, "source", "doc_id", "n_tok",
+                                    k=128)
