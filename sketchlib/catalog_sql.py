@@ -407,6 +407,49 @@ def register_catalog_sql(spark, store_path: str, *,
                 lambda s: fnmatch.fnmatchcase(s, pat))
         return out
 
+    @pandas_udf("double")
+    def subsumg(table: pd.Series, gcol: pd.Series, key_col: pd.Series,
+                weight_col: pd.Series, group: pd.Series,
+                pattern: pd.Series) -> pd.Series:
+        """Per-group subset sum from a grouped sample fleet: ONE
+        committed winner row (that group's sample at the committed
+        epoch) answers the fnmatch pattern in O(k)."""
+        import fnmatch
+
+        import pyarrow.dataset as ds
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, gc, kc, wc, g, pat in set(zip(table, gcol, key_col,
+                                             weight_col, group,
+                                             pattern)):
+            m = ((table == t) & (gcol == gc) & (key_col == kc)
+                 & (weight_col == wc) & (group == g) & (pattern == pat))
+            prefix = _group_entry_name(t, gc, f"{kc}~{wc}")
+            row_name = f"{prefix}/{g}"
+            fp = _fingerprint(sp + "/sketches") + \
+                _fingerprint(sp + "/ingested")
+            hit = _cache_get((sp, row_name), fp)
+            if hit is None:
+                epoch, base = _grouped_pins(sp, prefix)
+                rows = _read_rows(
+                    sp + "/sketches",
+                    (ds.field("name") == row_name)
+                    & (ds.field("seq") >= base)
+                    & (ds.field("seq") <= epoch),
+                    ["seq", "blob", "sha256", "meta_json"])
+                if not rows:
+                    raise KeyError(
+                        f"group {g!r} has no committed sample under "
+                        f"{t}:{gc}:({kc}, {wc}) in {sp}")
+                win = _pick_winner(rows)
+                ps = _loads_verified(row_name, win)
+                meta = json.loads(win["meta_json"])
+                _cache_put((sp, row_name), fp, ps, meta)
+            else:
+                ps, meta = hit
+            out[m] = ps.estimate_subset(
+                lambda s: fnmatch.fnmatchcase(s, pat))
+        return out
+
     @pandas_udf("boolean")
     def member(table: pd.Series, col: pd.Series,
                key: pd.Series) -> pd.Series:
@@ -745,6 +788,7 @@ def register_catalog_sql(spark, store_path: str, *,
                        ("frequency_unbiased", frequb),
                        ("second_moment", f2),
                        ("subset_sum", subsum),
+                       ("subset_sum_group", subsumg),
                        ("member", member), ("quantile", quant),
                        ("range_count", rcount),
                        ("count_distinct_group", cdg),

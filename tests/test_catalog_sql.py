@@ -342,3 +342,23 @@ def test_sql_groups_diff_matches_python(spark, setup, tmp_path):
                   cat.groups_diff(data, "source", "tokens", 0,
                                   reg1.seq).value.collect())
     assert rows == want == [("novel-src", "appeared")]
+
+
+def test_sql_subset_sum_and_group_match_python(spark, setup, tmp_path):
+    """catalog_subset_sum / catalog_subset_sum_group answer from sample
+    registrations and equal the Python verbs (exact mode)."""
+    cat, data = setup
+    cat.register_sample(data, "doc_id", "n_tok", k=4096)
+    cat.register_sample_grouped(data, "source", "doc_id", "n_tok",
+                                k=4096)
+    want = cat.subset_sum(data, "doc_id", "n_tok", pattern="*9").value
+    fleet = cat.subset_sum_grouped(data, "source", "doc_id", "n_tok",
+                                   pattern="*9").value
+    g0 = sorted(fleet)[0]
+    row = spark.sql(
+        f"SELECT catalog_subset_sum('{data}', 'doc_id', 'n_tok', "
+        f"'*9') AS s, catalog_subset_sum_group('{data}', 'source', "
+        f"'doc_id', 'n_tok', '{g0}', '*9') AS sg").collect()[0]
+    assert row["s"] == want
+    assert row["sg"] == fleet[g0]
+    assert abs(sum(fleet.values()) - want) < 1e-9   # partition of total
