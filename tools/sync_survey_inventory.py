@@ -41,8 +41,8 @@ def main() -> None:
         f"{DRIVER_WINDOW}-entry correctness window exactly. Every entry "
         f"past the window ({n_tail} of them) is RE-RUN driver-side by "
         "`selfcheck_summary` (the window's 50th entry): self-assert flag "
-        "columns are enforced and the one deliberately-overflowed oracled "
-        "query is DuckDB-checked in-process, so one pinned driver row "
+        "columns are enforced and the deliberately-overflowed oracled "
+        "queries are DuckDB-checked in-process, so one pinned driver row "
         "goes red if any tail invariant breaks (plus pytest + "
         "tools/check_entry.py locally).",
         "",
