@@ -1468,6 +1468,16 @@ class SketchCatalog:
                                 f"committed epoch {seq} (one row)",
                 "fleet": f"{name}/* winners DataFrame at committed "
                          f"epoch {seq} (distributed, never collected)"}
+            if "sample" in spec:
+                routes = {"subset_sum": {"kind": "psample",
+                                         "available": True,
+                                         "preference": ["psample"]}}
+                return {"name": name,
+                        "table_path": os.path.abspath(table_path),
+                        "column": column, "group_col": group_col,
+                        "seq": seq, "kinds": ["psample"],
+                        "covered_rows": -1, "stale_files": stale,
+                        "store_rows": store_rows, "routes": routes}
             verbs = {v: _VERB_ROUTES[v] for v in self._GROUPED_VERBS}
         kinds = [e["kind"] for e in spec["kinds"]]
         routes = {}

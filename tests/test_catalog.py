@@ -1038,6 +1038,11 @@ def test_grouped_sample_subset_sums(spark, table, tmp_path):
            if e["kinds"] == ["psample"] and e["group_col"] == "source"]
     assert len(ent) == 1 and ent[0]["column"] == "doc_id~n_tok"
 
+    # explain() renders grouped sample fleets without crashing
+    gex = cat.explain(table, "doc_id~n_tok", group_col="source")
+    assert gex["kinds"] == ["psample"]
+    assert gex["routes"]["subset_sum"]["kind"] == "psample"
+
     with pytest.raises(KeyError, match="no grouped sample"):
         cat.subset_sum_grouped(table, "source", "doc_id", "nope",
                                pattern="*")
