@@ -1331,6 +1331,171 @@ def _q_catalog_sample_subset(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_catalog_fleet_merge(spark, sf_dir):
+    """Global answers from a grouped fleet's MERGED sketches
+    (catalog.count_distinct/frequency/... via=<group_col>): the
+    committed per-source fleet tree-merges distributedly (partition
+    partials in mapInPandas, driver folds only ~shuffle-partition
+    blobs) and the merged MultiSketch serves the global verbs — no
+    global entry maintained, no table scan. Because CM counter sums,
+    HLL register-max and theta k-smallest-union are ORDER-INDEPENDENT,
+    the via= answers must equal a real global entry's answers EXACTLY
+    (byte-identity consequence, asserted per kind as matches_exact),
+    while est_ge_exact / within_bound re-assert the error contracts
+    against exact Spark aggregates. Mergeability is the library's core
+    contract (BASELINE.json north rule); this query pins that it
+    composes up from fleets, not just from build partials. Rows-only:
+    sketch estimates are parameter-specific."""
+    import shutil
+    import tempfile
+
+    from sketchlib.catalog import SketchCatalog
+
+    root = tempfile.mkdtemp(prefix="sketchlib_catmerge_")
+    data = f"{root}/data"
+    os.makedirs(data)
+    try:
+        _append_token_part(data, "p0", 1200, 911)
+        _append_token_part(data, "p1", 900, 912)
+        cat = SketchCatalog(spark, f"{root}/store")
+        kinds = [("cm", {"eps": 1e-3}), "hll", "theta"]
+        cat.register(data, "tokens", kinds)
+        cat.register_grouped(data, "source", "tokens", kinds)
+
+        ex = (spark.read.parquet(data)
+              .select(F.explode("tokens").alias("t"))
+              .groupBy("t").agg(F.count("*").alias("c"))
+              .orderBy(F.desc("c"), "t"))
+        top = ex.limit(1).collect()[0]
+        hot, hot_c = int(top["t"]), int(top["c"])
+        agg = ex.agg(F.count("*").alias("d"),
+                     F.sum("c").alias("n")).collect()[0]
+        n_distinct, n_tokens = int(agg["d"]), int(agg["n"])
+
+        # the public verbs (count_distinct routes to theta, frequency
+        # to cm) must agree between via= and the global entry ...
+        verb_match = (
+            cat.count_distinct(data, "tokens", via="source").value
+            == cat.count_distinct(data, "tokens").value
+            and cat.frequency(data, "tokens", hot, via="source").value
+            == cat.frequency(data, "tokens", hot).value)
+        # ... and so must EVERY order-independent part, byte-for-byte
+        ms_glob = cat._entry(data, "tokens", None)[2]
+        ms_via = cat._merge_fleet(
+            cat._gname(data, "source", "tokens"),
+            cat._gspec(data, "source", "tokens"))[1]
+        rows = []
+        for i, kind in enumerate(("cm", "hll", "theta")):
+            pg, pv = ms_glob.parts[i], ms_via.parts[i]
+            ident = pg.to_bytes() == pv.to_bytes()
+            if kind == "cm":
+                est, exact = float(pv.point_query(hot)), float(hot_c)
+                in_bound = exact <= est <= exact + 1e-3 * n_tokens
+            else:
+                est, exact = float(pv.estimate()), float(n_distinct)
+                rse = (1.04 / math.sqrt(pv.m) if kind == "hll"
+                       else pv.rse())
+                in_bound = abs(est - exact) <= 5 * rse * exact + 2
+            rows.append((kind, est, exact,
+                         bool(ident and verb_match),
+                         bool(kind != "cm" or est >= exact),
+                         bool(in_bound)))
+        return spark.createDataFrame(
+            rows, "kind string, est double, exact double, "
+                  "matches_exact boolean, est_ge_exact boolean, "
+                  "within_bound boolean").orderBy("kind")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_catalog_file_prune(spark, sf_dir):
+    """Per-file data-skipping index (catalog.register_file_index /
+    locate / pruned_read): one Bloom+CM sketch per parquet FILE, keyed
+    by the incremental manifest's relative path, so "which files can
+    contain token X" is answered from KB store rows instead of a table
+    scan — the engine-level analogue of Iceberg metadata skipping,
+    except the skip filter is a real membership sketch kept fresh by
+    the same delta manifest (an appended file is a NEW group; existing
+    file rows NEVER republish — pinned as delta_only). Self-asserts
+    over a probe of the vocabulary: no_false_negatives (every file
+    truly containing a probed token is a candidate — the Bloom
+    contract), est_ge_exact (each candidate's CM count_ub one-sided vs
+    that file's exact count), counts_match (reading ONLY candidate
+    files reproduces the full scan's exact count for a single-file
+    token), pruned (that token's candidate set is smaller than the
+    fleet). At 100 TB the probe cost is fleet-rows x KB in mapInPandas;
+    the verify read touches only candidate files. Rows-only: candidate
+    sets depend on bloom parameters."""
+    import shutil
+    import tempfile
+
+    from sketchlib.catalog import SketchCatalog
+
+    root = tempfile.mkdtemp(prefix="sketchlib_catfidx_")
+    data = f"{root}/data"
+    os.makedirs(data)
+    try:
+        for lbl, rows_n, seed in (("p0", 700, 921), ("p1", 600, 922),
+                                  ("p2", 500, 923)):
+            _append_token_part(data, lbl, rows_n, seed)
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register_file_index(
+            data, "tokens",
+            [("bloom", {"capacity": 60_000, "fpr": 0.001}),
+             ("cm", {"eps": 1e-3})])
+
+        df = (spark.read.parquet(data)
+              .withColumn("f", F.element_at(
+                  F.split(F.input_file_name(), "/"), -1)))
+        base = df.select("f", F.explode("tokens").alias("t"))
+        # exact per-file oracle for a deterministic 1/41 token slice —
+        # filtered IN SPARK so only the probed slice reaches the driver
+        per_file: dict = {}
+        by_token: dict = {}
+        for r in (base.filter(F.col("t") % 41 == 0)
+                  .groupBy("f", "t").agg(F.count("*").alias("c"))
+                  .collect()):
+            f, t, c = str(r["f"]), int(r["t"]), int(r["c"])
+            per_file[(f, t)] = c
+            by_token.setdefault(t, set()).add(f)
+
+        # ONE pass over the fleet rows probes every key (locate_batch)
+        probe = sorted(by_token)
+        lb = cat.locate_batch(data, "tokens", probe)
+        no_fn = all(by_token[t] <= {f for f, _ in lb.value[t]}
+                    for t in probe)
+        ub_ok = all(ub >= per_file.get((f, t), 0)
+                    for t in probe for f, ub in lb.value[t])
+
+        single = min(probe, key=lambda t: (len(by_token[t]), t))
+        loc = cat.locate(data, "tokens", single)
+        pruned = loc.extra["files_matched"] < loc.extra["files_total"]
+        n_full = (base.filter(F.col("t") == single).count())
+        n_pruned = (cat.pruned_read(data, "tokens", single)
+                    .select(F.explode("tokens").alias("t"))
+                    .filter(F.col("t") == single).count())
+        counts_match = bool(n_full == n_pruned and n_full > 0)
+
+        _append_token_part(data, "p3", 400, 924)
+        r = cat.refresh_file_index(data, "tokens")
+        loc2 = cat.locate(data, "tokens", single)
+        delta_only = bool(r.extra["new_files"] == 1
+                          and r.extra["updated_groups"] == 1
+                          and loc2.extra["files_total"] == 4)
+
+        row = (len(probe), loc.extra["files_total"],
+               loc.extra["files_matched"], int(n_full),
+               bool(no_fn), bool(ub_ok), counts_match, bool(pruned),
+               delta_only)
+        return spark.createDataFrame(
+            [row], "n_probed long, files_total long, files_matched "
+                   "long, key_count long, no_false_negatives boolean, "
+                   "est_ge_exact boolean, counts_match boolean, "
+                   "pruned boolean, delta_only boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_csv_source_stats(spark, sf_dir):
     """CSV source connector round-trip (quoted text fields with embedded
     spaces), value-checked against the parquet ground truth."""
@@ -3920,7 +4085,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 127
+_TAIL_FLAG_COLS = 135
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -4164,6 +4329,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_sql_route": _q_catalog_sql_route,
         "catalog_drift_grouped": _q_catalog_drift_grouped,
         "catalog_stream_upkeep": _q_catalog_stream_upkeep,
+        "catalog_fleet_merge": _q_catalog_fleet_merge,
+        "catalog_file_prune": _q_catalog_file_prune,
         "ivfpq_retrain_gate": _q_ivfpq_retrain_gate,
         "selfcheck_summary": _q_selfcheck_summary,
         # deliberately past the 50-entry window (oracled tail entries are

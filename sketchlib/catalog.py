@@ -305,20 +305,96 @@ class SketchCatalog:
             f"none of {list(wanted)} registered for this column "
             f"(registered kinds: {spec_kinds})")
 
-    def _answer(self, table_path, column, policy, wanted, make):
-        seq, meta, ms, stale, refreshed = self._entry(
-            table_path, column, policy)
+    def _answer(self, table_path, column, policy, wanted, make,
+                via=None):
+        """``via=<group_col>`` answers the GLOBAL question from the
+        grouped fleet registered under that group column instead of a
+        global entry: the committed fleet's sketches tree-merge
+        distributedly (mergeability is the whole contract — sum for CM,
+        register-max for HLL, k-smallest-union for theta) and the merged
+        MultiSketch serves the same verb closures. CM/HLL/theta merges
+        are ORDER-INDEPENDENT, so a via= answer is byte-identical to a
+        global entry built over the same rows (test-pinned); MG/KLL/
+        t-digest/DD merges are order-dependent in bytes but their error
+        contracts hold for any merge order. No table scan either way —
+        a fleet of G store rows answers global questions without
+        maintaining a separate global entry."""
+        if via is None:
+            seq, meta, ms, stale, refreshed = self._entry(
+                table_path, column, policy)
+            covered = int(meta.get("table_rows", -1))
+        else:
+            spec, stale, refreshed = self._gscope(table_path, via,
+                                                  column, policy)
+            seq, ms = self._merge_fleet(
+                self._gname(table_path, via, column), spec)
+            meta, covered = {"catalog_spec": spec}, -1
         kind, part = self._part(meta, ms, *wanted)
         value, contract, extra = make(kind, part)
+        if via is not None:
+            extra = {**extra, "merged_from_fleet": True,
+                     "group_col": via}
         return Answer(value=value, kind=kind, contract=contract,
                       table=table_path, column=column, seq=seq,
-                      covered_rows=int(meta.get("table_rows", -1)),
+                      covered_rows=covered,
                       stale_files=stale, refreshed=refreshed,
                       sketch_bytes=part.nbytes(), extra=extra)
+
+    def _merge_fleet(self, name: str, spec: dict) -> tuple[int, MultiSketch]:
+        """(epoch, merged MultiSketch) of a committed grouped fleet:
+        winner selection and the epoch/base pins run in Spark, each
+        partition sha-verifies and merges its own batch of KB blobs
+        inside mapInPandas, and the driver folds only the per-partition
+        partials (≤ shuffle-partition count, regardless of G). At a
+        G=10^6 fleet the driver sees ~32 blobs, never the fleet."""
+        from pyspark.sql import functions as F
+
+        from . import serde
+
+        epoch, base = grouped_epoch(self.spark, self.store_path, name)
+        df = store.read_table(self.spark, self.store_path + "/sketches")
+        if df is None or epoch is None:
+            raise KeyError(f"{name} has no committed grouped epoch")
+        prefix = name + "/"
+        winners = store._winners(
+            df.filter(F.col("name").startswith(prefix))
+            .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
+        ).select("name", "blob", "sha256")
+
+        def gen(pdfs):
+            import hashlib
+
+            import pandas as pd
+            acc = None
+            for pdf in pdfs:
+                for nm, blob, sha in zip(pdf["name"], pdf["blob"],
+                                         pdf["sha256"]):
+                    blob = bytes(blob)
+                    digest = hashlib.sha256(blob).hexdigest()
+                    if digest != sha:
+                        raise IOError(f"sketch {nm!r} corrupt: sha "
+                                      f"{digest[:16]} != {sha[:16]}")
+                    ms = serde.loads(blob)
+                    if acc is None:
+                        acc = ms
+                    else:
+                        acc.merge(ms)
+            if acc is not None:
+                yield pd.DataFrame({"blob": [serde.dumps_partial(acc)]})
+
+        partials = [bytes(r["blob"]) for r in
+                    winners.mapInPandas(gen, "blob binary").collect()]
+        if not partials:
+            raise KeyError(f"{name} has no committed group rows")
+        acc = serde.loads(partials[0])
+        for blob in partials[1:]:
+            acc.merge(serde.loads(blob))
+        return int(epoch), acc
 
     # -- answers -----------------------------------------------------------
 
     def count_distinct(self, table_path: str, column: str, *,
+                       via: str | None = None,
                        policy: str | None = None) -> Answer:
         """Distinct elements in the column (theta preferred: unbiased
         and set-op capable; HLL fallback)."""
@@ -330,9 +406,11 @@ class SketchCatalog:
             rse = 1.04 / math.sqrt(part.m)
             return est, f"rse={rse:.4f} (1 sigma)", {}
         return self._answer(table_path, column, policy,
-                            _VERB_ROUTES["count_distinct"], make)
+                            _VERB_ROUTES["count_distinct"], make,
+                            via=via)
 
     def frequency(self, table_path: str, column: str, key: int, *,
+                  via: str | None = None,
                   policy: str | None = None) -> Answer:
         """Occurrences of ``key`` — Count-Min one-sided upper bound."""
         def make(kind, part):
@@ -341,10 +419,11 @@ class SketchCatalog:
             return (int(part.point_query(int(key))),
                     f"one-sided: exact <= est <= exact + {eps:g}*{n} "
                     f"w.p. >= {1 - delta:.4f}", {"l1": n})
-        return self._answer(table_path, column, policy, _VERB_ROUTES["frequency"], make)
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["frequency"], make, via=via)
 
     def frequency_unbiased(self, table_path: str, column: str,
-                           key: int, *,
+                           key: int, *, via: str | None = None,
                            policy: str | None = None) -> Answer:
         """UNBIASED occurrence estimate of ``key`` (Count-Sketch,
         median-of-rows) — the two-sided companion of ``frequency()``:
@@ -358,9 +437,11 @@ class SketchCatalog:
                     "unbiased (median of d rows); per-row sd ~ "
                     f"sqrt(F2/w) ~ {sd:.1f}", {})
         return self._answer(table_path, column, policy,
-                            _VERB_ROUTES["frequency_unbiased"], make)
+                            _VERB_ROUTES["frequency_unbiased"], make,
+                            via=via)
 
     def second_moment(self, table_path: str, column: str, *,
+                      via: str | None = None,
                       policy: str | None = None) -> Answer:
         """Second frequency moment F2 = Σ f(t)² of the column (AMS via
         Count-Sketch row sums-of-squares, median of d rows) — the
@@ -371,9 +452,11 @@ class SketchCatalog:
                     "unbiased per row; row variance <= 2*F2^2/w, "
                     f"median of {part.cfg.depth} rows", {})
         return self._answer(table_path, column, policy,
-                            _VERB_ROUTES["second_moment"], make)
+                            _VERB_ROUTES["second_moment"], make,
+                            via=via)
 
     def frequencies(self, table_path: str, column: str, keys, *,
+                    via: str | None = None,
                     policy: str | None = None) -> Answer:
         """Batch point queries: ONE store read + freshness check for the
         whole key array (the per-key ``frequency`` loop would re-read the
@@ -387,9 +470,11 @@ class SketchCatalog:
             return (part.point_query_batch(arr),
                     f"one-sided per key: exact <= est <= exact + "
                     f"{eps:g}*{n} w.p. >= {1 - delta:.4f}", {"l1": n})
-        return self._answer(table_path, column, policy, _VERB_ROUTES["frequency"], make)
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["frequency"], make, via=via)
 
     def members(self, table_path: str, column: str, keys, *,
+                via: str | None = None,
                 policy: str | None = None) -> Answer:
         """Batch membership: ONE store read for the whole key array."""
         import numpy as np
@@ -399,9 +484,11 @@ class SketchCatalog:
             return (part.contains_batch(arr),
                     f"no false negatives; false-positive rate <= "
                     f"{part.fpr:g} at capacity", {})
-        return self._answer(table_path, column, policy, _VERB_ROUTES["member"], make)
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["member"], make, via=via)
 
     def topk(self, table_path: str, column: str, k: int = 10, *,
+             via: str | None = None,
              policy: str | None = None) -> Answer:
         """Heaviest keys (Misra-Gries): every key with true count above
         the error bound is guaranteed present; survivor counts are
@@ -412,9 +499,11 @@ class SketchCatalog:
             return (items,
                     f"complete above count > {bound}; counts in "
                     f"[reported, reported + {bound}]", {"bound": bound})
-        return self._answer(table_path, column, policy, _VERB_ROUTES["topk"], make)
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["topk"], make, via=via)
 
     def quantile(self, table_path: str, column: str, q: float, *,
+                 via: str | None = None,
                  policy: str | None = None) -> Answer:
         """Approximate q-quantile of a numeric column (KLL preferred;
         t-digest / DDSketch fallbacks)."""
@@ -429,10 +518,11 @@ class SketchCatalog:
             return (float(part.quantile(q)),
                     f"rank error ~ O(1/k), k={part.k}", {})
         return self._answer(table_path, column, policy,
-                            _VERB_ROUTES["quantile"], make)
+                            _VERB_ROUTES["quantile"], make, via=via)
 
     def range_count(self, table_path: str, column: str, lo: int, hi: int,
-                    *, policy: str | None = None) -> Answer:
+                    *, via: str | None = None,
+                    policy: str | None = None) -> Answer:
         """Occurrences with lo <= key <= hi (dyadic Count-Min: <= 2 point
         queries per level, one-sided like CM but with a per-INTERVAL
         bound — the dyadic decomposition touches at most 2·log₂(U)
@@ -442,9 +532,11 @@ class SketchCatalog:
             return (int(est),
                     f"one-sided: exact <= est <= exact + {bound:.6g} "
                     f"w.p. >= {1 - part.delta:.4f}", {"bound": bound})
-        return self._answer(table_path, column, policy, _VERB_ROUTES["range_count"], make)
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["range_count"], make, via=via)
 
     def key_quantile(self, table_path: str, column: str, q: float, *,
+                     via: str | None = None,
                      policy: str | None = None) -> Answer:
         """q-quantile of the KEY domain (weighted by occurrence count)
         from a dyadic entry — tree descent over the level sketches, vs
@@ -453,16 +545,20 @@ class SketchCatalog:
             return (int(part.quantile(q)),
                     "rank bracketed by the dyadic prefix bounds "
                     f"(eps={part.eps:g} per level, one-sided)", {})
-        return self._answer(table_path, column, policy, _VERB_ROUTES["key_quantile"], make)
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["key_quantile"], make,
+                            via=via)
 
     def member(self, table_path: str, column: str, key: int, *,
+               via: str | None = None,
                policy: str | None = None) -> Answer:
         """Bloom membership: False is certain, True has fpr."""
         def make(kind, part):
             return (bool(part.contains(int(key))),
                     f"no false negatives; false-positive rate <= "
                     f"{part.fpr:g} at capacity", {})
-        return self._answer(table_path, column, policy, _VERB_ROUTES["member"], make)
+        return self._answer(table_path, column, policy,
+                            _VERB_ROUTES["member"], make, via=via)
 
     def drift(self, table_path: str, column: str, seq_old: int,
               seq_new: int | None = None, *,
@@ -631,6 +727,8 @@ class SketchCatalog:
     def refresh_grouped(self, table_path: str, group_col: str,
                         column: str) -> Answer:
         spec = self._gspec(table_path, group_col, column)
+        if spec.get("file_index"):
+            return self._refresh_file_index(table_path, column, spec)
         return self._refresh_grouped(table_path, group_col, column, spec)
 
     def _gspec(self, table_path: str, group_col: str, column: str, *,
@@ -693,7 +791,11 @@ class SketchCatalog:
                 "file(s); refresh_grouped() it or answer with "
                 "policy='stale_ok'/'auto'")
         if stale and policy == "auto":
-            self._refresh_grouped(table_path, group_col, column, spec)
+            if spec.get("file_index"):
+                self._refresh_file_index(table_path, column, spec)
+            else:
+                self._refresh_grouped(table_path, group_col, column,
+                                      spec)
             stale, refreshed = 0, True
         return spec, stale, refreshed
 
@@ -1415,6 +1517,214 @@ class SketchCatalog:
             extra={"seq_old": old_epoch, "group_col": group_col,
                    "distributed": True})
 
+    # -- per-file data-skipping index ---------------------------------------
+    #
+    # A file index is a grouped fleet whose group key is the FILE (the
+    # incremental manifest's relative path), built file-locally by
+    # build_per_file_parquet — no grouping shuffle, and delta folds
+    # create only NEW groups (an appended file is its own group), so
+    # existing rows never republish. locate() then answers "which files
+    # CAN contain key k" from store rows: the Iceberg-metadata-style
+    # skip, except the filter is a real Bloom + CM per file, kept fresh
+    # by the same manifest the sketches fold from. At 100 TB / ~10^5-10^6
+    # files the probe reads KB-scale blobs distributedly instead of
+    # scanning the table; a positive is then verified by reading ONLY
+    # the candidate files (pruned_read).
+
+    _FILE_GROUP = "__file__"
+
+    def register_file_index(self, table_path: str, column: str,
+                            kinds=("bloom", "cm"), *,
+                            rebuild: bool = False) -> Answer:
+        """Register (or rebuild) a per-file sketch index over ``column``.
+        Default kinds: bloom (the membership skip filter — size it via
+        ``("bloom", {"capacity": expected distinct per file})``) + cm
+        (per-file one-sided count upper bounds attached to locate()
+        candidates). Any registered kind works; locate() requires
+        bloom."""
+        spec = {"version": _SPEC_VERSION, "column": column,
+                "group_col": self._FILE_GROUP, "file_index": True,
+                "kinds": _normalize_kinds(kinds)}
+        name = self._gname(table_path, self._FILE_GROUP, column)
+        old = self._gspec_at_name(name)
+        if old is not None and old != spec and not rebuild:
+            raise ValueError(
+                f"{table_path}:{column} already has a file index with a "
+                "different spec; pass rebuild=True to replace it.\n"
+                f"  registered: {json.dumps(old, sort_keys=True)}\n"
+                f"  requested:  {json.dumps(spec, sort_keys=True)}")
+        return self._refresh_file_index(table_path, column, spec,
+                                        rebuild=rebuild)
+
+    def _refresh_file_index(self, table_path: str, column: str,
+                            spec: dict, *,
+                            rebuild: bool = False) -> Answer:
+        def builder(sp, files):
+            from .spark_build import build_per_file_parquet
+            return build_per_file_parquet(
+                sp, table_path, column, _factory_from_spec(spec),
+                files=files)
+
+        res = incremental_build_grouped(
+            self.spark, table_path, self._FILE_GROUP, column,
+            _factory_from_spec(spec), store_path=self.store_path,
+            name=self._gname(table_path, self._FILE_GROUP, column),
+            rebuild=rebuild, builder=builder,
+            meta={"catalog_spec": spec,
+                  "table_path": os.path.abspath(table_path),
+                  "column": column, "group_col": self._FILE_GROUP})
+        if res.prev_seq is None and res.updated_groups == 0:
+            raise ValueError(
+                f"cannot register a file index over an empty table "
+                f"({table_path}): no file row would carry the spec")
+        return Answer(value=None, kind="refresh_file_index",
+                      contract="delta-only per-file fold (appended "
+                               "files only; existing file rows never "
+                               "republish)",
+                      table=table_path, column=column, seq=res.seq,
+                      covered_rows=-1, stale_files=0,
+                      refreshed=res.new_files > 0, sketch_bytes=0,
+                      extra={"new_files": res.new_files,
+                             "new_rows": res.new_rows,
+                             "updated_groups": res.updated_groups})
+
+    def refresh_file_index(self, table_path: str, column: str) -> Answer:
+        """Fold appended files into the index (new groups only)."""
+        spec = self._gspec(table_path, self._FILE_GROUP, column)
+        return self._refresh_file_index(table_path, column, spec)
+
+    def locate_batch(self, table_path: str, column: str, keys, *,
+                     as_df: bool = False,
+                     policy: str | None = None) -> Answer:
+        """Candidate files that CAN contain each of ``keys`` — the
+        data-skipping probe, vectorized: ONE pass over the committed
+        fleet rows answers the whole key array (per blob: one
+        ``contains_batch`` + one ``point_query_batch``), so probing 10k
+        keys costs the same store scan as probing one. NO FALSE
+        NEGATIVES per key (Bloom contract); false positives at the
+        registered fpr; with a 'cm' kind each (key, file) hit carries
+        the file's one-sided count upper bound (−1 otherwise).
+        ``as_df=True`` returns the lazy (key, file, count_ub) DataFrame
+        (the 10^6-file shape, ready to join); default collects
+        ``{key: [(file, count_ub), ...]}`` with ``extra['files_total']``
+        the fleet size."""
+        import numpy as np
+
+        spec, stale, refreshed = self._gscope(
+            table_path, self._FILE_GROUP, column, policy)
+        name = self._gname(table_path, self._FILE_GROUP, column)
+        spec_kinds = [e["kind"] for e in spec["kinds"]]
+        if "bloom" not in spec_kinds:
+            raise KeyError(
+                f"file index on {table_path}:{column} has no 'bloom' "
+                f"kind (registered: {spec_kinds}) — locate() needs the "
+                "membership filter")
+        bidx = spec_kinds.index("bloom")
+        cidx = spec_kinds.index("cm") if "cm" in spec_kinds else -1
+        fpr = spec["kinds"][bidx]["params"]["fpr"]
+        epoch, base = grouped_epoch(self.spark, self.store_path, name)
+        from pyspark.sql import functions as F
+
+        from . import serde
+        df = store.read_table(self.spark, self.store_path + "/sketches")
+        if df is None or epoch is None:
+            raise KeyError(f"{name} has no committed epoch")
+        prefix = name + "/"
+        winners = store._winners(
+            df.filter(F.col("name").startswith(prefix))
+            .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
+        ).select("name", "blob", "sha256")
+        plen = len(prefix)
+        karr = np.asarray(list(keys), dtype=np.int64)
+
+        def gen(pdfs):
+            import hashlib
+
+            import pandas as pd
+            for pdf in pdfs:
+                out_k, out_f, out_u = [], [], []
+                for nm, blob, sha in zip(pdf["name"], pdf["blob"],
+                                         pdf["sha256"]):
+                    blob = bytes(blob)
+                    digest = hashlib.sha256(blob).hexdigest()
+                    if digest != sha:
+                        raise IOError(f"sketch {nm!r} corrupt: sha "
+                                      f"{digest[:16]} != {sha[:16]}")
+                    ms = serde.loads(blob)
+                    mask = ms.parts[bidx].contains_batch(karr)
+                    if mask.any():
+                        hits = karr[mask]
+                        ubs = (ms.parts[cidx].point_query_batch(hits)
+                               if cidx >= 0
+                               else np.full(hits.shape, -1,
+                                            dtype=np.int64))
+                        out_k.extend(int(h) for h in hits)
+                        out_f.extend([nm[plen:]] * len(hits))
+                        out_u.extend(int(u) for u in ubs)
+                yield pd.DataFrame({"key": out_k, "file": out_f,
+                                    "count_ub": out_u})
+
+        probe = winners.mapInPandas(
+            gen, "key long, file string, count_ub long")
+        contract = ("no false negatives per key (every file containing "
+                    f"it is listed); false positives <= fpr {fpr:g} "
+                    "per (key, file); count_ub one-sided per file")
+        if as_df:
+            return Answer(value=probe, kind="bloom", contract=contract,
+                          table=table_path, column=column, seq=epoch,
+                          covered_rows=-1, stale_files=stale,
+                          refreshed=refreshed, sketch_bytes=-1,
+                          extra={"n_keys": int(karr.shape[0]),
+                                 "distributed": True})
+        total = winners.count()
+        value: dict = {int(k): [] for k in karr}
+        for r in probe.collect():
+            value[int(r["key"])].append((r["file"], int(r["count_ub"])))
+        for k in value:
+            value[k].sort()
+        return Answer(value=value, kind="bloom", contract=contract,
+                      table=table_path, column=column, seq=epoch,
+                      covered_rows=-1, stale_files=stale,
+                      refreshed=refreshed, sketch_bytes=-1,
+                      extra={"n_keys": int(karr.shape[0]),
+                             "files_total": int(total)})
+
+    def locate(self, table_path: str, column: str, key: int, *,
+               as_df: bool = False,
+               policy: str | None = None) -> Answer:
+        """Candidate files that CAN contain ``key`` — single-key
+        convenience over :meth:`locate_batch` (same one-pass probe).
+        Value is the candidate list [(file, count_ub), ...] sorted by
+        file, with ``extra['files_total']`` / ``['files_matched']``;
+        ``as_df=True`` returns the lazy (file, count_ub) DataFrame."""
+        b = self.locate_batch(table_path, column, [int(key)],
+                              as_df=as_df, policy=policy)
+        if as_df:
+            b.value = b.value.select("file", "count_ub")
+            b.extra = {"key": int(key), "distributed": True}
+            return b
+        cands = b.value[int(key)]
+        return Answer(value=cands, kind=b.kind, contract=b.contract,
+                      table=b.table, column=b.column, seq=b.seq,
+                      covered_rows=-1, stale_files=b.stale_files,
+                      refreshed=b.refreshed, sketch_bytes=-1,
+                      extra={"key": int(key),
+                             "files_total": b.extra["files_total"],
+                             "files_matched": len(cands)})
+
+    def pruned_read(self, table_path: str, column: str, key: int, *,
+                    policy: str | None = None):
+        """DataFrame over ONLY the files that can contain ``key`` — the
+        verify side of the skip: exact queries against it return the
+        same rows as a full-table read filtered to the key (no false
+        negatives), having scanned only the candidate files. Returns an
+        empty DataFrame with the table's schema when no file matches."""
+        cands = self.locate(table_path, column, key, policy=policy).value
+        if not cands:
+            return (self.spark.read.parquet(table_path).limit(0))
+        return self.spark.read.parquet(
+            *[os.path.join(table_path, f) for f, _ in cands])
+
     # -- introspection ------------------------------------------------------
 
     # grouped verbs the catalog exposes (count_distinct_grouped, ...)
@@ -1476,6 +1786,22 @@ class SketchCatalog:
                         "table_path": os.path.abspath(table_path),
                         "column": column, "group_col": group_col,
                         "seq": seq, "kinds": ["psample"],
+                        "covered_rows": -1, "stale_files": stale,
+                        "store_rows": store_rows, "routes": routes}
+            if spec.get("file_index"):
+                kinds = [e["kind"] for e in spec["kinds"]]
+                routes = {"locate": {"kind": "bloom",
+                                     "available": "bloom" in kinds,
+                                     "preference": ["bloom"]},
+                          "pruned_read": {"kind": "bloom",
+                                          "available": "bloom" in kinds,
+                                          "preference": ["bloom"]}}
+                store_rows["probe"] = (f"{name}/* winners probed in "
+                                       f"mapInPandas at epoch {seq}")
+                return {"name": name,
+                        "table_path": os.path.abspath(table_path),
+                        "column": column, "group_col": group_col,
+                        "seq": seq, "kinds": kinds,
                         "covered_rows": -1, "stale_files": stale,
                         "store_rows": store_rows, "routes": routes}
             verbs = {v: _VERB_ROUTES[v] for v in self._GROUPED_VERBS}

@@ -275,6 +275,68 @@ def _resolve_at(store_path: str, table_path: str, column: str,
     return _part_of(ms, meta, wanted, table_path, column)
 
 
+def _fleet_winner_rows(store_path: str, prefix: str,
+                       columns: list[str]):
+    """Committed winner row per group of a fleet: the name-RANGE
+    predicate ``prefix + '/' < name < prefix + '0'`` ('0' is the code
+    point after '/') pushes the prefix match into the parquet scan, so
+    only this fleet's rows are materialized; the [base, epoch] window
+    then excludes crashed orphans and pre-rebuild dead groups, and the
+    store's (seq, sha256) winner rule picks one row per name."""
+    import pyarrow.dataset as ds
+    epoch, base = _grouped_pins(store_path, prefix)
+    rows = _read_rows(
+        store_path + "/sketches",
+        (ds.field("name") > prefix + "/")
+        & (ds.field("name") < prefix + "0")
+        & (ds.field("seq") >= base) & (ds.field("seq") <= epoch),
+        columns)
+    winners: dict = {}
+    for r in rows:
+        cur = winners.get(r["name"])
+        if cur is None or (int(r["seq"]), r["sha256"]) > \
+                (int(cur["seq"]), cur["sha256"]):
+            winners[r["name"]] = r
+    return epoch, winners
+
+
+def _resolve_merged(store_path: str, table_path: str, group_col: str,
+                    column: str, wanted: tuple):
+    """(part, meta) of the MERGED fleet — every committed group row
+    folded into one MultiSketch (SQL twin of the Python verbs'
+    ``via=``; single-task evaluation, so the Python path is the
+    10^6-group shape). Cached per store fingerprint like the entry
+    resolvers; the spec comes from the highest winner row, i.e. the
+    committed epoch's lineage, mirroring SketchCatalog._gspec_at."""
+    prefix = _group_entry_name(table_path, group_col, column)
+    fp = _fingerprint(store_path + "/sketches") + \
+        _fingerprint(store_path + "/ingested")
+    key = (store_path, prefix, "merged")
+    hit = _cache_get(key, fp)
+    if hit is None:
+        _, winners = _fleet_winner_rows(
+            store_path, prefix, ["name", "seq", "blob", "sha256",
+                                 "meta_json"])
+        if not winners:
+            raise KeyError(
+                f"{table_path}:{group_col}:{column} has no committed "
+                f"grouped registration in {store_path}")
+        ms = None
+        for nm in sorted(winners):
+            m = _loads_verified(nm, winners[nm])
+            if ms is None:
+                ms = m
+            else:
+                ms.merge(m)
+        spec_row = max(winners.values(),
+                       key=lambda r: (int(r["seq"]), r["sha256"]))
+        meta = json.loads(spec_row["meta_json"])
+        _cache_put(key, fp, ms, meta)
+    else:
+        ms, meta = hit
+    return _part_of(ms, meta, wanted, table_path, column)
+
+
 def _part_of(ms, meta: dict, wanted: tuple, table_path: str,
              column: str):
     spec_kinds = [e["kind"] for e in meta["catalog_spec"]["kinds"]]
@@ -307,6 +369,10 @@ def register_catalog_sql(spark, store_path: str, *,
       column — batch-probed), same one-committed-row shape
     - ``catalog_quantile_group(table, group_col, col, group, q)``
       -> double, same one-committed-row shape
+    - ``catalog_count_distinct_merged(table, group_col, col)`` /
+      ``catalog_frequency_merged(table, group_col, col, key)`` ->
+      global answers from the MERGED grouped fleet (the ``via=`` SQL
+      twins; order-independent merges, equal to a global entry exactly)
 
     Table functions:
 
@@ -324,6 +390,9 @@ def register_catalog_sql(spark, store_path: str, *,
     - ``catalog_entries()`` -> one row per registered entry/fleet
       (name, table_path, column, group_col, kinds, seq) — store
       metadata only, no blob reads.
+    - ``catalog_locate(table, col, key)`` -> rows (file, count_ub) —
+      per-file data-skipping probe over a ``register_file_index``
+      fleet: files that CAN contain the key (no false negatives).
     """
     from pyspark.sql.functions import pandas_udf, udtf
 
@@ -519,6 +588,35 @@ def register_catalog_sql(spark, store_path: str, *,
             out[(table == t) & (gcol == gc) & (col == c)
                 & (group == g) & (q == qq)] = \
                 float(part.quantile(float(qq)))
+        return out
+
+    @pandas_udf("double")
+    def cdm(table: pd.Series, gcol: pd.Series,
+            col: pd.Series) -> pd.Series:
+        """count_distinct answered from the MERGED grouped fleet (the
+        SQL twin of ``cat.count_distinct(..., via=gcol)``): theta
+        k-smallest-union / HLL register-max are order-independent, so
+        this equals a global entry's answer exactly."""
+        out = pd.Series(np.nan, index=table.index, dtype="float64")
+        for t, g, c in set(zip(table, gcol, col)):
+            part, _ = _resolve_merged(sp, t, g, c, ("theta", "hll"))
+            out[(table == t) & (gcol == g) & (col == c)] = \
+                float(part.estimate())
+        return out
+
+    @pandas_udf("long")
+    def fqm(table: pd.Series, gcol: pd.Series, col: pd.Series,
+            key: pd.Series) -> pd.Series:
+        """CM frequency upper bound from the MERGED grouped fleet
+        (``via=`` SQL twin; counter sums are order-independent, equal
+        to a global entry exactly). ``key`` may be a per-row column —
+        probed as one batch per (table, gcol, col)."""
+        out = pd.Series(0, index=table.index, dtype="int64")
+        for t, g, c in set(zip(table, gcol, col)):
+            part, _ = _resolve_merged(sp, t, g, c, ("cm",))
+            m = (table == t) & (gcol == g) & (col == c)
+            out[m] = part.point_query_batch(
+                key[m].to_numpy(dtype="int64"))
         return out
 
     @udtf(returnType="key bigint, count bigint")
@@ -783,6 +881,45 @@ def register_catalog_sql(spark, store_path: str, *,
                 yield (verb, served, served is not None,
                        ",".join(wanted), seq, kinds_s)
 
+    @udtf(returnType="file string, count_ub bigint")
+    class Locate:
+        """Candidate files that CAN contain ``key`` — the SQL twin of
+        ``cat.locate()`` over a per-file data-skipping index
+        (``register_file_index``). No false negatives (Bloom contract);
+        ``count_ub`` is the file's one-sided CM bound when a 'cm' kind
+        is registered, −1 otherwise. Single-task evaluation over the
+        fleet's committed winner rows (name-range-pruned parquet read);
+        the distributed shape is ``cat.locate(as_df=True)``."""
+        def eval(self, table_path: str, column: str, key: int):
+            prefix = _group_entry_name(table_path, "__file__", column)
+            try:
+                _, winners = _fleet_winner_rows(
+                    sp, prefix, ["name", "seq", "blob", "sha256",
+                                 "meta_json"])
+            except KeyError:
+                winners = {}
+            if not winners:
+                raise KeyError(
+                    f"{table_path}:{column} has no committed file "
+                    f"index in {sp} (register_file_index() it first)")
+            spec_row = max(winners.values(),
+                           key=lambda r: (int(r["seq"]), r["sha256"]))
+            spec = json.loads(spec_row["meta_json"])["catalog_spec"]
+            kinds = [e["kind"] for e in spec["kinds"]]
+            if "bloom" not in kinds:
+                raise KeyError(
+                    f"file index on {table_path}:{column} has no "
+                    f"'bloom' kind (registered: {kinds})")
+            bidx = kinds.index("bloom")
+            cidx = kinds.index("cm") if "cm" in kinds else -1
+            plen, k = len(prefix) + 1, int(key)
+            for nm in sorted(winners):
+                ms = _loads_verified(nm, winners[nm])
+                if ms.parts[bidx].contains(k):
+                    ub = (int(ms.parts[cidx].point_query(k))
+                          if cidx >= 0 else -1)
+                    yield (nm[plen:], ub)
+
     names = []
     for suffix, fn in (("count_distinct", cd), ("frequency", freq),
                        ("frequency_unbiased", frequb),
@@ -793,10 +930,13 @@ def register_catalog_sql(spark, store_path: str, *,
                        ("range_count", rcount),
                        ("count_distinct_group", cdg),
                        ("frequency_group", fqg),
-                       ("quantile_group", qgrp)):
+                       ("quantile_group", qgrp),
+                       ("count_distinct_merged", cdm),
+                       ("frequency_merged", fqm)):
         spark.udf.register(prefix + suffix, fn)
         names.append(prefix + suffix)
     for suffix, tvf in (("topk", TopK), ("topk_group", TopKGroup),
+                        ("locate", Locate),
                         ("drift", Drift), ("top_movers", TopMovers),
                         ("drift_group", DriftGroup),
                         ("top_movers_group", TopMoversGroup),

@@ -1460,6 +1460,99 @@ def build_grouped_parquet(spark: SparkSession, path: str, key_col: str,
     return _grouped_merge(partials, fanout, n_slices)
 
 
+def build_per_file_parquet(spark: SparkSession, path: str,
+                           tokens_col: str, cfg_or_factory, *,
+                           cu: bool = False, fanout: int = 8,
+                           n_slices: int | None = None,
+                           files: list[str] | None = None) -> DataFrame:
+    """One sketch per parquet FILE — the data-skipping index builder.
+
+    The group key is the file's path RELATIVE TO THE TABLE ROOT, i.e.
+    exactly the key the incremental manifest uses (incremental.py
+    `_current_files`), so a per-file fleet maintained through
+    `incremental_build_grouped` lines up with delta files by
+    construction: every appended file is a NEW group, and no existing
+    group is ever republished by a delta fold. No grouping shuffle
+    happens at all — the data is already partitioned by the key (a row
+    group belongs to exactly one file), so each slice folds its row
+    groups straight into per-file accumulators; `_grouped_merge` only
+    reconciles files whose row groups landed in different slices.
+
+    Returns the same (key, sketch, n_rows, n_items, total_count) frame
+    as ``build_grouped_parquet``. ``files`` restricts the scan to an
+    explicit file list (the incremental-maintenance delta)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq  # noqa: F401  (parity with siblings)
+
+    if isinstance(cfg_or_factory, CMConfig):
+        cfg = cfg_or_factory
+        factory = lambda: CountMinSketch(cfg)  # noqa: E731
+    else:
+        factory = cfg_or_factory
+    root = os.path.abspath(path) if os.path.isdir(path) \
+        else os.path.dirname(os.path.abspath(path))
+
+    rgs = _list_row_groups(path, files=files)
+    if n_slices is None:
+        n_slices = _default_n_slices(spark, len(rgs))
+    n_slices, rows_assign = _slice_assignments(rgs, n_slices)
+
+    def partial_fn(pdf_iter):
+        by_slice: dict[int, list[tuple[str, list[int]]]] = {}
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                by_slice.setdefault(int(row["slice_id"]), []).append(
+                    (row["file"], [int(r) for r in row["rgs"]]))
+        for slice_id in sorted(by_slice):
+            sketches: dict[str, object] = {}
+            rows: dict[str, int] = {}
+            for file, rgl in by_slice[slice_id]:
+                key = os.path.relpath(os.path.abspath(file), root)
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = factory()
+                    rows[key] = 0
+                pf = _pq_file(file)
+                for rg in rgl:
+                    tbl = pf.read_row_group(rg, columns=[tokens_col],
+                                            use_threads=False)
+                    vcol = tbl.column(0)
+                    if isinstance(vcol, pa.ChunkedArray):
+                        vcol = vcol.combine_chunks()
+                    if pa.types.is_list(vcol.type) \
+                            or pa.types.is_large_list(vcol.type):
+                        # flatten() drops NULL list slots — a null row
+                        # contributes nothing, which is what a
+                        # whole-file fold wants
+                        flat = vcol.flatten().to_numpy(
+                            zero_copy_only=False)
+                    else:
+                        flat = pc.drop_null(vcol).to_numpy(
+                            zero_copy_only=False)
+                    (sk.update_batch_cu if cu
+                     else sk.update_batch)(flat)
+                    rows[key] += tbl.num_rows
+            if sketches:
+                ordered = sorted(sketches)
+                yield pd.DataFrame({
+                    "key": ordered,
+                    "pid": [slice_id] * len(ordered),
+                    "sketch": [serde.dumps_partial(sketches[k])
+                               for k in ordered],
+                    "n_rows": [rows[k] for k in ordered],
+                    "n_items": [sketches[k].n_items for k in ordered],
+                    "total_count": [getattr(sketches[k], "total_count",
+                                            0) for k in ordered],
+                })
+
+    if not rows_assign:
+        return spark.createDataFrame([], _GROUPED_MERGED_SCHEMA)
+    assign = _assign_df(
+        spark, rows_assign, "slice_id int, file string, rgs array<int>")
+    partials = assign.mapInPandas(partial_fn, schema=_GROUPED_PARTIAL_SCHEMA)
+    return _grouped_merge(partials, fanout, n_slices)
+
+
 # ---------------------------------------------------------------------------
 # sketch-as-table: counters as a DataFrame, for ε too small for dense blobs
 # ---------------------------------------------------------------------------

@@ -1049,3 +1049,124 @@ def test_grouped_sample_subset_sums(spark, table, tmp_path):
     with pytest.raises(ValueError, match="different sample spec"):
         cat.register_sample_grouped(table, "source", "doc_id", "n_tok",
                                     k=128)
+
+
+def test_via_merged_fleet_matches_global(spark, tmp_path):
+    """via=<group_col> answers a GLOBAL question by tree-merging the
+    grouped fleet's committed sketches — for the order-independent kinds
+    (CM counter sums, HLL register max, theta k-smallest union) the
+    merged MultiSketch must be BYTE-IDENTICAL to a global entry built
+    over the same rows, so the answers are equal exactly, not just
+    within bounds."""
+    _write_part(tmp_path, 0, rows=700, seed=21)
+    _write_part(tmp_path, 1, rows=600, seed=22)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    kinds = [("cm", {"eps": 1e-3}), "hll", "theta", "mg"]
+    cat.register(data, "tokens", kinds)
+    cat.register_grouped(data, "source", "tokens", kinds)
+
+    _, _, ms_global, _, _ = cat._entry(data, "tokens", None)
+    _, ms_via = cat._merge_fleet(
+        cat._gname(data, "source", "tokens"),
+        cat._gspec(data, "source", "tokens"))
+    for i, kind in enumerate(("cm", "hll", "theta")):
+        assert ms_global.parts[i].to_bytes() == ms_via.parts[i].to_bytes(), \
+            f"{kind} part not byte-identical"
+
+    assert cat.count_distinct(data, "tokens", via="source").value == \
+        cat.count_distinct(data, "tokens").value
+    exact = _exact_counts(spark, data)
+    hot = max(exact, key=lambda t: (exact[t], t))
+    fv = cat.frequency(data, "tokens", hot, via="source")
+    assert fv.value == cat.frequency(data, "tokens", hot).value
+    assert fv.extra["merged_from_fleet"] and fv.extra["group_col"] == "source"
+    # MG merged via fleet: order-dependent bytes, but the guarantee
+    # holds — the heaviest key (far above any merged bound here)
+    # surfaces, and survivor counts stay within [reported, +bound]
+    tk = cat.topk(data, "tokens", k=5, via="source")
+    assert hot in {t for t, _ in tk.value}
+    for t, c in tk.value:
+        assert c <= exact[t] <= c + tk.extra["bound"]
+
+    # staleness flows through the fleet path: refuse raises, auto folds
+    _write_part(tmp_path, 2, rows=500, seed=23)
+    with pytest.raises(StaleEntryError):
+        cat.count_distinct(data, "tokens", via="source", policy="refuse")
+    v = cat.count_distinct(data, "tokens", via="source", policy="auto")
+    assert v.refreshed and v.stale_files == 0
+    g = cat.count_distinct(data, "tokens", policy="auto")
+    assert v.value == g.value
+
+
+def test_file_index_locate_and_pruned_read(spark, tmp_path):
+    """Per-file data-skipping index: locate() has NO false negatives for
+    any probed key, per-candidate CM upper bounds are one-sided, a
+    pruned read returns exactly the full scan's rows for the key, and a
+    delta fold republishes ONLY the appended file's group."""
+    from pyspark.sql import functions as F
+
+    for part, seed in ((0, 31), (1, 32), (2, 33)):
+        _write_part(tmp_path, part, rows=400, seed=seed)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register_file_index(
+        data, "tokens",
+        [("bloom", {"capacity": 50_000, "fpr": 0.001}),
+         ("cm", {"eps": 1e-3})])
+
+    df = (spark.read.parquet(data)
+          .withColumn("f", F.element_at(
+              F.split(F.input_file_name(), "/"), -1)))
+    base = df.select("f", F.explode("tokens").alias("t"))
+    per_file = {(str(r["f"]), int(r["t"])): int(r["c"]) for r in
+                base.filter(F.col("t") % 17 == 0)
+                .groupBy("f", "t").agg(F.count("*").alias("c"))
+                .collect()}
+    by_token: dict[int, set] = {}
+    for (f, t), c in per_file.items():
+        by_token.setdefault(t, set()).add(f)
+    # a deterministic 1/17 vocabulary slice, probed in ONE fleet pass:
+    # no false negatives, CM upper bounds sound per (key, file)
+    probe = sorted(by_token)
+    lb = cat.locate_batch(data, "tokens", probe)
+    assert lb.extra["files_total"] == 3
+    for t in probe:
+        cand = {f for f, _ in lb.value[t]}
+        assert by_token[t] <= cand, f"false negative for token {t}"
+        for f, ub in lb.value[t]:
+            assert ub >= per_file.get((f, t), 0)
+    # a token in exactly one file prunes the scan (deterministic blooms:
+    # same data + key -> same candidate set every run)
+    single = next(t for t in probe if len(by_token[t]) == 1)
+    loc = cat.locate(data, "tokens", single)
+    assert loc.extra["files_total"] == 3
+    assert loc.extra["files_matched"] < 3
+    pr = cat.pruned_read(data, "tokens", single)
+    n_pruned = (pr.select(F.explode("tokens").alias("t"))
+                .filter(F.col("t") == single).count())
+    n_full = (df.select(F.explode("tokens").alias("t"))
+              .filter(F.col("t") == single).count())
+    assert n_pruned == n_full > 0
+
+    # absent key: value may be [] and pruned_read still works (empty)
+    missing = max(by_token) + 12345
+    empty = cat.pruned_read(data, "tokens", missing)
+    assert (empty.select(F.explode("tokens").alias("t"))
+            .filter(F.col("t") == missing).count()) == 0
+
+    # delta: ONLY the appended file's group publishes; old rows stand
+    _write_part(tmp_path, 3, rows=300, seed=34)
+    r = cat.refresh_file_index(data, "tokens")
+    assert r.extra["new_files"] == 1 and r.extra["updated_groups"] == 1
+    loc2 = cat.locate(data, "tokens", single)
+    assert loc2.extra["files_total"] == 4
+    assert {f for f, _ in loc.value} <= {f for f, _ in loc2.value}
+
+    # spec change without rebuild refused; reopen rediscovers the spec
+    with pytest.raises(ValueError, match="rebuild=True"):
+        cat.register_file_index(data, "tokens",
+                                [("bloom", {"capacity": 9})])
+    cat2 = SketchCatalog(spark, str(tmp_path / "store"))
+    again = cat2.locate(data, "tokens", single)
+    assert [f for f, _ in again.value] == [f for f, _ in loc2.value]

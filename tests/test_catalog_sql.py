@@ -362,3 +362,57 @@ def test_sql_subset_sum_and_group_match_python(spark, setup, tmp_path):
     assert row["s"] == want
     assert row["sg"] == fleet[g0]
     assert abs(sum(fleet.values()) - want) < 1e-9   # partition of total
+
+
+def test_sql_merged_fleet_matches_python_via(spark, setup):
+    """catalog_count_distinct_merged / catalog_frequency_merged answer
+    from the MERGED grouped fleet and must equal both the Python via=
+    answers and (order-independence) a global entry's answers."""
+    cat, data = setup
+    row = spark.sql(f"""
+        SELECT catalog_count_distinct_merged(
+                   '{data}', 'source', 'tokens') AS cd
+    """).collect()[0]
+    assert row["cd"] == cat.count_distinct(data, "tokens",
+                                           via="source").value
+    assert row["cd"] == cat.count_distinct(data, "tokens").value
+
+
+def test_sql_merged_frequency_and_locate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    for part, seed in ((0, 61), (1, 62)):
+        _write_part(tmp_path, part, rows=400, seed=seed)
+    data = str(tmp_path / "data")
+    store_path = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store_path)
+    cat.register(data, "tokens", [("cm", {"eps": 1e-3})])
+    cat.register_grouped(data, "source", "tokens",
+                         [("cm", {"eps": 1e-3})])
+    cat.register_file_index(
+        data, "tokens", [("bloom", {"capacity": 40_000, "fpr": 0.001}),
+                         ("cm", {"eps": 1e-3})])
+    register_catalog_sql(spark, store_path)
+
+    hot = int(spark.read.parquet(data)
+              .select(F.explode("tokens").alias("t"))
+              .groupBy("t").count().orderBy(F.desc("count"), "t")
+              .limit(1).collect()[0]["t"])
+    row = spark.sql(f"""
+        SELECT catalog_frequency_merged(
+                   '{data}', 'source', 'tokens', {hot}) AS fq
+    """).collect()[0]
+    assert row["fq"] == cat.frequency(data, "tokens", hot,
+                                      via="source").value
+    assert row["fq"] == cat.frequency(data, "tokens", hot).value
+
+    got = sorted((r["file"], r["count_ub"]) for r in spark.sql(
+        f"SELECT * FROM catalog_locate('{data}', 'tokens', {hot})")
+        .collect())
+    assert got == cat.locate(data, "tokens", hot).value
+    assert len(got) >= 1   # the hot token is everywhere
+
+    # a locate over an unregistered column fails loudly
+    with pytest.raises(Exception, match="file index|register_file"):
+        spark.sql(f"SELECT * FROM catalog_locate('{data}', 'n_tok', 1)"
+                  ).collect()

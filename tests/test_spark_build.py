@@ -442,3 +442,39 @@ def test_assign_df_exactly_one_row_per_partition(spark):
         assert per_part == [1] * n
         # content preserved, pids exact
         assert sorted(r["chunk"] for r in df.collect()) == list(range(n))
+
+
+def test_build_per_file_parquet_matches_single_file_builds(spark, tmp_path):
+    """The data-skipping index builder: each file's sketch is
+    byte-identical to a standalone build over that file alone, keys are
+    the manifest-relative file names, and restricting ``files=`` to a
+    subset (the incremental delta) yields exactly that subset's rows."""
+    import os
+
+    from sketchlib import serde
+    from sketchlib.datagen import generate_token_table
+    from sketchlib.spark_build import (build_per_file_parquet,
+                                       build_sketch_parquet)
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    for lbl, rows, seed in (("a", 500, 41), ("b", 400, 42)):
+        generate_token_table(os.path.join(data, f"{lbl}.parquet"),
+                             rows=rows, seed=seed, dist="zipf")
+    cfg = CMConfig(1e-3, math.exp(-3), seed=7)
+
+    out = {r["key"]: r for r in
+           build_per_file_parquet(spark, data, "tokens", cfg).collect()}
+    assert sorted(out) == ["a.parquet", "b.parquet"]
+    for key, r in out.items():
+        solo = build_sketch_parquet(
+            spark, os.path.join(data, key), "tokens", cfg)
+        assert serde.loads(bytes(r["sketch"])).to_bytes() == \
+            solo.sketch.to_bytes()
+        assert int(r["n_rows"]) == solo.n_rows
+
+    only_b = build_per_file_parquet(
+        spark, data, "tokens", cfg,
+        files=[os.path.join(data, "b.parquet")]).collect()
+    assert [r["key"] for r in only_b] == ["b.parquet"]
+    assert bytes(only_b[0]["sketch"]) == bytes(out["b.parquet"]["sketch"])
