@@ -356,7 +356,7 @@ class SketchCatalog:
         if df is None or epoch is None:
             raise KeyError(f"{name} has no committed grouped epoch")
         prefix = name + "/"
-        winners = store._winners(
+        winners = store.winners_streaming(
             df.filter(F.col("name").startswith(prefix))
             .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
         ).select("name", "blob", "sha256")
@@ -783,7 +783,15 @@ class SketchCatalog:
         single-group question, a winners DataFrame for a fleet one."""
         policy = policy or self.policy
         spec = self._gspec(table_path, group_col, column)
-        stale = self.stale_files_grouped(table_path, group_col, column)
+        # inline the staleness diff instead of stale_files_grouped():
+        # that public method re-validates registration with a second
+        # spec read (two more store jobs) the line above already paid
+        name = self._gname(table_path, group_col, column)
+        _, _, ingested = _grouped_manifest_state(self.spark,
+                                                 self.store_path, name)
+        current = _current_files(table_path)
+        stale = len(_diff_files(current, ingested or {}, table_path,
+                                name))
         refreshed = False
         if stale and policy == "refuse":
             raise StaleEntryError(
@@ -886,7 +894,7 @@ class SketchCatalog:
     def _fleet_df(self, name: str, spec: dict, make, wanted):
         """(kind, DataFrame) — the fleet answer evaluated per group
         inside mapInPandas over the committed epoch's winner rows.
-        Winner selection (store._winners) and the epoch/base pins happen
+        Winner selection (store.winners_streaming — no blob shuffle) and the epoch/base pins happen
         in Spark BEFORE any blob moves; each task then sha-verifies and
         deserializes only its own batch's KB blobs. Driver memory is
         flat in G."""
@@ -907,7 +915,7 @@ class SketchCatalog:
         df = store.read_table(self.spark, self.store_path + "/sketches")
         if df is None or epoch is None:
             raise KeyError(f"{name} has no committed grouped epoch")
-        winners = store._winners(
+        winners = store.winners_streaming(
             df.filter(F.col("name").startswith(prefix))
             .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
         ).select("name", "blob", "sha256")
@@ -1019,7 +1027,7 @@ class SketchCatalog:
         idx = spec_kinds.index("mg")
         prefix = name + "/"
         df = store.read_table(self.spark, self.store_path + "/sketches")
-        winners = store._winners(
+        winners = store.winners_streaming(
             df.filter(F.col("name").startswith(prefix))
             .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
         ).select("name", "blob", "sha256")
@@ -1630,7 +1638,7 @@ class SketchCatalog:
         if df is None or epoch is None:
             raise KeyError(f"{name} has no committed epoch")
         prefix = name + "/"
-        winners = store._winners(
+        winners = store.winners_streaming(
             df.filter(F.col("name").startswith(prefix))
             .filter((F.col("seq") >= base) & (F.col("seq") <= epoch))
         ).select("name", "blob", "sha256")
@@ -1676,7 +1684,13 @@ class SketchCatalog:
                           refreshed=refreshed, sketch_bytes=-1,
                           extra={"n_keys": int(karr.shape[0]),
                                  "distributed": True})
-        total = winners.count()
+        # fleet size from the column-pruned frame (distinct committed
+        # names) — evaluating `winners` again would re-run the winner
+        # join just to count rows
+        total = (df.filter(F.col("name").startswith(prefix))
+                 .filter((F.col("seq") >= base)
+                         & (F.col("seq") <= epoch))
+                 .select("name").distinct().count())
         value: dict = {int(k): [] for k in karr}
         for r in probe.collect():
             value[int(r["key"])].append((r["file"], int(r["count_ub"])))

@@ -304,3 +304,30 @@ def test_list_sketches_one_row_per_name_after_race(spark, tmp_path):
     assert len(listing) == 1
     winner = store.load_sketch(spark, path, "raced")
     assert listing[0]["sha256"] == _h.sha256(winner.to_bytes()).hexdigest()
+
+
+def test_winners_streaming_matches_window_winners(spark):
+    """winners_streaming must pick exactly the rows _winners picks —
+    without shuffling payloads — and must fall back to the collapsing
+    window when exact-duplicate rows (same name, seq AND sha) exist."""
+    from sketchlib.store import _winners, winners_streaming
+
+    rows = [("a", 0, "s0", bytearray(b"old")), ("a", 2, "s2", bytearray(b"new")),
+            ("b", 1, "s1", bytearray(b"bee")), ("b", 1, "s0", bytearray(b"tie"))]
+    df = spark.createDataFrame(
+        [(n, s, h, bytes(b)) for n, s, h, b in rows],
+        "name string, seq long, sha256 string, blob binary")
+    want = {(r["name"], r["seq"], r["sha256"], bytes(r["blob"]))
+            for r in _winners(df).collect()}
+    got = {(r["name"], r["seq"], r["sha256"], bytes(r["blob"]))
+           for r in winners_streaming(df).collect()}
+    assert got == want == {("a", 2, "s2", b"new"), ("b", 1, "s1", b"bee")}
+
+    # exact duplicate: the semi-join would keep both copies; the
+    # fallback must collapse to ONE row like the window does
+    dup = df.union(spark.createDataFrame(
+        [("a", 2, "s2", b"new")],
+        "name string, seq long, sha256 string, blob binary"))
+    out = winners_streaming(dup).collect()
+    assert len(out) == 2
+    assert sorted(r["name"] for r in out) == ["a", "b"]
