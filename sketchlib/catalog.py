@@ -1291,11 +1291,18 @@ class SketchCatalog:
 
     def subset_sum(self, table_path: str, key_col: str, weight_col: str,
                    pred=None, *, pattern: str | None = None,
+                   via: str | None = None,
                    policy: str | None = None) -> Answer:
         """Unbiased subset-sum estimate over an arbitrary key predicate
         — ``pred`` (callable on the key string) or ``pattern`` (fnmatch
         glob, the SQL-shippable form). O(k) on the sampled items; EXACT
-        while the sample has never overflowed (threshold None)."""
+        while the sample has never overflowed (threshold None).
+        ``via=<group_col>`` answers from the MERGED grouped sample
+        fleet instead of a global sample entry: priority sampling is
+        mergeable and priorities are deterministic in (key, seed), so
+        the merged sample equals a global sample with the same (k,
+        seed) over the same rows — answers identical, maintained
+        per-group."""
         import fnmatch
         if (pred is None) == (pattern is None):
             raise ValueError("pass exactly one of pred= or pattern=")
@@ -1310,21 +1317,65 @@ class SketchCatalog:
             return (float(ps.estimate_subset(pred)), var,
                     {"exact_mode": exact, "n_sampled":
                      min(len(ps.keys), ps.k)})
+        if via is not None:
+            return self._merged_sample_answer(table_path, via, key_col,
+                                              weight_col, policy, make)
         return self._sample_answer(table_path, key_col, weight_col,
                                    policy, make)
 
     def sample_total(self, table_path: str, key_col: str,
-                     weight_col: str, *,
+                     weight_col: str, *, via: str | None = None,
                      policy: str | None = None) -> Answer:
         """Total weight: the exact folded Σw plus the sample's own
-        unbiased estimate of it (their gap is the sampling noise)."""
+        unbiased estimate of it (their gap is the sampling noise).
+        ``via=<group_col>`` merges the grouped sample fleet (Σw sums
+        exactly across groups)."""
         def make(ps):
             return ({"exact": float(ps.total_weight),
                      "estimate": float(ps.estimate_total())},
                     "exact Sigma-w tracked exactly; estimate unbiased",
                     {})
+        if via is not None:
+            return self._merged_sample_answer(table_path, via, key_col,
+                                              weight_col, policy, make)
         return self._sample_answer(table_path, key_col, weight_col,
                                    policy, make)
+
+    def _merged_sample_answer(self, table_path: str, group_col: str,
+                              key_col: str, weight_col: str, policy,
+                              make) -> Answer:
+        """Global sample answer from a MERGED grouped sample fleet —
+        the psample twin of ``_answer(via=...)``: committed group rows
+        tree-merge distributedly (PrioritySample.merge), the driver
+        folds only per-partition partials."""
+        policy = policy or self.policy
+        col = self._sample_col(key_col, weight_col)
+        name = self._gname(table_path, group_col, col)
+        spec = self._gspec_at_name(name)
+        if spec is None or "sample" not in spec:
+            raise KeyError(
+                f"{table_path}:{group_col}:({key_col}, {weight_col}) "
+                "has no grouped sample registration; call "
+                "register_sample_grouped() first")
+        stale = self.stale_files_grouped(table_path, group_col, col)
+        refreshed = False
+        if stale and policy == "refuse":
+            raise StaleEntryError(
+                f"grouped sample is stale by {stale} file(s)")
+        if stale and policy == "auto":
+            s = spec["sample"]
+            self.register_sample_grouped(
+                table_path, group_col, key_col, weight_col,
+                payload_col=s["payload_col"], k=s["k"], seed=s["seed"])
+            stale, refreshed = 0, True
+        epoch, ps = self._merge_fleet(name, spec)
+        value, contract, extra = make(ps)
+        return Answer(value=value, kind="psample", contract=contract,
+                      table=table_path, column=col, seq=epoch,
+                      covered_rows=-1, stale_files=stale,
+                      refreshed=refreshed, sketch_bytes=ps.nbytes(),
+                      extra={**extra, "merged_from_fleet": True,
+                             "group_col": group_col})
 
     def sample_group_sums(self, table_path: str, key_col: str,
                           weight_col: str, *,
@@ -1877,6 +1928,7 @@ class SketchCatalog:
                  "column": meta["column"],
                  "group_col": meta.get("group_col"),
                  "kinds": kinds,
+                 "file_index": bool(spec.get("file_index")),
                  "covered_rows": int(meta.get("table_rows", -1))}
             try:
                 if e["group_col"] is not None:

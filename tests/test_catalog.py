@@ -1170,3 +1170,32 @@ def test_file_index_locate_and_pruned_read(spark, tmp_path):
     cat2 = SketchCatalog(spark, str(tmp_path / "store"))
     again = cat2.locate(data, "tokens", single)
     assert [f for f, _ in again.value] == [f for f, _ in loc2.value]
+
+
+def test_sample_via_merged_fleet_matches_global(spark, table, tmp_path):
+    """subset_sum / sample_total with via=<group_col>: the merged
+    grouped sample fleet must answer IDENTICALLY to a global sample
+    entry with the same (k, seed) — priorities are deterministic in
+    (key, seed), so per-group k-samples merge to exactly the global
+    k-sample over the same rows."""
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    cat.register_sample(table, "doc_id", "n_tok",
+                        payload_col="source", k=4096)
+    cat.register_sample_grouped(table, "source", "doc_id", "n_tok",
+                                payload_col="source", k=4096)
+    for pat in ("*1", "*5"):
+        a = cat.subset_sum(table, "doc_id", "n_tok", pattern=pat)
+        b = cat.subset_sum(table, "doc_id", "n_tok", pattern=pat,
+                           via="source")
+        assert b.value == a.value
+        assert b.extra["merged_from_fleet"] \
+            and b.extra["group_col"] == "source"
+        assert b.extra["exact_mode"] == a.extra["exact_mode"]
+    t_g = cat.sample_total(table, "doc_id", "n_tok")
+    t_v = cat.sample_total(table, "doc_id", "n_tok", via="source")
+    assert t_v.value == t_g.value
+
+    # unregistered fleet fails loudly
+    with pytest.raises(KeyError, match="register_sample_grouped"):
+        cat.subset_sum(table, "doc_id", "n_tok", pattern="*1",
+                       via="nope")
