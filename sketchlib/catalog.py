@@ -800,7 +800,7 @@ class SketchCatalog:
                 "policy='stale_ok'/'auto'")
         if stale and policy == "auto":
             if spec.get("file_index"):
-                self._refresh_file_index(table_path, column, spec)
+                self._refresh_file_index(table_path, spec)
             else:
                 self._refresh_grouped(table_path, group_col, column,
                                       spec)
@@ -1592,46 +1592,75 @@ class SketchCatalog:
 
     _FILE_GROUP = "__file__"
 
+    @staticmethod
+    def _fidx_label(column: str, ng: dict | None) -> str:
+        """Index label: the raw column, or the derived n-gram stream —
+        distinct labels mean a raw index and an n-gram index over the
+        same column coexist as separate entries."""
+        return column if not ng else \
+            f"{column}~{int(ng['n'])}gram-{int(ng['seed'])}"
+
     def register_file_index(self, table_path: str, column: str,
                             kinds=("bloom", "cm"), *,
+                            ngrams: int | None = None,
+                            ngram_seed: int = 1337,
                             rebuild: bool = False) -> Answer:
         """Register (or rebuild) a per-file sketch index over ``column``.
         Default kinds: bloom (the membership skip filter — size it via
         ``("bloom", {"capacity": expected distinct per file})``) + cm
         (per-file one-sided count upper bounds attached to locate()
         candidates). Any registered kind works; locate() requires
-        bloom."""
+        bloom.
+
+        ``ngrams=n`` indexes the DERIVED hashed-n-gram stream instead
+        of raw keys (ngrams.array_ngrams — row-bounded windows, the
+        decontamination shingle): "which FILES can contain this
+        benchmark 13-gram" becomes a store-row probe, the file-level
+        triage in front of exact-verify decontamination. Probe keys
+        must be hashed with the same (n, seed) — pass the same
+        ``ngrams=``/``ngram_seed=`` to locate()/locate_batch()."""
         spec = {"version": _SPEC_VERSION, "column": column,
                 "group_col": self._FILE_GROUP, "file_index": True,
                 "kinds": _normalize_kinds(kinds)}
-        name = self._gname(table_path, self._FILE_GROUP, column)
+        if ngrams is not None:
+            spec["ngrams"] = {"n": int(ngrams), "seed": int(ngram_seed)}
+        label = self._fidx_label(column, spec.get("ngrams"))
+        name = self._gname(table_path, self._FILE_GROUP, label)
         old = self._gspec_at_name(name)
         if old is not None and old != spec and not rebuild:
             raise ValueError(
-                f"{table_path}:{column} already has a file index with a "
+                f"{table_path}:{label} already has a file index with a "
                 "different spec; pass rebuild=True to replace it.\n"
                 f"  registered: {json.dumps(old, sort_keys=True)}\n"
                 f"  requested:  {json.dumps(spec, sort_keys=True)}")
-        return self._refresh_file_index(table_path, column, spec,
+        return self._refresh_file_index(table_path, spec,
                                         rebuild=rebuild)
 
-    def _refresh_file_index(self, table_path: str, column: str,
-                            spec: dict, *,
+    def _refresh_file_index(self, table_path: str, spec: dict, *,
                             rebuild: bool = False) -> Answer:
+        column = spec["column"]
+        label = self._fidx_label(column, spec.get("ngrams"))
+        ng = spec.get("ngrams")
+        transform = None
+        if ng:
+            from .ngrams import array_ngrams
+            n_, seed_ = int(ng["n"]), int(ng["seed"])
+            transform = lambda col: array_ngrams(col, n_, seed_)  # noqa: E731
+
         def builder(sp, files):
             from .spark_build import build_per_file_parquet
             return build_per_file_parquet(
                 sp, table_path, column, _factory_from_spec(spec),
-                files=files)
+                files=files, transform=transform)
 
         res = incremental_build_grouped(
-            self.spark, table_path, self._FILE_GROUP, column,
+            self.spark, table_path, self._FILE_GROUP, label,
             _factory_from_spec(spec), store_path=self.store_path,
-            name=self._gname(table_path, self._FILE_GROUP, column),
+            name=self._gname(table_path, self._FILE_GROUP, label),
             rebuild=rebuild, builder=builder,
             meta={"catalog_spec": spec,
                   "table_path": os.path.abspath(table_path),
-                  "column": column, "group_col": self._FILE_GROUP})
+                  "column": label, "group_col": self._FILE_GROUP})
         if res.prev_seq is None and res.updated_groups == 0:
             raise ValueError(
                 f"cannot register a file index over an empty table "
@@ -1640,19 +1669,25 @@ class SketchCatalog:
                       contract="delta-only per-file fold (appended "
                                "files only; existing file rows never "
                                "republish)",
-                      table=table_path, column=column, seq=res.seq,
+                      table=table_path, column=label, seq=res.seq,
                       covered_rows=-1, stale_files=0,
                       refreshed=res.new_files > 0, sketch_bytes=0,
                       extra={"new_files": res.new_files,
                              "new_rows": res.new_rows,
                              "updated_groups": res.updated_groups})
 
-    def refresh_file_index(self, table_path: str, column: str) -> Answer:
+    def refresh_file_index(self, table_path: str, column: str, *,
+                           ngrams: int | None = None,
+                           ngram_seed: int = 1337) -> Answer:
         """Fold appended files into the index (new groups only)."""
-        spec = self._gspec(table_path, self._FILE_GROUP, column)
-        return self._refresh_file_index(table_path, column, spec)
+        ng = None if ngrams is None else {"n": ngrams,
+                                          "seed": ngram_seed}
+        label = self._fidx_label(column, ng)
+        spec = self._gspec(table_path, self._FILE_GROUP, label)
+        return self._refresh_file_index(table_path, spec)
 
     def locate_batch(self, table_path: str, column: str, keys, *,
+                     ngrams: int | None = None, ngram_seed: int = 1337,
                      as_df: bool = False,
                      policy: str | None = None) -> Answer:
         """Candidate files that CAN contain each of ``keys`` — the
@@ -1669,9 +1704,12 @@ class SketchCatalog:
         the fleet size."""
         import numpy as np
 
+        label = self._fidx_label(
+            column, None if ngrams is None
+            else {"n": ngrams, "seed": ngram_seed})
         spec, stale, refreshed = self._gscope(
-            table_path, self._FILE_GROUP, column, policy)
-        name = self._gname(table_path, self._FILE_GROUP, column)
+            table_path, self._FILE_GROUP, label, policy)
+        name = self._gname(table_path, self._FILE_GROUP, label)
         spec_kinds = [e["kind"] for e in spec["kinds"]]
         if "bloom" not in spec_kinds:
             raise KeyError(
@@ -1730,7 +1768,7 @@ class SketchCatalog:
                     "per (key, file); count_ub one-sided per file")
         if as_df:
             return Answer(value=probe, kind="bloom", contract=contract,
-                          table=table_path, column=column, seq=epoch,
+                          table=table_path, column=label, seq=epoch,
                           covered_rows=-1, stale_files=stale,
                           refreshed=refreshed, sketch_bytes=-1,
                           extra={"n_keys": int(karr.shape[0]),
@@ -1748,13 +1786,14 @@ class SketchCatalog:
         for k in value:
             value[k].sort()
         return Answer(value=value, kind="bloom", contract=contract,
-                      table=table_path, column=column, seq=epoch,
+                      table=table_path, column=label, seq=epoch,
                       covered_rows=-1, stale_files=stale,
                       refreshed=refreshed, sketch_bytes=-1,
                       extra={"n_keys": int(karr.shape[0]),
                              "files_total": int(total)})
 
     def locate(self, table_path: str, column: str, key: int, *,
+               ngrams: int | None = None, ngram_seed: int = 1337,
                as_df: bool = False,
                policy: str | None = None) -> Answer:
         """Candidate files that CAN contain ``key`` — single-key
@@ -1763,6 +1802,7 @@ class SketchCatalog:
         file, with ``extra['files_total']`` / ``['files_matched']``;
         ``as_df=True`` returns the lazy (file, count_ub) DataFrame."""
         b = self.locate_batch(table_path, column, [int(key)],
+                              ngrams=ngrams, ngram_seed=ngram_seed,
                               as_df=as_df, policy=policy)
         if as_df:
             b.value = b.value.select("file", "count_ub")
@@ -1778,13 +1818,15 @@ class SketchCatalog:
                              "files_matched": len(cands)})
 
     def pruned_read(self, table_path: str, column: str, key: int, *,
+                    ngrams: int | None = None, ngram_seed: int = 1337,
                     policy: str | None = None):
         """DataFrame over ONLY the files that can contain ``key`` — the
         verify side of the skip: exact queries against it return the
         same rows as a full-table read filtered to the key (no false
         negatives), having scanned only the candidate files. Returns an
         empty DataFrame with the table's schema when no file matches."""
-        cands = self.locate(table_path, column, key, policy=policy).value
+        cands = self.locate(table_path, column, key, ngrams=ngrams,
+                            ngram_seed=ngram_seed, policy=policy).value
         if not cands:
             return (self.spark.read.parquet(table_path).limit(0))
         return self.spark.read.parquet(

@@ -1464,7 +1464,8 @@ def build_per_file_parquet(spark: SparkSession, path: str,
                            tokens_col: str, cfg_or_factory, *,
                            cu: bool = False, fanout: int = 8,
                            n_slices: int | None = None,
-                           files: list[str] | None = None) -> DataFrame:
+                           files: list[str] | None = None,
+                           transform=None) -> DataFrame:
     """One sketch per parquet FILE — the data-skipping index builder.
 
     The group key is the file's path RELATIVE TO THE TABLE ROOT, i.e.
@@ -1480,7 +1481,14 @@ def build_per_file_parquet(spark: SparkSession, path: str,
 
     Returns the same (key, sketch, n_rows, n_items, total_count) frame
     as ``build_grouped_parquet``. ``files`` restricts the scan to an
-    explicit file list (the incremental-maintenance delta)."""
+    explicit file list (the incremental-maintenance delta).
+
+    ``transform`` derives the indexed keys from the raw column: a
+    callable ``(arrow column) -> int64 ndarray`` applied per row group
+    (e.g. ``ngrams.array_ngrams`` for hashed n-gram shingles — row
+    boundaries respected by the transform itself, so per-file indexing
+    of DERIVED keys needs no extra machinery). Must be deterministic:
+    delta folds and rebuilds must derive identical keys."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq  # noqa: F401  (parity with siblings)
 
@@ -1519,7 +1527,9 @@ def build_per_file_parquet(spark: SparkSession, path: str,
                     vcol = tbl.column(0)
                     if isinstance(vcol, pa.ChunkedArray):
                         vcol = vcol.combine_chunks()
-                    if pa.types.is_list(vcol.type) \
+                    if transform is not None:
+                        flat = transform(vcol)
+                    elif pa.types.is_list(vcol.type) \
                             or pa.types.is_large_list(vcol.type):
                         # flatten() drops NULL list slots — a null row
                         # contributes nothing, which is what a

@@ -1199,3 +1199,72 @@ def test_sample_via_merged_fleet_matches_global(spark, table, tmp_path):
     with pytest.raises(KeyError, match="register_sample_grouped"):
         cat.subset_sum(table, "doc_id", "n_tok", pattern="*1",
                        via="nope")
+
+
+def test_ngram_file_index_decontamination_triage(spark, tmp_path):
+    """File index over the DERIVED hashed-n-gram stream (ngrams=n):
+    "which files can contain this shingle" answered from store rows —
+    the file-level triage in front of exact-verify decontamination. No
+    false negatives per shingle; coexists with the raw-key index over
+    the same column; delta folds republish only the appended file."""
+    import pyarrow.parquet as pq
+
+    from sketchlib.ngrams import array_ngrams
+
+    for part, seed in ((0, 71), (1, 72), (2, 73)):
+        _write_part(tmp_path, part, rows=300, seed=seed)
+    data = str(tmp_path / "data")
+    cat = SketchCatalog(spark, str(tmp_path / "store"))
+    N, SEED = 5, 99
+    cat.register_file_index(
+        data, "tokens",
+        [("bloom", {"capacity": 400_000, "fpr": 0.001}),
+         ("cm", {"eps": 1e-3})],
+        ngrams=N, ngram_seed=SEED)
+    # raw index over the same column coexists (different entry label)
+    cat.register_file_index(
+        data, "tokens", [("bloom", {"capacity": 50_000, "fpr": 0.001})])
+
+    # ground truth: per-file shingle sets, same public kernel
+    truth: dict[int, set] = {}
+    per_file_hashes = {}
+    for part in (0, 1, 2):
+        col = pq.read_table(f"{data}/part{part}.parquet",
+                            columns=["tokens"]).column(0)
+        hs = array_ngrams(col, N, SEED)
+        per_file_hashes[f"part{part}.parquet"] = hs
+        for h in np.unique(hs):
+            truth.setdefault(int(h), set()).add(f"part{part}.parquet")
+
+    # probe a deterministic slice of real shingles in ONE fleet pass
+    probe = sorted(truth)[::197]
+    lb = cat.locate_batch(data, "tokens", probe, ngrams=N,
+                          ngram_seed=SEED)
+    assert lb.extra["files_total"] == 3
+    for h in probe:
+        cand = {f for f, _ in lb.value[h]}
+        assert truth[h] <= cand, f"false negative for shingle {h}"
+
+    # a single-file shingle prunes; CM ub bounds its exact count
+    single = next(h for h in probe if len(truth[h]) == 1)
+    loc = cat.locate(data, "tokens", single, ngrams=N, ngram_seed=SEED)
+    assert loc.extra["files_matched"] < 3
+    (f_hit, ub), *_ = loc.value
+    exact_in_file = int((per_file_hashes[f_hit] == single).sum()) \
+        if f_hit in per_file_hashes else 0
+    assert ub >= exact_in_file >= 1 or f_hit not in per_file_hashes
+
+    # the raw index still answers raw keys independently
+    col0 = pq.read_table(f"{data}/part0.parquet",
+                         columns=["tokens"]).column(0)
+    raw_key = int(col0.combine_chunks().flatten()[0].as_py())
+    raw = cat.locate(data, "tokens", raw_key)
+    assert "part0.parquet" in {f for f, _ in raw.value}
+
+    # delta: appended file -> ONE new group in the n-gram fleet
+    _write_part(tmp_path, 3, rows=200, seed=74)
+    r = cat.refresh_file_index(data, "tokens", ngrams=N,
+                               ngram_seed=SEED)
+    assert r.extra["new_files"] == 1 and r.extra["updated_groups"] == 1
+    lb2 = cat.locate(data, "tokens", single, ngrams=N, ngram_seed=SEED)
+    assert lb2.extra["files_total"] == 4
