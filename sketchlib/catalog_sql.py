@@ -889,9 +889,14 @@ def register_catalog_sql(spark, store_path: str, *,
         ``count_ub`` is the file's one-sided CM bound when a 'cm' kind
         is registered, −1 otherwise. Single-task evaluation over the
         fleet's committed winner rows (name-range-pruned parquet read);
-        the distributed shape is ``cat.locate(as_df=True)``."""
-        def eval(self, table_path: str, column: str, key: int):
-            prefix = _group_entry_name(table_path, "__file__", column)
+        the distributed shape is ``cat.locate(as_df=True)``. Optional
+        ``ngrams``/``ngram_seed`` arguments address an n-gram index
+        (pass a shingle hash from ngrams.array_ngrams as ``key``)."""
+        def eval(self, table_path: str, column: str, key: int,
+                 ngrams=None, ngram_seed: int = 1337):
+            label = column if ngrams is None else \
+                f"{column}~{int(ngrams)}gram-{int(ngram_seed)}"
+            prefix = _group_entry_name(table_path, "__file__", label)
             try:
                 _, winners = _fleet_winner_rows(
                     sp, prefix, ["name", "seq", "blob", "sha256",

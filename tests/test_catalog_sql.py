@@ -416,3 +416,33 @@ def test_sql_merged_frequency_and_locate(spark, tmp_path):
     with pytest.raises(Exception, match="file index|register_file"):
         spark.sql(f"SELECT * FROM catalog_locate('{data}', 'n_tok', 1)"
                   ).collect()
+
+
+def test_sql_locate_ngram_index(spark, tmp_path):
+    """catalog_locate's optional (ngrams, seed) arguments address an
+    n-gram file index; answers equal the Python verb's."""
+    import pyarrow.parquet as pq
+
+    from sketchlib.ngrams import array_ngrams
+
+    for part, seed in ((0, 81), (1, 82)):
+        _write_part(tmp_path, part, rows=250, seed=seed)
+    data = str(tmp_path / "data")
+    store_path = str(tmp_path / "store")
+    cat = SketchCatalog(spark, store_path)
+    N, SEED = 4, 17
+    cat.register_file_index(
+        data, "tokens", [("bloom", {"capacity": 200_000,
+                                    "fpr": 0.001})],
+        ngrams=N, ngram_seed=SEED)
+    register_catalog_sql(spark, store_path)
+
+    col = pq.read_table(f"{data}/part0.parquet",
+                        columns=["tokens"]).column(0)
+    h = int(array_ngrams(col, N, SEED)[0])
+    got = sorted((r["file"], r["count_ub"]) for r in spark.sql(
+        f"SELECT * FROM catalog_locate('{data}', 'tokens', {h}, "
+        f"{N}, {SEED})").collect())
+    assert got == cat.locate(data, "tokens", h, ngrams=N,
+                             ngram_seed=SEED).value
+    assert "part0.parquet" in {f for f, _ in got}
