@@ -146,8 +146,15 @@ def save_sketch(spark: SparkSession, path: str, name: str, sketch, *,
     kind = bytes(blob[:4]).decode("ascii", "replace")
     row = [(name, seq, kind, blob, hashlib.sha256(blob).hexdigest(),
             int(n_rows), json.dumps(meta or {}, sort_keys=True))]
-    (one_part_df(spark, row, _SKETCH_SCHEMA)
-     .write.mode("append").parquet(path + "/sketches"))
+    local = _local_dir(path + "/sketches")
+    if local is not None:
+        # same local-filesystem fast path as save_sketches_bulk: the
+        # blob is driver-side bytes; a Spark job per publish costs
+        # ~1-2 s of pickling + scheduling for a one-row write
+        _append_rows_pyarrow(local, row)
+    else:
+        (one_part_df(spark, row, _SKETCH_SCHEMA)
+         .write.mode("append").parquet(path + "/sketches"))
     if lineage is not None and len(lineage):
         lrows = [(name, seq, int(r["pid"]), int(r["n_rows"]),
                   int(r["n_items"]), int(r["total_count"]),
