@@ -1496,6 +1496,114 @@ def _q_catalog_file_prune(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_catalog_ngram_triage(spark, sf_dir):
+    """File-level decontamination triage end-to-end: a per-file index
+    over the DERIVED hashed-13-gram stream (register_file_index
+    ngrams=13 — build_per_file_parquet's transform hook runs
+    ngrams.array_ngrams per row group, row-bounded shingles), then a
+    "benchmark" document's shingles probed in ONE fleet pass
+    (locate_batch) name the candidate FILES, and the exact verify
+    (ngrams.shingle_table join, the decontamination screen's probe
+    side) scans ONLY those files. Self-asserts: no_false_negatives
+    (the file truly holding the benchmark doc is a candidate for EVERY
+    probed shingle — Bloom contract per key), pruned (hit-count triage:
+    the true file matches ~every probed shingle, while bloom noise
+    (~fpr x n_probed expected hits) and legitimately-shared hot-token-
+    run shingles stay under the 5%-of-probes threshold — the threshold
+    IS the minimum shingle overlap worth verifying), counts_match (the
+    pruned exact verify
+    recovers the planted doc with a full shingle match — same doc id,
+    same match count as a full-table verify). At 100 TB this is the
+    shape that turns decontamination from scan-everything into
+    probe-store-rows + scan-candidates. Rows-only: candidate sets are
+    bloom-parameter-specific."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from sketchlib.catalog import SketchCatalog
+    from sketchlib.ngrams import array_ngrams, shingle_table
+
+    root = tempfile.mkdtemp(prefix="sketchlib_catngt_")
+    data = f"{root}/data"
+    os.makedirs(data)
+    try:
+        for lbl, rows_n, seed in (("p0", 400, 931), ("p1", 350, 932),
+                                  ("p2", 300, 933)):
+            _append_token_part(data, lbl, rows_n, seed)
+        N, SEED = 13, 4242
+        cat = SketchCatalog(spark, f"{root}/store")
+        cat.register_file_index(
+            data, "tokens",
+            [("bloom", {"capacity": 200_000, "fpr": 0.001}),
+             ("cm", {"eps": 1e-3})],
+            ngrams=N, ngram_seed=SEED)
+
+        # the "benchmark": one real document out of p1 — its shingles
+        # are the contamination probe
+        tbl = pq.read_table(f"{data}/p1.parquet",
+                            columns=["doc_id", "tokens", "n_tok"])
+        order = sorted(range(tbl.num_rows),
+                       key=lambda i: -tbl.column("n_tok")[i].as_py())
+        pick = order[0]
+        bench_id = tbl.column("doc_id")[pick].as_py()
+        one = tbl.slice(pick, 1).column("tokens")
+        bench = sorted(set(int(h) for h in array_ngrams(one, N, SEED)))
+        probe = bench[::3][:400]
+
+        lb = cat.locate_batch(data, "tokens", probe, ngrams=N,
+                              ngram_seed=SEED)
+        no_fn = all("p1.parquet" in {f for f, _ in lb.value[h]}
+                    for h in probe)
+        # triage by HIT COUNT, not bare union: contamination means MANY
+        # shingles hit the same file (the true file matches all ~161),
+        # while a bloom false positive contributes ~fpr x n_probed ~ 0.2
+        # expected hits per innocent file — a 5% threshold separates
+        # them deterministically (and is the real-world triage rule: the
+        # threshold IS the minimum shingle overlap worth verifying)
+        hits: dict = {}
+        for h in probe:
+            for f, _ in lb.value[h]:
+                hits[f] = hits.get(f, 0) + 1
+        thr = max(2, len(probe) // 20)
+        triage = sorted(f for f, c in hits.items() if c >= thr)
+        pruned = len(triage) < lb.extra["files_total"]
+
+        # exact verify on candidate files only vs on the full table:
+        # identical top match (the planted doc, full shingle overlap)
+        bench_df = spark.createDataFrame([(h,) for h in bench],
+                                         "shingle long")
+        def top_match(df):
+            r = (shingle_table(df, "tokens", "doc_id", N, seed=SEED)
+                 .distinct()
+                 .join(F.broadcast(bench_df), "shingle")
+                 .groupBy("doc_id")
+                 .agg(F.count("*").alias("n_match"))
+                 .orderBy(F.desc("n_match"), "doc_id")
+                 .limit(1).collect())
+            return (str(r[0]["doc_id"]), int(r[0]["n_match"])) if r \
+                else (None, 0)
+        pruned_df = spark.read.parquet(
+            *[os.path.join(data, f) for f in triage])
+        full_df = spark.read.parquet(data)
+        got_p = top_match(pruned_df)
+        got_f = top_match(full_df)
+        counts_match = bool(
+            got_p == got_f == (str(bench_id), len(bench)))
+
+        row = (len(probe), len(bench), lb.extra["files_total"],
+               len(triage), int(got_p[1]),
+               bool(no_fn), bool(pruned), counts_match)
+        return spark.createDataFrame(
+            [row], "n_probed long, n_bench_shingles long, files_total "
+                   "long, files_triaged long, match_count long, "
+                   "no_false_negatives boolean, pruned boolean, "
+                   "counts_match boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_csv_source_stats(spark, sf_dir):
     """CSV source connector round-trip (quoted text fields with embedded
     spaces), value-checked against the parquet ground truth."""
@@ -4085,7 +4193,7 @@ SELF_ASSERT_COLS = {
 # registering a tail query with new flag columns without updating this
 # constant turns the selfcheck_summary driver row red (the local gate
 # catches the drift first).
-_TAIL_FLAG_COLS = 135
+_TAIL_FLAG_COLS = 138
 
 _ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
@@ -4331,6 +4439,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_stream_upkeep": _q_catalog_stream_upkeep,
         "catalog_fleet_merge": _q_catalog_fleet_merge,
         "catalog_file_prune": _q_catalog_file_prune,
+        "catalog_ngram_triage": _q_catalog_ngram_triage,
         "ivfpq_retrain_gate": _q_ivfpq_retrain_gate,
         "selfcheck_summary": _q_selfcheck_summary,
         # deliberately past the 50-entry window (oracled tail entries are
