@@ -306,14 +306,18 @@ def _append_rows_pyarrow(dirpath: str, rows: list[tuple]) -> None:
     atomically (write `.tmp`, fsync, rename). Schema matches the
     Spark-written parts (string/int64/binary), so mixed-writer tables
     read identically. Rows are sorted by (name, seq) and written in
-    SMALL row groups (64 rows): parquet keeps min/max stats per row
-    group, so a targeted read (``name == prefix/<group>`` /
-    ``isin``) prunes to the one row group holding that name instead of
-    decompressing the whole part's blob column — at a 10^5-row fleet
-    publish that is the difference between touching 64 blobs and all
-    of them (measured: a one-file delta fold against a 256-blob
-    single-row-group part cost 11.6 s; row-group pruning restores the
-    flat fold)."""
+    row groups sized by BLOB BYTES (~24 MB each, clamped to [16, 4096]
+    rows): parquet keeps min/max stats per row group, so a targeted
+    read (``name == prefix/<group>`` / ``isin``) prunes to the row
+    group holding that name instead of decompressing the whole part's
+    blob column — measured 11.6 s → 2.5 s on a one-file delta fold
+    against a 256 × 1 MB-blob part. Sizing by bytes, not a fixed row
+    count, keeps BOTH payload regimes healthy: MB-scale blobs (file
+    indexes) get ~24-row groups for fine pruning, while a 10^5-row
+    fleet of KB blobs gets ~4096-row groups — a fixed 64 would mean
+    1500+ row groups per part, and the per-row-group footer metadata
+    then slows EVERY store read (measured 1.5 s → 8.4 s single-group
+    reads at G=100k)."""
     import uuid
 
     import pyarrow as pa
@@ -322,6 +326,8 @@ def _append_rows_pyarrow(dirpath: str, rows: list[tuple]) -> None:
     os.makedirs(dirpath, exist_ok=True)
     rows = sorted(rows, key=lambda r: (r[0], r[1]))
     cols = list(zip(*rows))
+    avg_blob = max(1, sum(len(b) for b in cols[3]) // len(rows))
+    rg_rows = max(16, min(4096, (24 << 20) // avg_blob))
     tbl = pa.table({
         "name": pa.array(cols[0], type=pa.string()),
         "seq": pa.array(cols[1], type=pa.int64()),
@@ -334,7 +340,8 @@ def _append_rows_pyarrow(dirpath: str, rows: list[tuple]) -> None:
     final = os.path.join(dirpath,
                          f"part-{uuid.uuid4().hex}-pya.snappy.parquet")
     tmp = os.path.join(dirpath, f".{os.path.basename(final)}.tmp")
-    pq.write_table(tbl, tmp, compression="snappy", row_group_size=64)
+    pq.write_table(tbl, tmp, compression="snappy",
+                   row_group_size=rg_rows)
     os.replace(tmp, final)
 
 
@@ -372,9 +379,14 @@ def load_group_sketches(spark: SparkSession, path: str, prefix: str,
     if min_seq is not None:
         df = df.filter(F.col("seq") >= min_seq)
     out: dict[str, object] = {}
-    # winners_streaming: no blob Exchange; toArrow: blobs land driver-
-    # side as arrow buffers instead of py4j-pickled Rows
-    for r in (winners_streaming(df)
+    # window winners + toArrow: arrow-collect is ~1.5x the py4j Row
+    # collect, and for a COLLECT path the window's Exchange moves the
+    # same bytes the collect pulls anyway — the broadcast-semi-join
+    # variant (winners_streaming) measured 3x SLOWER here (18.5 s vs
+    # 5.7 s at a G=100k KB-blob fleet); it pays off only for streamed
+    # consumers (mapInPandas fleet answers), where it removes a G x
+    # blob Exchange entirely
+    for r in (_winners(df)
               .select("name", "seq", "blob", "sha256")
               .toArrow().to_pylist()):
         g = r["name"][len(p):]
